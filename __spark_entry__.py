@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _MODULES = [
     "bemidb_spark.operators.tpch",
+    "bemidb_spark.operators.dedup",
+    "bemidb_spark.operators.similarity",
+    "bemidb_spark.operators.text",
 ]
 
 

@@ -1,0 +1,85 @@
+"""Cross-engine SQL snippet builders (Spark dialect vs DuckDB-oracle dialect).
+
+The pipeline operators (dedup/similarity/text) are defined once per engine from
+these primitives, chosen so both engines produce **bit-identical** values:
+
+- ``hash_int``: first 8 hex digits of md5 → BIGINT. md5 is identical everywhere;
+  the hex→int spelling differs (Spark ``conv``, DuckDB ``'0x…'::BIGINT``).
+  Verified equal (see tests/test_dedup.py).
+- ``shingles``: word n-grams as space-joined strings. Spark ``transform`` over a
+  ``sequence`` (guarded: Spark's sequence(1,0) counts *down*), DuckDB list
+  comprehension with inclusive slices.
+- ``dot_fold``: floating dot-product as a *sequential left fold* in both engines
+  (Spark ``aggregate`` over ``zip_with``; DuckDB ``list_sum`` over
+  ``list_transform``) — IEEE754 addition is deterministic for a fixed order, so
+  both engines produce the same double bit-for-bit (empirically verified).
+
+Scale note: every snippet is a per-row expression (no joins, no state), so each
+runs inside whole-stage codegen / vectorized eval and parallelizes trivially.
+"""
+
+from __future__ import annotations
+
+
+def hash_int(expr: str, *, spark: bool, salt: str = "") -> str:
+    """Deterministic 32-bit hash of a string expression as BIGINT."""
+    salted = f"concat('{salt}:', {expr})" if salt else expr
+    if spark:
+        return f"CAST(conv(substring(md5({salted}), 1, 8), 16, 10) AS BIGINT)"
+    return f"CAST('0x' || substr(md5({salted}), 1, 8) AS BIGINT)"
+
+
+def words(text_expr: str, *, spark: bool) -> str:
+    """Whitespace tokenization (the documents corpus is single-space-joined)."""
+    if spark:
+        return f"split({text_expr}, ' ')"
+    return f"string_split({text_expr}, ' ')"
+
+
+def shingles(words_expr: str, n: int, *, spark: bool) -> str:
+    """Word n-gram shingle array (distinct not applied — caller decides)."""
+    if spark:
+        return (
+            f"CASE WHEN size({words_expr}) < {n} THEN array({words_expr}[0]) "
+            f"ELSE transform(sequence(1, size({words_expr}) - {n - 1}), "
+            f"i -> array_join(slice({words_expr}, i, {n}), ' ')) END"
+        )
+    return (
+        f"CASE WHEN len({words_expr}) < {n} THEN [array_to_string({words_expr}, ' ')] "
+        f"ELSE [array_to_string({words_expr}[i:i+{n - 1}], ' ') "
+        f"for i in generate_series(1, len({words_expr}) - {n - 1})] END"
+    )
+
+
+def minhash(shingles_expr: str, k: int, *, spark: bool) -> list[str]:
+    """k minhash values: min over shingles of salted hash_int."""
+    out = []
+    for j in range(k):
+        if spark:
+            h = hash_int("s", spark=True, salt=f"mh{j}")
+            out.append(f"array_min(transform({shingles_expr}, s -> {h}))")
+        else:
+            h = hash_int("s", spark=False, salt=f"mh{j}")
+            out.append(f"list_min(list_transform({shingles_expr}, s -> {h}))")
+    return out
+
+
+def dot_fold(a: str, b: str, *, spark: bool) -> str:
+    """Sequential-fold dot product of two float arrays, as DOUBLE."""
+    if spark:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def cosine(a: str, b: str, *, spark: bool) -> str:
+    """Cosine similarity from three sequential folds (deterministic order)."""
+    return (
+        f"{dot_fold(a, b, spark=spark)} / "
+        f"(sqrt({dot_fold(a, a, spark=spark)}) * sqrt({dot_fold(b, b, spark=spark)}))"
+    )

@@ -1,0 +1,246 @@
+"""Deduplication operators over the `documents` / `embeddings` tables.
+
+The reference has no dedup operators (its engine is pass-through SQL); these are
+the training-data-pipeline extensions, built as pure relational pipelines so the
+same plan runs at 100 TB:
+
+- **exact**: hash-groupBy on normalized text (one shuffle on a 32-hex key).
+- **minhash_lsh**: shingle → k minhash → band → bucket self-join → exact-jaccard
+  verify. Candidate generation is the banded join (tiny buckets ⇒ near-linear);
+  no all-pairs comparison ever happens, which is what makes it scale.
+- **simhash**: 32-bit fingerprint per doc (per-row expression, no shuffle);
+  near-pairs via 8-bit chunk banding (Hamming ≤ HAMMING_MAX).
+- **ngram_jaccard**: prefix-blocked exact jaccard (blocking key = first 4
+  words) — the classic cheap blocker; complements MinHash (which catches
+  pairs whose prefixes differ).
+- **embedding**: per-label blocked cosine pairs (decimal-free, sequential-fold
+  math; see _xengine).
+
+Every query has a DuckDB oracle producing bit-identical values. Engine-specific
+SQL is generated from one template per operator with `spark: bool` switches, so
+the logic cannot drift between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.operators._xengine import (
+    cosine,
+    hash_int,
+    minhash,
+    shingles,
+    words,
+)
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+MINHASH_K = 16
+BANDS = 8  # 8 bands x 2 rows: P(candidate | jaccard 0.5) ~ 0.90
+ROWS_PER_BAND = MINHASH_K // BANDS
+JACCARD_MIN = 0.5
+SIMHASH_BITS = 32
+HAMMING_MAX = 1  # hamming 0 = the planted near-dups; 32-bit fps over a shared vocab saturate fast
+COSINE_MIN = 0.4
+
+
+def _register(name: str, spark_sql: str, duck_sql: str) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: normalized-text hash, keep lowest doc_id per group
+# ---------------------------------------------------------------------------
+def _exact_sql(spark: bool) -> str:
+    return """
+    SELECT md5(lower(trim(text))) AS dedup_key,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(lower(trim(text)))
+    ORDER BY keep_doc_id
+    """
+
+
+_register("dedup_exact", _exact_sql(True), _exact_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# minhash + LSH near-dedup with exact-jaccard verification
+# ---------------------------------------------------------------------------
+def _minhash_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    mh = minhash("sh", MINHASH_K, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    inter = (
+        f"{size}(array_intersect(a.sh, b.sh))"
+        if spark
+        else "len(list_intersect(a.sh, b.sh))"
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh[{b * ROWS_PER_BAND + r}] AS STRING)" if spark
+                    else f"CAST(mh[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+                    for r in range(ROWS_PER_BAND))
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+    band_pairs = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(BANDS)
+    )
+    mh_array = "array(" + ", ".join(mh) + ")" if spark else "[" + ", ".join(mh) + "]"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {distinct}({sh}) AS sh
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {band_cols}
+      FROM (SELECT doc_id, sh, {mh_array} AS mh FROM docs)
+    ),
+    cands AS (
+{band_pairs}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST({inter} AS DOUBLE)
+             / ({size}(a.sh) + {size}(b.sh) - {inter}) AS jaccard
+    FROM cands c
+    JOIN docs a ON a.doc_id = c.doc_a
+    JOIN docs b ON b.doc_id = c.doc_b
+    WHERE CAST({inter} AS DOUBLE)
+             / ({size}(a.sh) + {size}(b.sh) - {inter}) >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """
+
+
+_register("dedup_minhash_lsh", _minhash_sql(True), _minhash_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# simhash fingerprints (32-bit) per document
+# ---------------------------------------------------------------------------
+def _simhash_sql(spark: bool) -> str:
+    h = hash_int("token", spark=spark, salt="sh")
+    shift = (lambda i: f"(shiftright(h, {i}) & 1)") if spark else (lambda i: f"((h >> {i}) & 1)")
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN {shift(i)} = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    if spark:
+        tok = ("SELECT doc_id, token FROM documents "
+               "LATERAL VIEW explode(split(text, ' ')) t AS token")
+    else:
+        tok = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    return f"""
+    WITH tok AS ({tok}),
+    hashed AS (SELECT doc_id, {h} AS h FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash
+    FROM bits
+    ORDER BY doc_id
+    """
+
+
+_register("dedup_simhash", _simhash_sql(True), _simhash_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# simhash near-pairs: 8-bit chunk banding + Hamming verify
+# ---------------------------------------------------------------------------
+def _simhash_pairs_sql(spark: bool) -> str:
+    base = _simhash_sql(spark).replace("ORDER BY doc_id", "")
+    xor = "(a.simhash ^ b.simhash)" if spark else "xor(a.simhash, b.simhash)"
+    chunk_joins = "\n      UNION\n".join(
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM fp a JOIN fp b"
+        f" ON (shiftright(a.simhash, {8 * c}) & 255) = (shiftright(b.simhash, {8 * c}) & 255)"
+        f" AND a.doc_id < b.doc_id"
+        if spark else
+        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
+        f" FROM fp a JOIN fp b"
+        f" ON ((a.simhash >> {8 * c}) & 255) = ((b.simhash >> {8 * c}) & 255)"
+        f" AND a.doc_id < b.doc_id"
+        for c in range(4)
+    )
+    return f"""
+    WITH fp AS ({base}),
+    cands AS (
+{chunk_joins}
+    )
+    SELECT c.doc_a, c.doc_b, CAST(bit_count({xor}) AS INT) AS hamming
+    FROM cands c
+    JOIN fp a ON a.doc_id = c.doc_a
+    JOIN fp b ON b.doc_id = c.doc_b
+    WHERE bit_count({xor}) <= {HAMMING_MAX}
+    ORDER BY doc_a, doc_b
+    """
+
+
+_register("dedup_simhash_pairs", _simhash_pairs_sql(True), _simhash_pairs_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# prefix-blocked exact n-gram jaccard
+# ---------------------------------------------------------------------------
+def _ngram_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    inter = (
+        f"{size}(array_intersect(a.sh, b.sh))"
+        if spark
+        else "len(list_intersect(a.sh, b.sh))"
+    )
+    prefix = (
+        "array_join(slice(w, 1, 4), ' ')" if spark else "array_to_string(w[1:4], ' ')"
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {prefix} AS block_key, {distinct}({sh}) AS sh
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({inter} AS DOUBLE)
+             / ({size}(a.sh) + {size}(b.sh) - {inter}) AS jaccard
+    FROM docs a
+    JOIN docs b ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+    WHERE CAST({inter} AS DOUBLE)
+             / ({size}(a.sh) + {size}(b.sh) - {inter}) >= {JACCARD_MIN}
+    ORDER BY doc_a, doc_b
+    """
+
+
+_register("dedup_ngram_jaccard", _ngram_sql(True), _ngram_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup (label-blocked)
+# ---------------------------------------------------------------------------
+def _embedding_sql(spark: bool) -> str:
+    cos = cosine("a.embedding", "b.embedding", spark=spark)
+    return f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {cos} >= {COSINE_MIN}
+    ORDER BY vec_a, vec_b
+    """
+
+
+_register("dedup_embedding_cosine", _embedding_sql(True), _embedding_sql(False))

@@ -1,0 +1,178 @@
+"""Text-analysis operators over the `documents` table.
+
+Training-data-pipeline primitives, each a single declarative plan (explode →
+aggregate, or pure per-row expressions) so they run unchanged at 100 TB:
+
+- **langid**: n-gram/stopword-profile scorer — per-language marker-token
+  counts, argmax with deterministic tie-break. (The test corpus is synthetic
+  single-vocabulary text, so accuracy against the `lang` column is not the
+  point — the oracle verifies the scoring pipeline.)
+- **quality**: per-document heuristics (length, mean word length, stopword
+  ratio, type-token ratio) + a composite keep/drop flag. Ratios are
+  int/int → double, so cross-engine exact.
+- **tokens**: whitespace token count, distinct count, and a BPE-ish subword
+  estimate (Σ ceil(len(word)/4)) — all per-row expressions.
+- **fingerprint**: Karp-Rabin rolling hash over word hashes (sequential fold,
+  modulus 1e9+7 keeps every intermediate < 2^35 so no overflow divergence)
+  plus the document's min shingle hash (winnowing anchor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.operators._xengine import hash_int, shingles, words
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist"],
+    "en": ["the", "a", "of", "and", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "fr": ["le", "la", "les", "des", "et"],
+    "zh": ["de", "shi", "le", "zai", "wo"],
+}
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+
+def _register(name: str, spark_sql: str, duck_sql: str) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql
+
+
+def _in_list(vals: list[str]) -> str:
+    return "(" + ", ".join(f"'{v}'" for v in vals) + ")"
+
+
+# ---------------------------------------------------------------------------
+# language ID by stopword-profile scoring
+# ---------------------------------------------------------------------------
+def _langid_sql(spark: bool) -> str:
+    if spark:
+        tok = ("SELECT doc_id, lang, token FROM documents "
+               "LATERAL VIEW explode(split(text, ' ')) t AS token")
+    else:
+        tok = ("SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token "
+               "FROM documents")
+    scores = ", ".join(
+        f"SUM(CASE WHEN token IN {_in_list(toks)} THEN 1 ELSE 0 END) AS score_{lang}"
+        for lang, toks in PROFILES.items()
+    )
+    unpivot = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, lang, '{lang2}' AS cand, score_{lang2} AS score FROM scores"
+        for lang2 in PROFILES
+    )
+    return f"""
+    WITH tok AS ({tok}),
+    scores AS (SELECT doc_id, lang, {scores} FROM tok GROUP BY doc_id, lang),
+    unp AS (
+{unpivot}
+    ),
+    best AS (
+      SELECT doc_id, lang, cand, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand) AS rk
+      FROM unp
+    )
+    SELECT doc_id, cand AS pred_lang, lang AS true_lang,
+           CASE WHEN cand = lang THEN 1 ELSE 0 END AS is_correct
+    FROM best WHERE rk = 1
+    ORDER BY doc_id
+    """
+
+
+_register("text_langid", _langid_sql(True), _langid_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+def _quality_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    size = "size" if spark else "len"
+    distinct = "array_distinct" if spark else "list_distinct"
+    if spark:
+        stop_cnt = f"size(filter(w, t -> t IN {_in_list(EN_STOPWORDS)}))"
+        word_chars = "aggregate(w, 0, (acc, t) -> acc + length(t))"
+    else:
+        stop_cnt = f"len(list_filter(w, t -> t IN {_in_list(EN_STOPWORDS)}))"
+        word_chars = "list_sum(list_transform(w, t -> length(t)))"
+    return f"""
+    WITH d AS (SELECT doc_id, n_chars, {w} AS w FROM documents)
+    SELECT doc_id,
+           CAST({size}(w) AS BIGINT) AS n_words,
+           CAST({word_chars} AS DOUBLE) / {size}(w) AS mean_word_len,
+           CAST({stop_cnt} AS DOUBLE) / {size}(w) AS stopword_ratio,
+           CAST({size}({distinct}(w)) AS DOUBLE) / {size}(w) AS type_token_ratio,
+           CASE WHEN {size}(w) >= 10
+                 AND CAST({size}({distinct}(w)) AS DOUBLE) / {size}(w) >= 0.3
+                 AND CAST({stop_cnt} AS DOUBLE) / {size}(w) <= 0.5
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM d
+    ORDER BY doc_id
+    """
+
+
+_register("text_quality", _quality_sql(True), _quality_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish subword estimate)
+# ---------------------------------------------------------------------------
+def _tokens_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    size = "size" if spark else "len"
+    distinct = "array_distinct" if spark else "list_distinct"
+    if spark:
+        subword = "aggregate(w, 0, (acc, t) -> acc + CAST(ceil(length(t) / 4.0) AS INT))"
+    else:
+        subword = "CAST(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 4.0) AS INT))) AS INT)"
+    return f"""
+    WITH d AS (SELECT doc_id, {w} AS w FROM documents)
+    SELECT doc_id,
+           CAST({size}(w) AS BIGINT) AS n_tokens,
+           CAST({size}({distinct}(w)) AS BIGINT) AS n_distinct_tokens,
+           {subword} AS n_subword_est
+    FROM d
+    ORDER BY doc_id
+    """
+
+
+_register("text_tokens", _tokens_sql(True), _tokens_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting (rolling hash + min shingle hash)
+# ---------------------------------------------------------------------------
+def _fingerprint_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    h = hash_int("t", spark=spark, salt="fp")
+    hs = hash_int("s", spark=spark, salt="wn")
+    if spark:
+        rolling = (
+            f"aggregate(w, CAST(0 AS BIGINT), "
+            f"(acc, t) -> (acc * 31 + {h}) % 1000000007)"
+        )
+        min_sh = f"array_min(transform({sh}, s -> {hs}))"
+    else:
+        rolling = (
+            f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(w, t -> {h})), "
+            f"(acc, hv) -> (acc * 31 + hv) % 1000000007)"
+        )
+        min_sh = f"list_min(list_transform({sh}, s -> {hs}))"
+    return f"""
+    SELECT doc_id, {rolling} AS rolling_fp, {min_sh} AS min_shingle_hash
+    FROM (SELECT doc_id, {w} AS w FROM documents)
+    ORDER BY doc_id
+    """
+
+
+_register("text_fingerprint", _fingerprint_sql(True), _fingerprint_sql(False))
