@@ -24,6 +24,9 @@ _MODULES = [
     "bemidb_spark.operators.dedup",
     "bemidb_spark.operators.similarity",
     "bemidb_spark.operators.text",
+    "bemidb_spark.operators.sql_surface",
+    "bemidb_spark.operators.multimodal",
+    "bemidb_spark.streaming.windows",
 ]
 
 

@@ -1,0 +1,298 @@
+"""SQL-surface operators beyond the TPC-H battery (SURVEY.md §2.A gaps).
+
+The reference passes these constructs to its engine (window functions are
+accepted but untested there — reference server/query_remapper.go has no OVER
+handling; grouping sets are absent; JSON operators are rewritten in
+parser_a_expr.go:34-77). Spark supports all of them natively; each query here
+pins the semantics against the DuckDB oracle:
+
+- window functions: running totals (decimal-exact so frame evaluation order
+  can't cause float drift), rank/dense_rank/ntile, lag/lead, moving frames
+- DISTINCT ON emulation (row_number over partition)
+- ROLLUP / CUBE / GROUPING SETS with GROUPING() markers
+- set operations: UNION / INTERSECT / EXCEPT
+- JSON scalar extraction (`props` is a JSON string column, like the
+  reference's json-as-string storage, README.md:301)
+- array aggregation + sorted distinct collections
+- VALUES lists joined against data
+- interval arithmetic + date_trunc bucketing
+- recursive CTE (month series): Spark side runs the iterative-union fixpoint
+  from plans/recursive.py; the oracle is a genuine WITH RECURSIVE
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bemidb_spark.plans.recursive import iterate
+from bemidb_spark.tables import load_tables, register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql if duck_sql is not None else spark_sql
+
+
+# ---------------------------------------------------------------------------
+# window: running decimal sum + row_number per user
+# ---------------------------------------------------------------------------
+_WIN_RUNNING = """
+    SELECT event_id, user_id,
+           CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS running_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, rn
+"""
+_register_sql("win_running_sum", _WIN_RUNNING)
+
+# ---------------------------------------------------------------------------
+# window: rank / dense_rank / ntile per event_type by value
+# ---------------------------------------------------------------------------
+_WIN_RANK = """
+    SELECT event_id, event_type,
+           CAST(RANK() OVER w AS INT) AS rk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)
+    ORDER BY event_type, rk, event_id
+"""
+_register_sql("win_rank_dense_ntile", _WIN_RANK)
+
+# ---------------------------------------------------------------------------
+# window: lag / lead deltas per user
+# ---------------------------------------------------------------------------
+_WIN_LAG = """
+    SELECT event_id, user_id, value,
+           LAG(value) OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           value - COALESCE(LAG(value) OVER w, value) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, event_id
+"""
+_register_sql("win_lag_lead", _WIN_LAG)
+
+# ---------------------------------------------------------------------------
+# window: moving average over a row frame (decimal-exact)
+# ---------------------------------------------------------------------------
+_WIN_MOVING = """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DOUBLE)
+             / CAST(COUNT(*)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS moving_avg4
+    FROM events
+    ORDER BY user_id, event_id
+"""
+_register_sql("win_moving_avg", _WIN_MOVING)
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON: latest event per user
+# ---------------------------------------------------------------------------
+_DISTINCT_ON = """
+    SELECT user_id, event_id, event_type, ts
+    FROM (
+      SELECT user_id, event_id, event_type, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) ranked
+    WHERE rn = 1
+    ORDER BY user_id
+"""
+_register_sql("distinct_on_latest", _DISTINCT_ON)
+
+# ---------------------------------------------------------------------------
+# ROLLUP: daily x event_type counts with subtotals
+# ---------------------------------------------------------------------------
+_ROLLUP = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(GROUPING(CAST(date_trunc('day', ts) AS DATE)) AS INT) AS g_day,
+           CAST(GROUPING(event_type) AS INT) AS g_type
+    FROM events
+    GROUP BY ROLLUP(CAST(date_trunc('day', ts) AS DATE), event_type)
+    ORDER BY g_day, g_type, day, event_type
+"""
+_register_sql("rollup_daily_type", _ROLLUP)
+
+# ---------------------------------------------------------------------------
+# CUBE: event_type x user bucket
+# ---------------------------------------------------------------------------
+_CUBE = """
+    SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n,
+           CAST(GROUPING(event_type) AS INT) AS g_type,
+           CAST(GROUPING(user_id % 10) AS INT) AS g_bucket
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    ORDER BY g_type, g_bucket, event_type, user_bucket
+"""
+_register_sql("cube_type_bucket", _CUBE)
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS (explicit)
+# ---------------------------------------------------------------------------
+_GSETS = """
+    SELECT event_type, user_id % 10 AS user_bucket, COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10), ())
+    ORDER BY event_type, user_bucket
+"""
+_register_sql("grouping_sets_mixed", _GSETS)
+
+# ---------------------------------------------------------------------------
+# set ops: INTERSECT / EXCEPT / UNION over user cohorts
+# ---------------------------------------------------------------------------
+_SETOPS = """
+    SELECT 'both' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    ) a
+    UNION ALL
+    SELECT 'purchase_only' AS cohort, user_id FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT user_id FROM events WHERE event_type = 'error'
+    ) b
+    ORDER BY cohort, user_id
+"""
+_register_sql("setops_cohorts", _SETOPS)
+
+# ---------------------------------------------------------------------------
+# JSON scalar extraction (props is a JSON string column)
+# ---------------------------------------------------------------------------
+_JSON_SPARK = """
+    SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(get_json_object(props, '$.k') AS INT)) AS INT) AS k_min,
+           CAST(MAX(CAST(get_json_object(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY CAST(get_json_object(props, '$.k') AS INT) % 10
+    ORDER BY k_bucket
+"""
+_JSON_DUCK = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY 1
+    ORDER BY k_bucket
+"""
+_register_sql("json_extract_bucket", _JSON_SPARK, _JSON_DUCK)
+
+# ---------------------------------------------------------------------------
+# array aggregation: sorted distinct event types per user
+# ---------------------------------------------------------------------------
+_ARR_SPARK = """
+    SELECT user_id,
+           array_sort(collect_set(event_type)) AS types,
+           CAST(size(array_sort(collect_set(event_type))) AS BIGINT) AS n_types,
+           array_contains(collect_set(event_type), 'purchase') AS has_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+_ARR_DUCK = """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
+           list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+_register_sql("array_agg_types", _ARR_SPARK, _ARR_DUCK)
+
+# ---------------------------------------------------------------------------
+# VALUES list joined against data
+# ---------------------------------------------------------------------------
+_VALUES = """
+    SELECT v.label, COUNT(e.event_id) AS n
+    FROM (VALUES ('click', 'engagement'), ('view', 'engagement'),
+                 ('purchase', 'revenue'), ('signup', 'growth')) AS v(etype, label)
+    LEFT JOIN events e ON e.event_type = v.etype
+    GROUP BY v.label
+    ORDER BY v.label
+"""
+_register_sql("values_join", _VALUES)
+
+# ---------------------------------------------------------------------------
+# interval arithmetic + date bucketing
+# ---------------------------------------------------------------------------
+_INTERVAL = """
+    SELECT CAST(date_trunc('week', ts + INTERVAL 3 DAY) AS DATE) AS wk,
+           COUNT(*) AS n
+    FROM events
+    WHERE ts + INTERVAL 12 HOUR < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY CAST(date_trunc('week', ts + INTERVAL 3 DAY) AS DATE)
+    ORDER BY wk
+"""
+_register_sql("interval_bucketing", _INTERVAL)
+
+# ---------------------------------------------------------------------------
+# recursive CTE: month series spanning orders, with per-month counts
+# ---------------------------------------------------------------------------
+_REC_DUCK = """
+    WITH RECURSIVE months(m) AS (
+      SELECT date_trunc('month', MIN(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    )
+    SELECT CAST(m AS DATE) AS month, (
+      SELECT COUNT(*) FROM orders WHERE date_trunc('month', o_orderdate) = m
+    ) AS n_orders
+    FROM months
+    ORDER BY month
+"""
+
+
+def _recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    bounds = orders.agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
+    ).collect()[0]
+    seed = spark.createDataFrame([(bounds.lo,)], "m timestamp_ntz")
+    hi = F.lit(bounds.hi).cast("timestamp_ntz")
+
+    def step(prev: DataFrame) -> DataFrame:
+        return (
+            prev.select(F.expr("m + INTERVAL 1 MONTH").alias("m")).filter(F.col("m") <= hi)
+        )
+
+    months = iterate(seed, step, max_iter=120)
+    per_month = (
+        orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        months.join(per_month, "m", "left_outer")
+        .select(
+            F.col("m").cast("date").alias("month"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("month")
+    )
+
+
+QUERIES["recursive_month_series"] = _recursive_months
+ORACLES["recursive_month_series"] = _REC_DUCK

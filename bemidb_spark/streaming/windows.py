@@ -1,0 +1,190 @@
+"""Structured Streaming operators over the `events` table.
+
+The reference has **no** streaming surface (its CDC path is stubbed and panics
+— reference syncer-postgres/lib/syncer.go:37-42); these are the parity-plus
+operators a streaming ingest pipeline needs, built on Structured Streaming:
+
+- **tumbling window** counts/sums with a watermark (late-data bound),
+- **sliding window** activity,
+- **session windows** (native ``session_window`` with a 30-minute gap).
+
+Test harness: the parquet file acts as a bounded file-source stream; results
+land in a memory sink (complete mode) and are returned as a DataFrame, so the
+driver's oracle gate can diff them against batch SQL — the streaming results
+of a bounded input must equal the batch answer (Dataflow model equivalence).
+In production the same plans run unbounded with append mode into an Iceberg/
+Kafka sink; the memory sink is test plumbing only.
+
+Aggregates are decimal-exact (order-independent) so micro-batch boundaries
+can't perturb values.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+SESSION_GAP = "30 minutes"
+_counter = itertools.count()
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded file-source stream (ns or µs timestamps)."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # Watermarks require TIMESTAMP (not NTZ); the session timezone is pinned to
+    # UTC so NTZ -> TIMESTAMP is value-preserving here.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _run_to_memory(df: DataFrame, name: str) -> str:
+    """Run a bounded streaming aggregation into a memory sink; return table name."""
+    table = f"{name}_{next(_counter)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return table
+
+
+# ---------------------------------------------------------------------------
+# tumbling daily window per event_type, 1h watermark
+# ---------------------------------------------------------------------------
+def _tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+        )
+    )
+    table = _run_to_memory(agg, "stream_tumbling")
+    return spark.sql(f"""
+        SELECT CAST(w.start AS DATE) AS day, event_type, n, total_value
+        FROM {table}
+        ORDER BY day, event_type
+    """)
+
+
+QUERIES["streaming_tumbling_daily"] = _tumbling
+ORACLES["streaming_tumbling_daily"] = """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# sliding 2-day window stepping 1 day, global activity
+# ---------------------------------------------------------------------------
+def _sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # COUNT(DISTINCT) is not streamable; the streaming stage keeps per-user
+    # partial counts per window (bounded state) and the exact distinct count is
+    # a trivial batch aggregation over the sink — the standard two-phase shape.
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    table = _run_to_memory(agg, "stream_sliding")
+    return spark.sql(f"""
+        SELECT CAST(w.start AS DATE) AS win_start,
+               SUM(n) AS n,
+               COUNT(*) AS n_users
+        FROM {table}
+        GROUP BY CAST(w.start AS DATE)
+        ORDER BY win_start
+    """)
+
+
+QUERIES["streaming_sliding_activity"] = _sliding
+# A row lands in every 2-day window covering its day: the window starting on
+# its day and the one starting the day before.
+ORACLES["streaming_sliding_activity"] = """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    expanded AS (
+      SELECT day AS win_start, user_id FROM daily
+      UNION ALL
+      SELECT day - INTERVAL 1 DAY, user_id FROM daily
+    )
+    SELECT CAST(win_start AS DATE) AS win_start, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM expanded
+    GROUP BY 1
+    ORDER BY win_start
+"""
+
+
+# ---------------------------------------------------------------------------
+# session windows: 30-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("session_value"),
+        )
+    )
+    table = _run_to_memory(agg, "stream_sessions")
+    return spark.sql(f"""
+        SELECT user_id, CAST(w.start AS TIMESTAMP_NTZ) AS session_start, n_events, session_value
+        FROM {table}
+        ORDER BY user_id, session_start
+    """)
+
+
+QUERIES["streaming_session_windows"] = _sessions
+# Batch equivalent: a session break is a >30-minute gap; session_start is the
+# MIN ts of each run (classic gaps-and-islands).
+ORACLES["streaming_session_windows"] = """
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+"""
