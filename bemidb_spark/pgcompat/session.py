@@ -1,0 +1,183 @@
+"""Postgres-compatible session: statement router + SET/SHOW state + pg functions.
+
+Mirrors the reference's statement router (B1 — reference
+server/query_remapper.go:107-188): SELECT-ish statements are transpiled and
+executed; SET / SHOW / BEGIN / COMMIT / DISCARD are handled session-side
+without touching the engine (B16/B17, query_remapper.go:19-32, 191-203,
+query_remapper_show.go); CREATE/REFRESH/DROP/ALTER MATERIALIZED VIEW route to
+the matview module (C6); anything else raises the reference's "unsupported
+query type" error.
+
+pg function emulation (B7, query_remapper_function.go:14-112) is implemented
+as *pre-execution rewrites* for session-dependent values (current_setting,
+current_schema, version, …) — the reference does the same thing with engine
+macros; here constant-folding them before Spark parses keeps them out of the
+distributed plan entirely.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.pgcompat.catalog_views import PG_DATABASE, PG_USER, register_pg_catalog
+from bemidb_spark.pgcompat.transpiler import transpile
+from bemidb_spark.sources import matview
+from bemidb_spark.sources.catalog import Catalog
+
+VERSION_STRING = (
+    "PostgreSQL 17.0, compiled by bemidb-spark (Apache Spark), 64-bit"
+)
+
+# SETs the reference silently accepts and no-ops (query_remapper.go:19-29).
+_KNOWN_NOOP_SETS = {
+    "client_encoding", "client_min_messages", "standard_conforming_strings",
+    "intervalstyle", "extra_float_digits", "application_name", "datestyle",
+    "session characteristics as transaction read only",
+}
+
+
+class UnsupportedQueryError(Exception):
+    pass
+
+
+class PgSession:
+    """One client session: settings dict + router over a shared SparkSession."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog | None = None) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.settings: dict[str, str] = {
+            "search_path": '"$user", public',
+            "timezone": "UTC",
+            "server_version": "17.0",
+            "application_name": "",
+            "client_encoding": "UTF8",
+            "max_connections": "100",
+            "transaction_isolation": "read committed",
+        }
+        register_pg_catalog(spark, catalog)
+
+    # ------------------------------------------------------------------ SET
+    def _handle_set(self, sql: str) -> DataFrame:
+        m = re.match(
+            r"\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_. ]+?)\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).strip().lower()
+            value = m.group(2).strip().strip("'\"")
+            if name == "timezone":
+                self.spark.conf.set("spark.sql.session.timeZone", value)
+            self.settings[name] = value
+        return self.spark.range(0).selectExpr("CAST(null AS STRING) AS set")
+
+    # ----------------------------------------------------------------- SHOW
+    def _handle_show(self, sql: str) -> DataFrame:
+        m = re.match(r"\s*SHOW\s+([A-Za-z_.\"$ ]+?)\s*;?\s*$", sql, re.IGNORECASE)
+        name = m.group(1).strip().lower() if m else ""
+        if name == "all":
+            rows = [(k, v, "") for k, v in sorted(self.settings.items())]
+            return self.spark.createDataFrame(
+                rows, "name string, setting string, description string"
+            )
+        value = self.settings.get(name)
+        if value is None:
+            raise UnsupportedQueryError(f'unrecognized configuration parameter "{name}"')
+        return self.spark.createDataFrame([(value,)], f"`{name}` string")
+
+    # ------------------------------------------------------------- matviews
+    def _handle_matview(self, sql: str) -> DataFrame | None:
+        if self.catalog is None:
+            raise UnsupportedQueryError("no catalog configured for materialized views")
+        m = re.match(
+            r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+(.*?)(?:\s+WITH\s+(NO\s+)?DATA)?\s*;?\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            name = m.group(1).split(".")[-1]
+            matview.create_materialized_view(
+                self.spark, self.catalog, name, transpile(m.group(2)),
+                with_data=m.group(3) is None,
+            )
+            register_pg_catalog(self.spark, self.catalog)
+            return self._ok("CREATE MATERIALIZED VIEW")
+        m = re.match(
+            r"\s*REFRESH\s+MATERIALIZED\s+VIEW\s+(CONCURRENTLY\s+)?([\w.]+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            matview.refresh_materialized_view(
+                self.spark, self.catalog, m.group(2).split(".")[-1],
+                concurrently=m.group(1) is not None,
+            )
+            return self._ok("REFRESH MATERIALIZED VIEW")
+        m = re.match(
+            r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            matview.drop_materialized_view(self.catalog, m.group(1).split(".")[-1])
+            register_pg_catalog(self.spark, self.catalog)
+            return self._ok("DROP MATERIALIZED VIEW")
+        m = re.match(
+            r"\s*ALTER\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+RENAME\s+TO\s+([\w.]+)\s*;?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            matview.rename_materialized_view(
+                self.catalog, m.group(1).split(".")[-1], m.group(2).split(".")[-1]
+            )
+            register_pg_catalog(self.spark, self.catalog)
+            return self._ok("ALTER MATERIALIZED VIEW")
+        return None
+
+    def _ok(self, tag: str) -> DataFrame:
+        return self.spark.range(0).selectExpr(f"CAST(null AS STRING) AS `{tag}`")
+
+    # ------------------------------------------------- session-value folding
+    def _fold_session_functions(self, sql: str) -> str:
+        def setting_repl(m: re.Match) -> str:
+            return "'" + self.settings.get(m.group(1).lower(), "") + "'"
+
+        sql = re.sub(
+            r"current_setting\s*\(\s*'([^']+)'\s*\)", setting_repl, sql, flags=re.IGNORECASE
+        )
+        replacements = {
+            r"\bversion\s*\(\s*\)": f"'{VERSION_STRING}'",
+            r"\bcurrent_database\s*\(\s*\)": f"'{PG_DATABASE}'",
+            r"\bcurrent_schema\s*\(\s*\)": "'public'",
+            r"\bcurrent_user\b": f"'{PG_USER}'",
+            r"\bsession_user\b": f"'{PG_USER}'",
+            r"\bpg_backend_pid\s*\(\s*\)": "CAST(1 AS INT)",
+            r"\bpg_is_in_recovery\s*\(\s*\)": "false",
+            r"\bpg_postmaster_start_time\s*\(\s*\)": "current_timestamp()",
+        }
+        for pat, repl in replacements.items():
+            sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
+        return sql
+
+    # --------------------------------------------------------------- router
+    def execute(self, sql: str) -> DataFrame:
+        """Route one statement the way the reference's remapStatements does."""
+        stripped = sql.strip().rstrip(";").strip()
+        upper = stripped.upper()
+        if not stripped:
+            return self._ok("EMPTY")
+        if upper.startswith("SET "):
+            return self._handle_set(sql)
+        if upper.startswith("SHOW "):
+            return self._handle_show(sql)
+        if upper in ("BEGIN", "COMMIT", "ROLLBACK", "END", "DISCARD ALL") or upper.startswith(
+            ("BEGIN ", "START TRANSACTION")
+        ):
+            return self._ok(upper.split()[0])
+        if "MATERIALIZED VIEW" in upper:
+            out = self._handle_matview(sql)
+            if out is not None:
+                return out
+        if upper.startswith(("SELECT", "WITH", "VALUES", "TABLE ", "(")):
+            folded = self._fold_session_functions(stripped)
+            return self.spark.sql(transpile(folded))
+        raise UnsupportedQueryError(f"unsupported query type: {stripped.split()[0]}")

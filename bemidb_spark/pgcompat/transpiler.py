@@ -1,0 +1,277 @@
+"""Postgres-dialect → Spark SQL transpiler (targeted rewrite rules).
+
+The reference parses queries with the real Postgres parser and rewrites the
+AST (SURVEY.md §2.B). No Postgres parser ships in this environment, so this is
+a rule-based source rewriter covering the same remap set — each rule cites the
+reference behavior it reproduces:
+
+- B8  function remaps: ``format``→``format_string``,
+  ``encode(sha256(x),'hex')``→``sha2(x,256)``,
+  ``jsonb_agg``/``json_agg``→``to_json(collect_list(…))``
+  (reference query_remapper_function.go:134-175, parser_function.go:71-137)
+- B9  JSON operators: ``->>``/``->`` → ``get_json_object``, ``?`` →
+  ``IS NOT NULL`` test (parser_a_expr.go:34-77)
+- B10 ``= ANY('{a,b}')`` string-array literal → ``IN ('a','b')``
+  (parser_a_expr.go:106-154)
+- B11 type casts: strip ``pg_catalog.`` prefixes; ``x::type`` →
+  ``CAST(x AS sparktype)`` with the §1.3 type mapping; ``::jsonb``/``::json``
+  → string passthrough; ``::regclass`` → name literal
+  (query_remapper_expression.go:37-83, parser_type_cast.go:90-206)
+- table-qualifier routing: ``pg_catalog.t`` / ``information_schema.t`` →
+  emulation view names (B5/B6)
+- ``~`` / ``!~`` regex operators → ``RLIKE`` / ``NOT RLIKE``
+
+Rules are regex-based and deliberately conservative: they rewrite only
+well-delimited patterns and leave everything else for Spark's parser to
+accept or reject. String literals are shielded from rewriting.
+"""
+
+from __future__ import annotations
+
+import re
+
+# Postgres type name -> Spark type (SURVEY.md §1.3 mapping).
+TYPE_MAP = {
+    "text": "STRING",
+    "varchar": "STRING",
+    "bpchar": "STRING",
+    "char": "STRING",
+    "name": "STRING",
+    "uuid": "STRING",
+    "json": "STRING",
+    "jsonb": "STRING",
+    "xml": "STRING",
+    "inet": "STRING",
+    "cidr": "STRING",
+    "macaddr": "STRING",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+    "int2": "SMALLINT",
+    "smallint": "SMALLINT",
+    "int4": "INT",
+    "int": "INT",
+    "integer": "INT",
+    "int8": "BIGINT",
+    "bigint": "BIGINT",
+    "oid": "BIGINT",
+    "regclass": "STRING",
+    "regproc": "STRING",
+    "float4": "FLOAT",
+    "real": "FLOAT",
+    "float8": "DOUBLE",
+    "numeric": "DECIMAL(38,6)",
+    "decimal": "DECIMAL(38,6)",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP_NTZ",
+    "timestamptz": "TIMESTAMP",
+    "time": "STRING",
+    "timetz": "STRING",
+    "interval": "INTERVAL DAY TO SECOND",
+    "bytea": "BINARY",
+}
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+_CASTABLE = rf"(?:'(?:[^']|'')*'|\({_IDENT}(?:\.{_IDENT})*\)|{_IDENT}(?:\.{_IDENT})*|\d+(?:\.\d+)?)"
+
+
+def _shield_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with placeholders so rules can't touch them."""
+    literals: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        literals.append(m.group(0))
+        return f"\x00{len(literals) - 1}\x00"
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), literals
+
+
+def _unshield(sql: str, literals: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
+
+
+def _rewrite_casts(sql: str, literals: list[str]) -> str:
+    """x::type → CAST(x AS spark_type) (repeated for chained casts)."""
+
+    def cast_repl(m: re.Match) -> str:
+        expr, pgtype = m.group(1), m.group(2).lower()
+        if pgtype.startswith("regclass") or pgtype.startswith("regproc"):
+            # ::regclass on a constant → the relation name itself
+            return expr
+        spark_type = TYPE_MAP.get(pgtype)
+        if spark_type is None:
+            return f"CAST({expr} AS {m.group(2)})"
+        if pgtype == "interval":
+            # '1 week'::interval → INTERVAL '1 week'
+            return f"INTERVAL {expr}"
+        return f"CAST({expr} AS {spark_type})"
+
+    pattern = re.compile(
+        rf"({_CASTABLE}|\x00\d+\x00)\s*::\s*({_IDENT})(?:\(\d+(?:,\s*\d+)?\))?(\[\])?"
+    )
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = pattern.sub(cast_repl, sql)
+        sql = _rewrite_paren_casts(sql)
+    return sql
+
+
+def _rewrite_paren_casts(sql: str) -> str:
+    """Handle `<call-or-paren-expr>)::type` by matching parens backwards."""
+    m = re.search(rf"\)\s*::\s*({_IDENT})(?:\(\d+(?:,\s*\d+)?\))?", sql)
+    if not m:
+        return sql
+    close = m.start()
+    depth = 0
+    i = close
+    while i >= 0:
+        if sql[i] == ")":
+            depth += 1
+        elif sql[i] == "(":
+            depth -= 1
+            if depth == 0:
+                break
+        i -= 1
+    # include a leading function name if present
+    j = i
+    while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
+        j -= 1
+    expr = sql[j:close + 1]
+    pgtype = m.group(1).lower()
+    spark_type = TYPE_MAP.get(pgtype)
+    if pgtype.startswith(("regclass", "regproc")):
+        replacement = expr
+    elif pgtype == "interval":
+        replacement = f"INTERVAL {expr}"
+    elif spark_type is None:
+        replacement = f"CAST({expr} AS {m.group(1)})"
+    else:
+        replacement = f"CAST({expr} AS {spark_type})"
+    return sql[:j] + replacement + sql[m.end():]
+
+
+def _rewrite_json_ops(sql: str) -> str:
+    """a ->> 'k' / a -> 'k' / a ? 'k' → get_json_object forms."""
+    base = rf"({_IDENT}(?:\.{_IDENT})*|\)|\x00\d+\x00)"
+    # placeholders stand in for the key literals; resolve key text lazily via \x00 refs
+    sql = re.sub(
+        base + r"\s*->>\s*(\x00\d+\x00)",
+        r"get_json_object(\1, concat('$.', trim(BOTH '''' FROM \2)))",
+        sql,
+    )
+    sql = re.sub(
+        base + r"\s*->\s*(\x00\d+\x00)",
+        r"get_json_object(\1, concat('$.', trim(BOTH '''' FROM \2)))",
+        sql,
+    )
+    sql = re.sub(
+        base + r"\s*\?\s*(\x00\d+\x00)",
+        r"(get_json_object(\1, concat('$.', trim(BOTH '''' FROM \2))) IS NOT NULL)",
+        sql,
+    )
+    return sql
+
+
+def _rewrite_any_string_array(sql: str, literals: list[str]) -> str:
+    """x = ANY('{a,b,c}') → x IN ('a','b','c')  (B10)."""
+
+    def repl(m: re.Match) -> str:
+        expr, ph = m.group(1), m.group(2)
+        lit = literals[int(ph.strip("\x00"))]
+        body = lit[1:-1]  # strip quotes
+        if not (body.startswith("{") and body.endswith("}")):
+            return m.group(0)
+        items = [v.strip() for v in body[1:-1].split(",") if v.strip()]
+        quoted = ", ".join("'" + v.strip('"') + "'" for v in items)
+        return f"{expr} IN ({quoted})"
+
+    return re.sub(
+        rf"({_CASTABLE})\s*=\s*ANY\s*\(\s*(\x00\d+\x00)\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_functions(sql: str) -> str:
+    # encode(sha256(x), 'hex') → sha2(x, 256): placeholder is the 'hex' literal
+    sql = re.sub(
+        r"encode\s*\(\s*sha256\s*\(([^()]*)\)\s*,\s*\x00\d+\x00\s*\)",
+        r"sha2(\1, 256)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(r"\bformat\s*\(", "format_string(", sql, flags=re.IGNORECASE)
+    sql = re.sub(
+        r"\b(?:jsonb_agg|json_agg)\s*\(", "to_json(collect_list(", sql, flags=re.IGNORECASE
+    )
+    # close the extra paren opened by the collect_list rewrite
+    sql = _balance_double_open(sql, "to_json(collect_list(")
+    sql = re.sub(r"\bstring_agg\s*\(", "concat_ws_agg_placeholder(", sql, flags=re.IGNORECASE)
+    sql = sql.replace("concat_ws_agg_placeholder(", "string_agg(")  # Spark 4 has string_agg
+    sql = re.sub(r"\barray_upper\s*\(\s*([^,()]+)\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bpg_catalog\s*\.\s*", "", sql, flags=re.IGNORECASE)
+    return sql
+
+
+def _balance_double_open(sql: str, marker: str) -> str:
+    """After rewriting f( → g(h(, add one ')' at the matching close paren."""
+    out = []
+    i = 0
+    while True:
+        j = sql.find(marker, i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        out.append(marker)
+        depth = 2
+        k = j + len(marker)
+        while k < len(sql) and depth > 1:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        # k points just past the paren that closed the original '(' (now
+        # collect_list's) — add the close for the wrapping to_json(
+        out.append(sql[j + len(marker):k])
+        out.append(")")
+        i = k
+    return "".join(out)
+
+
+def _rewrite_tables(sql: str) -> str:
+    """pg_catalog.x / information_schema.x → emulation view names (B5/B6)."""
+    sql = re.sub(
+        r"\binformation_schema\s*\.\s*(tables|columns)\b",
+        r"information_schema_\1",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
+def _rewrite_regex_ops(sql: str) -> str:
+    sql = re.sub(r"\s+!~\s+", " NOT RLIKE ", sql)
+    sql = re.sub(r"(\S)\s+~\s+(\x00\d+\x00)", r"\1 RLIKE \2", sql)
+    return sql
+
+
+def transpile(sql: str) -> str:
+    """Rewrite a Postgres-dialect query into Spark SQL."""
+    shielded, literals = _shield_strings(sql)
+    shielded = _rewrite_tables(shielded)
+    shielded = _rewrite_functions(shielded)
+    shielded = _rewrite_any_string_array(shielded, literals)
+    shielded = _rewrite_json_ops(shielded)
+    shielded = _rewrite_casts(shielded, literals)
+    shielded = _rewrite_regex_ops(shielded)
+    out = _unshield(shielded, literals)
+    # json-op rewrite leaves concat('$.', trim(BOTH '''' FROM 'key')) — fold it
+    out = re.sub(
+        r"concat\('\$\.', trim\(BOTH '''' FROM '([^']*)'\)\)",
+        r"'$.\1'",
+        out,
+    )
+    return out

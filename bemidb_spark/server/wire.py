@@ -1,0 +1,379 @@
+"""Postgres wire-protocol (v3) server in front of the Spark engine.
+
+Python re-expression of the reference's server binary (C12-C14):
+
+- startup / SSLRequest-deny / trust auth + ParameterStatus + BackendKeyData
+  (reference src/server/postgres_server.go:209-247)
+- simple query: statements → PgSession router → RowDescription(OIDs) +
+  text-format DataRows + CommandComplete tag
+  (query_handler.go:64-110, 240-341)
+- extended protocol: Parse/Bind/Describe/Execute/Sync/Close/Flush state
+  machine with $n parameter substitution; text params always, binary params
+  int32/int64/UUID — and Describe *executes* the statement and caches rows for
+  Execute, matching the reference's documented quirk (query_handler.go:186-216)
+- Spark schema → pg type OID table mirroring response_handler.go:28-113;
+  text encoding: bool → t/f, arrays → {a,b,c} literals, bytea → \\x hex
+  (response_handler.go:148-233, 332-369)
+
+One OS thread per connection (connections share the thread-safe SparkSession;
+concurrent queries schedule under FAIR — the engine's throughput path).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+import threading
+import uuid as uuid_mod
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bemidb_spark.pgcompat.session import PgSession, UnsupportedQueryError
+from bemidb_spark.sources.catalog import Catalog
+
+PROTOCOL_V3 = 196608
+SSL_REQUEST = 80877103
+CANCEL_REQUEST = 80877102
+
+# Spark type -> (pg OID, typlen); mirrors response_handler.go:28-113.
+_OID_BOOL, _OID_BYTEA, _OID_INT8, _OID_INT4, _OID_TEXT = 16, 17, 20, 23, 25
+_OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC = 700, 701, 1700
+_OID_DATE, _OID_TIMESTAMP, _OID_TIMESTAMPTZ = 1082, 1114, 1184
+_OID_TEXT_ARRAY = 1009
+
+
+def pg_oid(dt: T.DataType) -> tuple[int, int]:
+    if isinstance(dt, T.BooleanType):
+        return _OID_BOOL, 1
+    if isinstance(dt, T.BinaryType):
+        return _OID_BYTEA, -1
+    if isinstance(dt, (T.LongType,)):
+        return _OID_INT8, 8
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return _OID_INT4, 4
+    if isinstance(dt, T.FloatType):
+        return _OID_FLOAT4, 4
+    if isinstance(dt, T.DoubleType):
+        return _OID_FLOAT8, 8
+    if isinstance(dt, T.DecimalType):
+        return _OID_NUMERIC, -1
+    if isinstance(dt, T.DateType):
+        return _OID_DATE, 4
+    if isinstance(dt, T.TimestampNTZType):
+        return _OID_TIMESTAMP, 8
+    if isinstance(dt, T.TimestampType):
+        return _OID_TIMESTAMPTZ, 8
+    if isinstance(dt, T.ArrayType):
+        return _OID_TEXT_ARRAY, -1
+    return _OID_TEXT, -1
+
+
+def _encode_value(v, dt: T.DataType) -> str | None:
+    """Text-format cell encoding (response_handler.go:148-233)."""
+    if v is None:
+        return None
+    if isinstance(dt, T.BooleanType):
+        return "t" if v else "f"
+    if isinstance(dt, T.BinaryType):
+        return "\\x" + bytes(v).hex()
+    if isinstance(dt, T.TimestampNTZType | T.TimestampType):
+        return v.strftime("%Y-%m-%d %H:%M:%S") + (
+            f".{v.microsecond:06d}".rstrip("0") if v.microsecond else ""
+        )
+    if isinstance(dt, T.DateType):
+        return v.isoformat()
+    if isinstance(dt, T.ArrayType):
+        inner = ",".join(
+            "NULL" if x is None else _array_elem(_encode_value(x, dt.elementType))
+            for x in v
+        )
+        return "{" + inner + "}"
+    return str(v)
+
+
+def _array_elem(s: str | None) -> str:
+    if s is None:
+        return "NULL"
+    if s == "" or any(c in s for c in ' ,{}"\\'):
+        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    return s
+
+
+def _tag_for(sql: str, n_rows: int) -> str:
+    head = sql.strip().split()[0].upper() if sql.strip() else "SELECT"
+    if head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW"):
+        return f"SELECT {n_rows}"
+    if "MATERIALIZED VIEW" in sql.upper() and head in ("CREATE", "REFRESH", "DROP", "ALTER"):
+        return f"{head} MATERIALIZED VIEW"
+    return head
+
+
+@dataclass
+class _Prepared:
+    sql: str
+    params: list[str | None] = field(default_factory=list)
+    result: tuple[DataFrame, list] | None = None  # (df, collected rows)
+
+
+class _Conn:
+    def __init__(self, sock: socket.socket, spark: SparkSession, catalog: Catalog | None):
+        self.sock = sock
+        self.session = PgSession(spark, catalog)
+        self.prepared: dict[str, _Prepared] = {}
+        self.portals: dict[str, _Prepared] = {}
+
+    # ---------------------------------------------------------------- frames
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionResetError
+            buf += chunk
+        return buf
+
+    def _send(self, msg_type: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(msg_type + struct.pack("!I", len(payload) + 4) + payload)
+
+    def _send_ready(self) -> None:
+        self._send(b"Z", b"I")
+
+    def _send_error(self, message: str, code: str = "XX000") -> None:
+        fields = b"SERROR\x00" + f"C{code}".encode() + b"\x00" + f"M{message}".encode() + b"\x00\x00"
+        self._send(b"E", fields)
+
+    def _send_row_description(self, df: DataFrame) -> None:
+        fields = df.schema.fields
+        payload = struct.pack("!H", len(fields))
+        for f in fields:
+            oid, typlen = pg_oid(f.dataType)
+            payload += (
+                f.name.encode() + b"\x00"
+                + struct.pack("!IhIhih", 0, 0, oid, typlen, -1, 0)
+            )
+        self._send(b"T", payload)
+
+    def _send_rows(self, df: DataFrame, rows: list) -> int:
+        dts = [f.dataType for f in df.schema.fields]
+        for row in rows:
+            payload = struct.pack("!H", len(dts))
+            for v, dt in zip(row, dts):
+                s = _encode_value(v, dt)
+                if s is None:
+                    payload += struct.pack("!i", -1)
+                else:
+                    b = s.encode()
+                    payload += struct.pack("!i", len(b)) + b
+            self._send(b"D", payload)
+        return len(rows)
+
+    # --------------------------------------------------------------- startup
+    def handshake(self) -> bool:
+        while True:
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            (code,) = struct.unpack("!I", body[:4])
+            if code == SSL_REQUEST:
+                self.sock.sendall(b"N")  # no TLS (postgres_server.go:226-232)
+                continue
+            if code == CANCEL_REQUEST:
+                return False
+            if code == PROTOCOL_V3:
+                break
+            self._send_error(f"unsupported protocol: {code}", "0A000")
+            return False
+        self._send(b"R", struct.pack("!I", 0))  # AuthenticationOk (trust)
+        for k, v in [
+            ("server_version", self.session.settings["server_version"]),
+            ("server_encoding", "UTF8"),
+            ("client_encoding", "UTF8"),
+            ("DateStyle", "ISO"),
+            ("TimeZone", self.session.settings["timezone"]),
+        ]:
+            self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
+        self._send(b"K", struct.pack("!II", 1, 0))
+        self._send_ready()
+        return True
+
+    # ------------------------------------------------------------ statements
+    def _run_statement(self, sql: str) -> None:
+        df = self.session.execute(sql)
+        rows = df.collect()
+        self._send_row_description(df)
+        n = self._send_rows(df, rows)
+        self._send(b"C", _tag_for(sql, n).encode() + b"\x00")
+
+    def _split_statements(self, sql: str) -> list[str]:
+        out, cur, in_str = [], [], False
+        for ch in sql:
+            if ch == "'":
+                in_str = not in_str
+            if ch == ";" and not in_str:
+                stmt = "".join(cur).strip()
+                if stmt:
+                    out.append(stmt)
+                cur = []
+            else:
+                cur.append(ch)
+        stmt = "".join(cur).strip()
+        if stmt:
+            out.append(stmt)
+        return out
+
+    def _substitute_params(self, sql: str, params: list[str | None]) -> str:
+        for i, p in enumerate(reversed(params), start=0):
+            idx = len(params) - i
+            val = "NULL" if p is None else "'" + p.replace("'", "''") + "'"
+            sql = sql.replace(f"${idx}", val)
+        return sql
+
+    # ----------------------------------------------------------------- serve
+    def serve(self) -> None:
+        if not self.handshake():
+            return
+        while True:
+            msg_type = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            if msg_type == b"X":  # Terminate
+                return
+            try:
+                self._dispatch(msg_type, body)
+            except (UnsupportedQueryError, Exception) as exc:  # noqa: BLE001
+                code = "42601" if isinstance(exc, UnsupportedQueryError) else "XX000"
+                self._send_error(str(exc)[:400], code)
+                if msg_type == b"Q":
+                    self._send_ready()
+
+    def _dispatch(self, msg_type: bytes, body: bytes) -> None:
+        if msg_type == b"Q":  # simple query
+            sql = body.rstrip(b"\x00").decode()
+            for stmt in self._split_statements(sql) or [""]:
+                self._run_statement(stmt)
+            self._send_ready()
+        elif msg_type == b"P":  # Parse
+            name_end = body.index(b"\x00")
+            name = body[:name_end].decode()
+            sql_end = body.index(b"\x00", name_end + 1)
+            sql = body[name_end + 1:sql_end].decode()
+            self.prepared[name] = _Prepared(sql=sql)
+            self._send(b"1", b"")  # ParseComplete
+        elif msg_type == b"B":  # Bind
+            pos = body.index(b"\x00")
+            portal = body[:pos].decode()
+            pos2 = body.index(b"\x00", pos + 1)
+            stmt_name = body[pos + 1:pos2].decode()
+            off = pos2 + 1
+            (n_fmt,) = struct.unpack_from("!H", body, off)
+            fmts = list(struct.unpack_from(f"!{n_fmt}H", body, off + 2))
+            off += 2 + 2 * n_fmt
+            (n_params,) = struct.unpack_from("!H", body, off)
+            off += 2
+            params: list[str | None] = []
+            for i in range(n_params):
+                (plen,) = struct.unpack_from("!i", body, off)
+                off += 4
+                if plen < 0:
+                    params.append(None)
+                    continue
+                raw = body[off:off + plen]
+                off += plen
+                fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
+                params.append(self._decode_param(raw, fmt))
+            prep = self.prepared[stmt_name]
+            self.portals[portal] = _Prepared(
+                sql=self._substitute_params(prep.sql, params)
+            )
+            self._send(b"2", b"")  # BindComplete
+        elif msg_type == b"D":  # Describe ('S' stmt | 'P' portal)
+            kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
+            target = self.prepared.get(name) if kind == b"S" else self.portals.get(name)
+            if target is None:
+                raise UnsupportedQueryError(f"unknown prepared statement/portal {name!r}")
+            # Describe executes and caches — reference query_handler.go:205-209
+            df = self.session.execute(target.sql)
+            target.result = (df, df.collect())
+            self._send_row_description(df)
+        elif msg_type == b"E":  # Execute
+            name = body.split(b"\x00", 1)[0].decode()
+            portal = self.portals.get(name)
+            if portal is None:
+                raise UnsupportedQueryError(f"unknown portal {name!r}")
+            if portal.result is None:
+                df = self.session.execute(portal.sql)
+                portal.result = (df, df.collect())
+            df, rows = portal.result
+            n = self._send_rows(df, rows)
+            self._send(b"C", _tag_for(portal.sql, n).encode() + b"\x00")
+            portal.result = None
+        elif msg_type == b"S":  # Sync
+            self._send_ready()
+        elif msg_type == b"C":  # Close
+            self._send(b"3", b"")  # CloseComplete
+        elif msg_type == b"H":  # Flush — ignored (postgres_server.go:178)
+            pass
+        else:
+            raise UnsupportedQueryError(f"unsupported message type {msg_type!r}")
+
+    @staticmethod
+    def _decode_param(raw: bytes, fmt: int) -> str:
+        """Binary params: int32/int64/UUID, as the reference decodes
+        (query_handler.go:143-184); text params pass through."""
+        if fmt == 0:
+            return raw.decode()
+        if len(raw) == 4:
+            return str(struct.unpack("!i", raw)[0])
+        if len(raw) == 8:
+            return str(struct.unpack("!q", raw)[0])
+        if len(raw) == 16:
+            return str(uuid_mod.UUID(bytes=raw))
+        raise UnsupportedQueryError(f"unsupported binary parameter length {len(raw)}")
+
+
+class WireServer:
+    """Threaded pg-wire server sharing one SparkSession across connections."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog | None = None,
+        host: str = "127.0.0.1",
+        port: int = 0,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self._listener = socket.create_server((host, port))
+        self.host, self.port = self._listener.getsockname()
+        self._threads: list[threading.Thread] = []
+        self._accept_thread: threading.Thread | None = None
+        self._stopping = False
+
+    def start(self) -> None:
+        self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
+        self._accept_thread.start()
+
+    def _accept_loop(self) -> None:
+        while not self._stopping:
+            try:
+                sock, _ = self._listener.accept()
+            except OSError:
+                return
+            t = threading.Thread(
+                target=self._serve_conn, args=(sock,), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    def _serve_conn(self, sock: socket.socket) -> None:
+        try:
+            _Conn(sock, self.spark, self.catalog).serve()
+        except (ConnectionResetError, BrokenPipeError):
+            pass
+        finally:
+            sock.close()
+
+    def stop(self) -> None:
+        self._stopping = True
+        self._listener.close()

@@ -1,0 +1,124 @@
+"""Warehouse catalog: schema.table → storage location + column metadata.
+
+Plays the role of the reference's Postgres-backed Iceberg catalog (two tables:
+``iceberg_tables(table_namespace, table_name, metadata_location, columns)`` and
+``iceberg_materialized_views(schema_name, table_name, definition)`` — reference
+scripts/catalog.sql:1-15, common/iceberg_catalog.go:59-82). Without an Iceberg
+runtime in this environment, the catalog is a JSON file beside the data and
+tables are parquet directories with **versioned locations + atomic pointer
+swap** (the same commit model Iceberg metadata files implement, and the same
+visibility guarantee the reference's `-bemidb-syncing` rename dance provides —
+iceberg_table.go:46-70): readers resolve the catalog pointer at query time and
+never observe a half-written table.
+
+On a cluster this module is replaced 1:1 by an Iceberg JDBC/REST catalog;
+every caller goes through ``location()`` / ``commit_table()`` so the swap is
+the only thing that changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import threading
+import uuid
+
+_LOCK = threading.Lock()
+
+
+class Catalog:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._path = os.path.join(root, "_catalog.json")
+        if not os.path.exists(self._path):
+            self._write({"tables": {}, "matviews": {}})
+
+    # -- storage ------------------------------------------------------------
+    def _read(self) -> dict:
+        with open(self._path) as fh:
+            return json.load(fh)
+
+    def _write(self, state: dict) -> None:
+        # atomic pointer swap: temp file + rename
+        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_catalog", suffix=".json")
+        with os.fdopen(fd, "w") as fh:
+            json.dump(state, fh, indent=1)
+        os.replace(tmp, self._path)
+
+    # -- tables -------------------------------------------------------------
+    @staticmethod
+    def _key(schema: str, table: str) -> str:
+        return f"{schema}.{table}"
+
+    def new_location(self, schema: str, table: str) -> str:
+        """A fresh versioned data directory for a table rewrite."""
+        return os.path.join(
+            self.root, "data", schema, f"{table}-{uuid.uuid4().hex[:12]}"
+        )
+
+    def commit_table(
+        self, schema: str, table: str, location: str, columns: list[dict]
+    ) -> str | None:
+        """Atomically point schema.table at location; return the old location."""
+        with _LOCK:
+            state = self._read()
+            old = state["tables"].get(self._key(schema, table), {}).get("location")
+            state["tables"][self._key(schema, table)] = {
+                "location": location,
+                "columns": columns,
+            }
+            self._write(state)
+        return old
+
+    def location(self, schema: str, table: str) -> str:
+        entry = self._read()["tables"].get(self._key(schema, table))
+        if entry is None:
+            raise KeyError(f"table not found in catalog: {schema}.{table}")
+        return entry["location"]
+
+    def columns(self, schema: str, table: str) -> list[dict]:
+        entry = self._read()["tables"].get(self._key(schema, table))
+        if entry is None:
+            raise KeyError(f"table not found in catalog: {schema}.{table}")
+        return entry["columns"]
+
+    def tables(self) -> dict[str, dict]:
+        return self._read()["tables"]
+
+    def drop_table(self, schema: str, table: str) -> str | None:
+        with _LOCK:
+            state = self._read()
+            entry = state["tables"].pop(self._key(schema, table), None)
+            self._write(state)
+        return entry["location"] if entry else None
+
+    def rename_table(self, schema: str, table: str, new_table: str) -> None:
+        with _LOCK:
+            state = self._read()
+            entry = state["tables"].pop(self._key(schema, table))
+            state["tables"][self._key(schema, new_table)] = entry
+            self._write(state)
+
+    # -- materialized views --------------------------------------------------
+    def put_matview(self, schema: str, name: str, definition: str) -> None:
+        with _LOCK:
+            state = self._read()
+            state["matviews"][self._key(schema, name)] = {"definition": definition}
+            self._write(state)
+
+    def matview_definition(self, schema: str, name: str) -> str:
+        entry = self._read()["matviews"].get(self._key(schema, name))
+        if entry is None:
+            raise KeyError(f"materialized view not found: {schema}.{name}")
+        return entry["definition"]
+
+    def matviews(self) -> dict[str, dict]:
+        return self._read()["matviews"]
+
+    def drop_matview(self, schema: str, name: str) -> None:
+        with _LOCK:
+            state = self._read()
+            state["matviews"].pop(self._key(schema, name), None)
+            self._write(state)

@@ -1,0 +1,122 @@
+"""Minimal raw-socket Postgres v3 client for exercising the wire server.
+
+No pg client library ships in this environment, so the tests speak the
+protocol directly — which also pins our server against the actual byte
+format rather than a library's tolerance.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+
+class MiniPgClient:
+    def __init__(self, host: str, port: int, user: str = "bemidb", database: str = "bemidb"):
+        self.sock = socket.create_connection((host, port))
+        params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        payload = struct.pack("!I", 196608) + params
+        self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
+        self.startup_messages = self._read_until_ready()
+
+    # ------------------------------------------------------------------ io
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionResetError
+            buf += chunk
+        return buf
+
+    def _read_message(self) -> tuple[bytes, bytes]:
+        t = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return t, self._recv_exact(length - 4)
+
+    def _read_until_ready(self) -> list[tuple[bytes, bytes]]:
+        out = []
+        while True:
+            t, body = self._read_message()
+            out.append((t, body))
+            if t == b"Z":
+                return out
+
+    def _send(self, msg_type: bytes, payload: bytes = b"") -> None:
+        self.sock.sendall(msg_type + struct.pack("!I", len(payload) + 4) + payload)
+
+    # --------------------------------------------------------------- simple
+    def query(self, sql: str) -> dict:
+        """Simple query; returns {columns, oids, rows, tags, errors}."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        return self._collect(self._read_until_ready())
+
+    # ------------------------------------------------------------- extended
+    def extended_query(self, sql: str, params: list | None = None, binary: bool = False) -> dict:
+        self._send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))
+        enc_params = []
+        for p in params or []:
+            if p is None:
+                enc_params.append(None)
+            elif binary and isinstance(p, int):
+                enc_params.append(struct.pack("!q", p) if p > 2**31 - 1 or p < -2**31 else struct.pack("!i", p))
+            else:
+                enc_params.append(str(p).encode())
+        fmt = 1 if binary else 0
+        bind = b"\x00\x00" + struct.pack("!H", 1) + struct.pack("!H", fmt)
+        bind += struct.pack("!H", len(enc_params))
+        for ep in enc_params:
+            bind += struct.pack("!i", -1) if ep is None else struct.pack("!i", len(ep)) + ep
+        bind += struct.pack("!H", 0)
+        self._send(b"B", bind)
+        self._send(b"D", b"P\x00")
+        self._send(b"E", b"\x00" + struct.pack("!I", 0))
+        self._send(b"S", b"")
+        return self._collect(self._read_until_ready())
+
+    # -------------------------------------------------------------- parsing
+    @staticmethod
+    def _collect(messages: list[tuple[bytes, bytes]]) -> dict:
+        out: dict = {"columns": [], "oids": [], "rows": [], "tags": [], "errors": []}
+        for t, body in messages:
+            if t == b"T":
+                (n,) = struct.unpack_from("!H", body, 0)
+                off = 2
+                cols, oids = [], []
+                for _ in range(n):
+                    end = body.index(b"\x00", off)
+                    cols.append(body[off:end].decode())
+                    table_oid, attnum, oid, typlen, typmod, fmt = struct.unpack_from(
+                        "!IhIhih", body, end + 1
+                    )
+                    oids.append(oid)
+                    off = end + 1 + 18
+                out["columns"], out["oids"] = cols, oids
+            elif t == b"D":
+                (n,) = struct.unpack_from("!H", body, 0)
+                off = 2
+                row = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from("!i", body, off)
+                    off += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(body[off:off + ln].decode())
+                        off += ln
+                out["rows"].append(row)
+            elif t == b"C":
+                out["tags"].append(body.rstrip(b"\x00").decode())
+            elif t == b"E":
+                fields = {}
+                for part in body.split(b"\x00"):
+                    if part:
+                        fields[chr(part[0])] = part[1:].decode()
+                out["errors"].append(fields)
+        return out
+
+    def close(self) -> None:
+        try:
+            self._send(b"X", b"")
+        finally:
+            self.sock.close()

@@ -1,0 +1,144 @@
+"""Wire-protocol tests: raw-socket client against the WireServer.
+
+Mirrors the reference's wire-level golden tests (query_handler_test.go asserts
+column names, type OIDs, and text values per query; extended-protocol steps
+incl. binary params — :112-238, :1991-2013).
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+import pytest
+
+from bemidb_spark.server.wire import WireServer
+from tests.pg_client import MiniPgClient
+
+
+@pytest.fixture(scope="module")
+def server(spark, sf_dir):
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    srv = WireServer(spark)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def client(server):
+    c = MiniPgClient(server.host, server.port)
+    yield c
+    c.close()
+
+
+def test_startup_sequence(server):
+    c = MiniPgClient(server.host, server.port)
+    types = [t for t, _ in c.startup_messages]
+    assert types[0] == b"R"  # AuthenticationOk
+    assert b"S" in types     # ParameterStatus
+    assert b"K" in types     # BackendKeyData
+    assert types[-1] == b"Z"
+    c.close()
+
+
+def test_ssl_request_denied(server):
+    s = socket.create_connection((server.host, server.port))
+    s.sendall(struct.pack("!II", 8, 80877103))
+    assert s.recv(1) == b"N"
+    s.close()
+
+
+def test_simple_select_types_and_values(client):
+    r = client.query("SELECT 1::int8 AS a, 'x'::text AS b, true AS c, 2.5::float8 AS d")
+    assert r["columns"] == ["a", "b", "c", "d"]
+    assert r["oids"] == [20, 25, 16, 701]
+    assert r["rows"] == [["1", "x", "t", "2.5"]]
+    assert r["tags"] == ["SELECT 1"]
+
+
+def test_simple_query_over_data(client):
+    r = client.query("SELECT r_name FROM region ORDER BY r_name LIMIT 2")
+    assert len(r["rows"]) == 2
+    assert r["tags"] == ["SELECT 2"]
+
+
+def test_null_and_array_encoding(client):
+    r = client.query(
+        "SELECT CAST(null AS STRING) AS n, array('a', 'b c', null) AS arr"
+    )
+    assert r["rows"] == [[None, '{a,"b c",NULL}']]
+    assert r["oids"][1] == 1009
+
+
+def test_timestamp_date_encoding(client):
+    r = client.query(
+        "SELECT TIMESTAMP_NTZ '2024-01-02 03:04:05.1' AS ts, DATE '2024-01-02' AS d"
+    )
+    assert r["rows"] == [["2024-01-02 03:04:05.1", "2024-01-02"]]
+    assert r["oids"] == [1114, 1082]
+
+
+def test_multi_statement_batch(client):
+    r = client.query("SELECT 1 AS a; SELECT 2 AS b")
+    assert r["tags"] == ["SELECT 1", "SELECT 1"]
+    assert r["rows"] == [["1"], ["2"]]
+
+
+def test_set_show_through_wire(client):
+    r = client.query("SET application_name = 'wiretest'")
+    assert r["tags"] == ["SET"]
+    r = client.query("SHOW application_name")
+    assert r["rows"] == [["wiretest"]]
+
+
+def test_error_response_and_recovery(client):
+    r = client.query("INSERT INTO region VALUES (1)")
+    assert r["errors"] and "unsupported query type" in r["errors"][0]["M"]
+    # connection still usable
+    r = client.query("SELECT 1 AS ok")
+    assert r["rows"] == [["1"]]
+
+
+def test_extended_protocol_text_params(client):
+    r = client.extended_query(
+        "SELECT r_name FROM region WHERE r_regionkey = $1", ["1"]
+    )
+    assert len(r["rows"]) == 1
+    assert r["tags"] == ["SELECT 1"]
+
+
+def test_extended_protocol_binary_int_param(client):
+    r = client.extended_query(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey = $1", [2], binary=True
+    )
+    assert len(r["rows"]) == 1
+    assert int(r["rows"][0][0]) > 0
+
+
+def test_pg_catalog_over_wire(client):
+    r = client.query(
+        "SELECT relname FROM pg_catalog.pg_class WHERE relname = 'region'"
+    )
+    assert r["rows"] == [["region"]]
+
+
+def test_concurrent_clients(server):
+    import threading
+
+    results = {}
+
+    def go(i):
+        c = MiniPgClient(server.host, server.port)
+        r = c.query(f"SELECT count(*) + {i} AS n FROM nation")
+        results[i] = r["rows"][0][0]
+        c.close()
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(60)
+    assert results == {0: "25", 1: "26", 2: "27", 3: "28"}
