@@ -67,10 +67,12 @@ def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple
             schema, table = key.split(".", 1)
             cols = [(c["name"], c["type"], c.get("nullable", True)) for c in entry["columns"]]
             out.append((schema, table, cols))
-    seen = {(s, t) for s, t, _ in out}
+    seen = {t for _, t, _ in out}
     for tbl in spark.catalog.listTables():
         if tbl.tableType == "TEMPORARY" and not tbl.name.startswith(("pg_", "information_schema_")):
-            if ("public", tbl.name) in seen:
+            if tbl.name in seen or "_" in tbl.name and tuple(tbl.name.split("_", 1)) in {
+                (sch, t) for sch, t, _ in out
+            }:
                 continue
             cols = [
                 (c.name, c.dataType.lower(), c.nullable)
@@ -80,8 +82,27 @@ def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple
     return out
 
 
+def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
+    """Make every catalog table resolvable by name (the reference's B3 role:
+    schema.table -> engine-readable relation, query_remapper_table.go:93-110).
+    Registers `<schema>_<table>` always, and bare `<table>` when free."""
+    if catalog is None:
+        return
+    existing = {t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"}
+    for key, entry in catalog.tables().items():
+        schema, table = key.split(".", 1)
+        try:
+            df = spark.read.parquet(entry["location"])
+        except Exception:  # location vanished (dropped mid-flight)
+            continue
+        df.createOrReplaceTempView(f"{schema}_{table}")
+        if table not in existing:
+            df.createOrReplaceTempView(table)
+
+
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:
     """(Re)build every emulation view from current catalog + session state."""
+    bind_catalog_tables(spark, catalog)
     inventory = _table_inventory(spark, catalog)
 
     schemas = sorted({s for s, _, _ in inventory} | {"public", "pg_catalog", "information_schema"})

@@ -22,6 +22,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 from bemidb_spark.pgcompat.catalog_views import PG_DATABASE, PG_USER, register_pg_catalog
+from bemidb_spark.pgcompat.permissions import apply_permissions, extract_permissions
 from bemidb_spark.pgcompat.transpiler import transpile
 from bemidb_spark.sources import matview
 from bemidb_spark.sources.catalog import Catalog
@@ -161,6 +162,7 @@ class PgSession:
     # --------------------------------------------------------------- router
     def execute(self, sql: str) -> DataFrame:
         """Route one statement the way the reference's remapStatements does."""
+        sql, perms = extract_permissions(sql)
         stripped = sql.strip().rstrip(";").strip()
         upper = stripped.upper()
         if not stripped:
@@ -179,5 +181,18 @@ class PgSession:
                 return out
         if upper.startswith(("SELECT", "WITH", "VALUES", "TABLE ", "(")):
             folded = self._fold_session_functions(stripped)
+            if perms is not None:
+                folded = apply_permissions(folded, perms)
+            folded = self._qualify_catalog_tables(folded)
             return self.spark.sql(transpile(folded))
         raise UnsupportedQueryError(f"unsupported query type: {stripped.split()[0]}")
+
+    def _qualify_catalog_tables(self, sql: str) -> str:
+        """schema.table -> schema_table view names for catalog tables (B3)."""
+        if self.catalog is None:
+            return sql
+        for key in self.catalog.tables():
+            schema, table = key.split(".", 1)
+            sql = re.sub(rf"\b{re.escape(schema)}\.{re.escape(table)}\b",
+                         f"{schema}_{table}", sql)
+        return sql

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from bemidb_spark.pgcompat.session import PgSession, UnsupportedQueryError
+from bemidb_spark.pgcompat.types import render_interval, render_time
 from bemidb_spark.sources.catalog import Catalog
 
 PROTOCOL_V3 = 196608
@@ -41,10 +42,26 @@ CANCEL_REQUEST = 80877102
 _OID_BOOL, _OID_BYTEA, _OID_INT8, _OID_INT4, _OID_TEXT = 16, 17, 20, 23, 25
 _OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC = 700, 701, 1700
 _OID_DATE, _OID_TIMESTAMP, _OID_TIMESTAMPTZ = 1082, 1114, 1184
+_OID_TIME, _OID_INTERVAL, _OID_JSON = 1083, 1186, 114
 _OID_TEXT_ARRAY = 1009
 
 
-def pg_oid(dt: T.DataType) -> tuple[int, int]:
+def _pg_type_of(field: T.StructField | None) -> str | None:
+    if field is not None and field.metadata:
+        return field.metadata.get("pg_type")
+    return None
+
+
+def pg_oid(dt: T.DataType, field: T.StructField | None = None) -> tuple[int, int]:
+    # pg-typed columns carry their origin in field metadata (types.py shims)
+    pg = _pg_type_of(field)
+    if pg:
+        if pg.startswith(("timetz", "time")) and not pg.startswith("timestamp"):
+            return _OID_TIME, 8
+        if pg == "interval":
+            return _OID_INTERVAL, 16
+        if pg in ("json", "jsonb"):
+            return _OID_JSON, -1
     if isinstance(dt, T.BooleanType):
         return _OID_BOOL, 1
     if isinstance(dt, T.BinaryType):
@@ -70,10 +87,16 @@ def pg_oid(dt: T.DataType) -> tuple[int, int]:
     return _OID_TEXT, -1
 
 
-def _encode_value(v, dt: T.DataType) -> str | None:
+def _encode_value(v, dt: T.DataType, field: T.StructField | None = None) -> str | None:
     """Text-format cell encoding (response_handler.go:148-233)."""
     if v is None:
         return None
+    pg = _pg_type_of(field)
+    if pg:
+        if pg.startswith(("timetz", "time")) and not pg.startswith("timestamp"):
+            return render_time(int(v))
+        if pg == "interval":
+            return render_interval(int(v))
     if isinstance(dt, T.BooleanType):
         return "t" if v else "f"
     if isinstance(dt, T.BinaryType):
@@ -148,7 +171,7 @@ class _Conn:
         fields = df.schema.fields
         payload = struct.pack("!H", len(fields))
         for f in fields:
-            oid, typlen = pg_oid(f.dataType)
+            oid, typlen = pg_oid(f.dataType, f)
             payload += (
                 f.name.encode() + b"\x00"
                 + struct.pack("!IhIhih", 0, 0, oid, typlen, -1, 0)
@@ -156,11 +179,11 @@ class _Conn:
         self._send(b"T", payload)
 
     def _send_rows(self, df: DataFrame, rows: list) -> int:
-        dts = [f.dataType for f in df.schema.fields]
+        fields = df.schema.fields
         for row in rows:
-            payload = struct.pack("!H", len(dts))
-            for v, dt in zip(row, dts):
-                s = _encode_value(v, dt)
+            payload = struct.pack("!H", len(fields))
+            for v, f in zip(row, fields):
+                s = _encode_value(v, f.dataType, f)
                 if s is None:
                     payload += struct.pack("!i", -1)
                 else:

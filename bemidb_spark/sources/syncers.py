@@ -1,0 +1,318 @@
+"""Source syncers: Postgres-style full refresh, Amplitude, Attio.
+
+Spark-first re-expression of the reference's three syncer binaries
+(SURVEY.md §2.C C1/C10/C11). External services are abstracted behind
+fetch callables so tests drive them with canned payloads — the same strategy
+the reference's own tests use (hermetic fixtures through the real write path).
+
+- **FullRefreshSyncer** (C1, syncer-postgres): the reference streams
+  `COPY … TO STDOUT CSV` through a 32 MB backpressured pipe into batched
+  appends. Here a source exposes (schema introspection, row-batch iterator of
+  pg text literals); batches parse through the §1.3 type layer into one
+  DataFrame and land via `replace_table` — the atomic swap replaces the
+  `-bemidb-syncing` rename dance. On a cluster the batch iterator becomes
+  `spark.read.jdbc(partitionColumn=…)` and everything downstream is identical.
+- **AmplitudeSyncer** (C10, amplitude.go:33-103): hourly-paginated gzip
+  NDJSON export → the reference's 55-column hard-coded schema
+  (event.go:131-189) → cursor append on ``server_upload_time``.
+- **AttioSyncer** (C11, attio.go:41-126): offset-paginated REST records →
+  hard-coded schema (record_company.go:85-121) via the nested value
+  extractors (parser.go:66-120: first-value / all-domains /
+  relationship-ids / currency / select / status / interaction).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from collections.abc import Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bemidb_spark.pgcompat.types import parse_pg_literal, parse_timestamp, spark_field
+from bemidb_spark.sources.catalog import Catalog
+from bemidb_spark.sources.writer import append_with_cursor, replace_table
+
+
+# ---------------------------------------------------------------------------
+# C1: generic full-refresh syncer over pg-typed text batches
+# ---------------------------------------------------------------------------
+class SourceTable:
+    """Introspected source table: (schema, name, [(col, pg_type)], unique_key).
+
+    The reference refuses tables without a unique index (postgres.go:188-194)
+    because its upsert path needs a merge key; we keep the same contract.
+    """
+
+    def __init__(
+        self, schema: str, name: str, columns: list[tuple[str, str]],
+        unique_key: str | None,
+    ) -> None:
+        if unique_key is None:
+            raise ValueError(
+                f"table {schema}.{name} has no unique index; cannot sync "
+                "(reference postgres.go:188-194 behavior)"
+            )
+        self.schema, self.name, self.columns, self.unique_key = (
+            schema, name, columns, unique_key,
+        )
+
+    def spark_schema(self) -> T.StructType:
+        return T.StructType(
+            [spark_field(c, pg, nullable=(c != self.unique_key)) for c, pg in self.columns]
+        )
+
+
+class FullRefreshSyncer:
+    def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    def sync_table(
+        self,
+        table: SourceTable,
+        batches: Iterable[list[list[str | None]]],
+    ) -> int:
+        """Parse pg text-literal batches through the type layer and replace."""
+        rows = [
+            tuple(
+                parse_pg_literal(pg, raw)
+                for (_, pg), raw in zip(table.columns, raw_row)
+            )
+            for batch in batches
+            for raw_row in batch
+        ]
+        df = self.spark.createDataFrame(rows, table.spark_schema())
+        replace_table(self.catalog, table.schema, table.name, df)
+        return len(rows)
+
+    def delete_old_tables(self, schema: str, live_tables: set[str]) -> list[str]:
+        """Drop catalog tables gone from the source (syncer_full_refresh.go:35)."""
+        dropped = []
+        for key in list(self.catalog.tables()):
+            s, t = key.split(".", 1)
+            if s == schema and t not in live_tables:
+                self.catalog.drop_table(s, t)
+                dropped.append(t)
+        return dropped
+
+
+# ---------------------------------------------------------------------------
+# C10: Amplitude events (55-column hard-coded schema, cursor append)
+# ---------------------------------------------------------------------------
+_AMPLITUDE_COLUMNS: list[tuple[str, str]] = [
+    ("adid", "text"), ("amplitude_attribution_ids", "text"),
+    ("amplitude_event_type", "text"), ("amplitude_id", "int8"), ("app", "int4"),
+    ("city", "text"), ("client_event_time", "timestamp"),
+    ("client_upload_time", "timestamp"), ("country", "text"), ("data", "json"),
+    ("data_type", "text"), ("device_brand", "text"), ("device_carrier", "text"),
+    ("device_family", "text"), ("device_id", "text"),
+    ("device_manufacturer", "text"), ("device_model", "text"),
+    ("device_type", "text"), ("dma", "text"), ("event_id", "int4"),
+    ("event_properties", "json"), ("event_time", "timestamp"),
+    ("event_type", "text"), ("global_user_properties", "json"),
+    ("group_properties", "json"), ("groups", "json"), ("idfa", "text"),
+    ("insert_id", "text"), ("insert_key", "text"), ("ip_address", "text"),
+    ("is_attribution_event", "bool"), ("language", "text"), ("library", "text"),
+    ("location_lat", "float4"), ("location_lng", "float4"), ("os_name", "text"),
+    ("os_version", "text"), ("partner_id", "text"), ("paying", "bool"),
+    ("plan", "json"), ("platform", "text"), ("processed_time", "timestamp"),
+    ("region", "text"), ("sample_rate", "float4"), ("schema", "text"),
+    ("server_received_time", "timestamp"), ("server_upload_time", "timestamp"),
+    ("session_id", "int8"), ("source_id", "text"), ("start_version", "text"),
+    ("user_creation_time", "timestamp"), ("user_id", "text"),
+    ("user_properties", "json"), ("uuid", "text"), ("version_name", "text"),
+]
+
+AMPLITUDE_TABLE = ("amplitude", "events")
+AMPLITUDE_CURSOR = "server_upload_time"
+
+
+def amplitude_schema() -> T.StructType:
+    return T.StructType([spark_field(c, pg) for c, pg in _AMPLITUDE_COLUMNS])
+
+
+def _normalize_amplitude_event(raw: dict) -> tuple:
+    """One export-API JSON event → typed row (event.go:70-129 normalization)."""
+    out = []
+    for name, pg in _AMPLITUDE_COLUMNS:
+        v = raw.get(name)
+        if v is None:
+            out.append(None)
+        elif pg == "json":
+            out.append(json.dumps(v, sort_keys=True))
+        elif pg == "timestamp":
+            out.append(parse_timestamp(v) if isinstance(v, str) else None)
+        elif pg == "bool":
+            out.append(bool(v))
+        elif pg in ("int4", "int8"):
+            out.append(int(v))
+        elif pg == "float4":
+            out.append(float(v))
+        else:
+            out.append(str(v))
+    return tuple(out)
+
+
+class AmplitudeSyncer:
+    """fetch_pages: yields gzip'd NDJSON blobs (the export API's hour files)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        fetch_pages: Callable[[], Iterator[bytes]],
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.fetch_pages = fetch_pages
+
+    def sync(self) -> int:
+        rows = []
+        for blob in self.fetch_pages():
+            text = gzip.decompress(blob).decode()
+            rows.extend(
+                _normalize_amplitude_event(json.loads(line))
+                for line in text.splitlines() if line.strip()
+            )
+        df = self.spark.createDataFrame(rows, amplitude_schema())
+        schema, table = AMPLITUDE_TABLE
+        try:
+            self.catalog.location(schema, table)
+        except KeyError:
+            replace_table(self.catalog, schema, table, df)
+            return df.count()
+        return append_with_cursor(
+            self.spark, self.catalog, schema, table, df, AMPLITUDE_CURSOR
+        )
+
+
+# ---------------------------------------------------------------------------
+# C11: Attio companies (hard-coded schema + nested value extractors)
+# ---------------------------------------------------------------------------
+def first_value(values: list[dict], key: str = "value"):
+    """parser.go FirstValue family: first entry's payload field, else None."""
+    if values:
+        return values[0].get(key)
+    return None
+
+
+def first_select_value(values: list[dict]):
+    if values:
+        return (values[0].get("option") or {}).get("title")
+    return None
+
+
+def first_status_value(values: list[dict]):
+    if values:
+        return (values[0].get("status") or {}).get("title")
+    return None
+
+
+def all_values(values: list[dict], key: str) -> list:
+    return [v.get(key) for v in values]
+
+
+_ATTIO_COMPANY_COLUMNS: list[tuple[str, str]] = [
+    ("id", "text"), ("name", "text"), ("description", "text"),
+    ("domains", "_text"), ("team", "_text"), ("categories", "_text"),
+    ("primary_location", "text"), ("logo_url", "text"), ("angellist", "text"),
+    ("facebook", "text"), ("instagram", "text"), ("linkedin", "text"),
+    ("twitter", "text"), ("twitter_follower_count", "int4"),
+    ("estimated_arr_usd", "text"), ("funding_raised_usd", "float4"),
+    ("foundation_date", "date"), ("employee_range", "text"),
+    ("first_calendar_interaction", "timestamp"),
+    ("last_calendar_interaction", "timestamp"),
+    ("next_calendar_interaction", "timestamp"),
+    ("first_email_interaction", "timestamp"),
+    ("last_email_interaction", "timestamp"),
+    ("first_interaction", "timestamp"), ("last_interaction", "timestamp"),
+    ("next_interaction", "timestamp"),
+    ("strongest_connection_strength_legacy", "int4"),
+    ("strongest_connection_strength", "text"),
+    ("strongest_connection_user", "text"), ("associated_deals", "_text"),
+    ("associated_workspaces", "_text"), ("created_at", "timestamp"),
+    ("created_by", "text"),
+]
+
+ATTIO_COMPANIES_TABLE = ("attio", "companies")
+
+
+def attio_companies_schema() -> T.StructType:
+    return T.StructType([spark_field(c, pg) for c, pg in _ATTIO_COMPANY_COLUMNS])
+
+
+def _normalize_attio_company(record: dict) -> tuple:
+    """record_company.go:30-83 field extraction, via the parser.go extractors."""
+    v = record.get("values", {})
+
+    def ts(field: str, key: str = "interacted_at"):
+        raw = first_value(v.get(field, []), key)
+        return parse_timestamp(raw) if raw else None
+
+    return (
+        (record.get("id") or {}).get("record_id"),
+        first_value(v.get("name", [])),
+        first_value(v.get("description", [])),
+        all_values(v.get("domains", []), "domain"),
+        all_values(v.get("team", []), "target_record_id"),
+        [
+            (e.get("option") or {}).get("title")
+            for e in v.get("categories", [])
+        ],
+        first_value(v.get("primary_location", []), "locality"),
+        first_value(v.get("logo_url", [])),
+        first_value(v.get("angellist", [])),
+        first_value(v.get("facebook", [])),
+        first_value(v.get("instagram", [])),
+        first_value(v.get("linkedin", [])),
+        first_value(v.get("twitter", [])),
+        first_value(v.get("twitter_follower_count", [])),
+        first_value(v.get("estimated_arr_usd", [])),
+        first_value(v.get("funding_raised_usd", []), "currency_value"),
+        (lambda d: parse_pg_literal("date", d) if d else None)(
+            first_value(v.get("foundation_date", []))
+        ),
+        first_select_value(v.get("employee_range", [])),
+        ts("first_calendar_interaction"),
+        ts("last_calendar_interaction"),
+        ts("next_calendar_interaction"),
+        ts("first_email_interaction"),
+        ts("last_email_interaction"),
+        ts("first_interaction"),
+        ts("last_interaction"),
+        ts("next_interaction"),
+        first_value(v.get("strongest_connection_strength_legacy", [])),
+        first_select_value(v.get("strongest_connection_strength", [])),
+        first_value(v.get("strongest_connection_user", []), "referenced_actor_id"),
+        all_values(v.get("associated_deals", []), "target_record_id"),
+        all_values(v.get("associated_workspaces", []), "target_record_id"),
+        (lambda d: parse_timestamp(d) if d else None)(record.get("created_at")),
+        first_value(v.get("created_by", []), "referenced_actor_id"),
+    )
+
+
+class AttioSyncer:
+    """fetch_pages: yields record-list pages (the offset-paginated REST API)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        fetch_pages: Callable[[], Iterator[list[dict]]],
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.fetch_pages = fetch_pages
+
+    def sync_companies(self) -> int:
+        rows = [
+            _normalize_attio_company(rec)
+            for page in self.fetch_pages()
+            for rec in page
+        ]
+        df = self.spark.createDataFrame(rows, attio_companies_schema())
+        schema, table = ATTIO_COMPANIES_TABLE
+        replace_table(self.catalog, schema, table, df)
+        return len(rows)

@@ -192,3 +192,28 @@ def test_matview_ddl_roundtrip(pg):
     pg.execute("DROP MATERIALIZED VIEW mv_r2")
     with pytest.raises(KeyError):
         read_materialized_view(pg.spark, pg.catalog, "mv_r2")
+
+
+# -- permissions comment (B20) -----------------------------------------------
+def test_permissions_column_projection(pg):
+    rows = pg.execute("""
+        /*BEMIDB_PERMISSIONS {"public.region": ["r_name"]}*/
+        SELECT * FROM region ORDER BY r_name LIMIT 1
+    """).collect()
+    assert rows[0].asDict().keys() == {"r_name"}
+
+
+def test_permissions_denied_table(pg):
+    rows = pg.execute("""
+        /*BEMIDB_PERMISSIONS {"public.region": []}*/
+        SELECT * FROM region
+    """).collect()
+    assert rows == []
+
+
+def test_permissions_forbidden_column_errors(pg):
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute("""
+            /*BEMIDB_PERMISSIONS {"public.region": ["r_name"]}*/
+            SELECT r_regionkey FROM region
+        """).collect()

@@ -1,0 +1,111 @@
+"""Syncer tests with canned payloads (hermetic, like the reference's suite)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+
+from bemidb_spark.sources.catalog import Catalog
+from bemidb_spark.sources.syncers import (
+    AmplitudeSyncer,
+    AttioSyncer,
+    FullRefreshSyncer,
+    SourceTable,
+)
+from bemidb_spark.sources.writer import read_table
+
+
+@pytest.fixture()
+def catalog(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_full_refresh_syncer(spark, catalog):
+    table = SourceTable(
+        "public", "people",
+        [("id", "int4"), ("name", "text"), ("joined", "timestamp"),
+         ("balance", "numeric(10,2)"), ("tags", "_text")],
+        unique_key="id",
+    )
+    batches = [
+        [["1", "ada", "2024-01-01 10:00:00", "10.50", "{a,b}"],
+         ["2", "bob", "BEMIDB_NULL", "-3.25", "BEMIDB_NULL"]],
+        [["3", "cyd", "2024-02-02 02:02:02.000002", "0.00", "{}"]],
+    ]
+    n = FullRefreshSyncer(spark, catalog).sync_table(table, batches)
+    assert n == 3
+    got = read_table(spark, catalog, "public", "people")
+    rows = {r.id: r for r in got.collect()}
+    assert rows[1].tags == ["a", "b"]
+    assert rows[2].joined is None
+    assert str(rows[3].balance) == "0.00"
+
+    dropped = FullRefreshSyncer(spark, catalog).delete_old_tables("public", {"other"})
+    assert dropped == ["people"]
+
+
+def test_source_table_requires_unique_key():
+    with pytest.raises(ValueError, match="no unique index"):
+        SourceTable("public", "nokey", [("a", "int4")], unique_key=None)
+
+
+def _amp_event(i: int, upload: str) -> dict:
+    return {
+        "amplitude_id": i, "event_id": i, "event_type": "click",
+        "event_time": "2024-01-01 00:00:01", "server_upload_time": upload,
+        "user_id": f"u{i}", "event_properties": {"k": i},
+        "is_attribution_event": False, "location_lat": 1.5, "session_id": 99,
+    }
+
+
+def test_amplitude_initial_and_incremental_sync(spark, catalog):
+    page1 = "\n".join(
+        json.dumps(_amp_event(i, f"2024-01-01 0{i}:00:00")) for i in range(3)
+    )
+    syncer = AmplitudeSyncer(
+        spark, catalog, lambda: iter([gzip.compress(page1.encode())])
+    )
+    assert syncer.sync() == 3
+
+    # second run: overlapping hours + one new → only the new row appends
+    page2 = "\n".join(
+        json.dumps(_amp_event(i, f"2024-01-01 0{i}:00:00")) for i in range(5)
+    )
+    syncer2 = AmplitudeSyncer(
+        spark, catalog, lambda: iter([gzip.compress(page2.encode())])
+    )
+    assert syncer2.sync() == 2
+    got = read_table(spark, catalog, "amplitude", "events")
+    assert got.count() == 5
+    row = got.filter("amplitude_id = 1").collect()[0]
+    assert row.event_properties == '{"k": 1}'
+    assert row.user_id == "u1"
+
+
+def test_attio_companies_sync(spark, catalog):
+    record = {
+        "id": {"record_id": "rec_1"},
+        "created_at": "2024-03-01 10:00:00",
+        "values": {
+            "name": [{"value": "Acme"}],
+            "domains": [{"domain": "acme.com"}, {"domain": "acme.dev"}],
+            "categories": [{"option": {"title": "SaaS"}}],
+            "employee_range": [{"option": {"title": "11-50"}}],
+            "funding_raised_usd": [{"currency_value": 1200000.0}],
+            "foundation_date": [{"value": "2019-05-01"}],
+            "last_interaction": [{"interacted_at": "2024-02-28 09:30:00"}],
+            "associated_deals": [{"target_record_id": "deal_9"}],
+            "created_by": [{"referenced_actor_id": "actor_7"}],
+        },
+    }
+    syncer = AttioSyncer(spark, catalog, lambda: iter([[record]]))
+    assert syncer.sync_companies() == 1
+    row = read_table(spark, catalog, "attio", "companies").collect()[0]
+    assert row.id == "rec_1" and row.name == "Acme"
+    assert row.domains == ["acme.com", "acme.dev"]
+    assert row.categories == ["SaaS"] and row.employee_range == "11-50"
+    assert float(row.funding_raised_usd) == 1200000.0
+    assert str(row.foundation_date) == "2019-05-01"
+    assert row.associated_deals == ["deal_9"] and row.created_by == "actor_7"
