@@ -26,7 +26,9 @@ _MODULES = [
     "bemidb_spark.operators.text",
     "bemidb_spark.operators.sql_surface",
     "bemidb_spark.operators.multimodal",
+    "bemidb_spark.operators.relational_ext",
     "bemidb_spark.streaming.windows",
+    "bemidb_spark.streaming.stateful",
 ]
 
 

@@ -1,0 +1,139 @@
+"""Extended relational operators: as-of join, deterministic sampling, n-gram stats.
+
+Operators the reference lacks but a time-series / training-data engine needs,
+each expressed as a composition of built-in DataFrame ops (SURVEY.md's
+"custom operators" guidance: composition first, Pandas UDF only if semantics
+demand — none of these do):
+
+- **as-of join**: every purchase event matched to the same user's most recent
+  *prior* 'view' event. Implemented with a single window (running MAX of
+  view-times up to the previous row) — one shuffle on user_id, no self-join,
+  no per-key loop; identical SQL runs on the oracle.
+- **deterministic sampling**: hash-bernoulli and stratified top-k-per-stratum
+  (functions/sampling.py) — partition-invariant and reproducible, unlike
+  `df.sample`.
+- **n-gram stats**: global top-20 word bigrams (explode → count → rank),
+  the corpus-statistics shape (map-side partial counts, one shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.operators._xengine import shingles, words
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+SAMPLE_FRACTION = 0.1
+STRATUM_K = 5
+
+
+def _register_sql(name: str, spark_sql: str, duck_sql: str | None = None) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql if duck_sql is not None else spark_sql
+
+
+# ---------------------------------------------------------------------------
+# as-of join: purchase → latest prior view of the same user
+# ---------------------------------------------------------------------------
+def _asof(spark: bool) -> str:
+    # exact µs difference — DuckDB's date_diff counts boundary *crossings*,
+    # not elapsed time, so second-granularity diffs would disagree
+    gap = (
+        "unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(asof_view_ts AS TIMESTAMP))"
+        if spark
+        else "epoch_us(ts) - epoch_us(asof_view_ts)"
+    )
+    return f"""
+    SELECT event_id, user_id, ts AS purchase_ts, asof_view_ts,
+           CAST({gap} AS BIGINT) AS gap_micros
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MAX(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS asof_view_ts
+      FROM events
+    ) marked
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_ts, event_id
+    """
+
+
+_register_sql("asof_join_purchase_view", _asof(True), _asof(False))
+
+
+# ---------------------------------------------------------------------------
+# deterministic bernoulli sample of documents (hash-based, salt 's1')
+# ---------------------------------------------------------------------------
+_SAMPLE_SPARK = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(conv(substring(md5(concat('s1:', CAST(doc_id AS STRING))), 1, 8), 16, 10)
+               AS BIGINT) / 4294967296.0 < {SAMPLE_FRACTION}
+    ORDER BY doc_id
+"""
+_SAMPLE_DUCK = f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST('0x' || substr(md5(concat('s1:', CAST(doc_id AS VARCHAR))), 1, 8)
+               AS BIGINT) / 4294967296.0 < {SAMPLE_FRACTION}
+    ORDER BY doc_id
+"""
+_register_sql("sample_hash_bernoulli", _SAMPLE_SPARK, _SAMPLE_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# stratified sample: k docs per language, chosen by hash order (reproducible)
+# ---------------------------------------------------------------------------
+def _stratified(spark: bool) -> str:
+    h = (
+        "CAST(conv(substring(md5(concat('s2:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        if spark
+        else "CAST('0x' || substr(md5(concat('s2:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)"
+    )
+    return f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
+      FROM documents
+    ) ranked
+    WHERE rk <= {STRATUM_K}
+    ORDER BY lang, doc_id
+    """
+
+
+_register_sql("sample_stratified_per_lang", _stratified(True), _stratified(False))
+
+
+# ---------------------------------------------------------------------------
+# corpus n-gram statistics: global top-20 bigrams
+# ---------------------------------------------------------------------------
+def _ngram_top(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 2, spark=spark)
+    if spark:
+        tok = (f"SELECT bigram FROM (SELECT {w} AS w FROM documents) "
+               f"LATERAL VIEW explode({sh}) t AS bigram")
+    else:
+        tok = f"SELECT unnest({sh}) AS bigram FROM (SELECT {w} AS w FROM documents)"
+    return f"""
+    SELECT bigram, n FROM (
+      SELECT bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
+      FROM ({tok}) tokens
+      GROUP BY bigram
+    ) ranked
+    WHERE rk <= 20
+    ORDER BY n DESC, bigram
+    """
+
+
+_register_sql("ngram_top_bigrams", _ngram_top(True), _ngram_top(False))

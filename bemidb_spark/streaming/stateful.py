@@ -1,0 +1,85 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The arbitrary-stateful-processing API (the Spark slot for operators the
+built-in windowed aggregates can't express — the reference has no streaming
+at all). Demonstrated as a per-user running profile: event count + integral
+sum of the JSON ``props.k`` field, maintained in GroupState across batches.
+
+State is one fixed-size row per user (bounded); the grouping shuffles once on
+user_id and each task owns its keys — the layout that scales to arbitrarily
+many users. Values kept integral so results are batch-order independent and
+oracle-checkable (floats summed in pandas use pairwise summation and would
+diverge from any SQL engine).
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bemidb_spark.streaming.windows import _events_stream, _run_to_memory
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+_OUTPUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_k", T.LongType()),
+])
+_STATE_SCHEMA = T.StructType([
+    T.StructField("n_events", T.LongType()),
+    T.StructField("sum_k", T.LongType()),
+])
+
+
+def _update_user_profile(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n, sum_k = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        sum_k += int(pdf["props"].map(lambda p: json.loads(p).get("k", 0)).sum())
+    state.update((n, sum_k))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_k": [sum_k]})
+
+
+def _stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    profiles = (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            _update_user_profile,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    table = _run_to_memory(profiles, "stream_profiles", output_mode="update")
+    # update mode can emit one row per (user, batch); the final state per user
+    # is the row with the highest n_events (monotone counter)
+    return spark.sql(f"""
+        SELECT user_id, n_events, sum_k FROM (
+          SELECT user_id, n_events, sum_k,
+                 ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) AS rk
+          FROM {table}
+        ) final WHERE rk = 1
+        ORDER BY user_id
+    """)
+
+
+QUERIES["streaming_stateful_user_profiles"] = _stateful_profiles
+ORACLES["streaming_stateful_user_profiles"] = """
+    SELECT user_id, COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+"""

@@ -51,13 +51,13 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_to_memory(df: DataFrame, name: str) -> str:
+def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> str:
     """Run a bounded streaming aggregation into a memory sink; return table name."""
     table = f"{name}_{next(_counter)}"
     q = (
         df.writeStream.format("memory")
         .queryName(table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -1,0 +1,53 @@
+"""Differential tests: extended relational ops, stateful streaming, functions."""
+
+from __future__ import annotations
+
+import pytest
+
+from bemidb_spark.operators import relational_ext
+from bemidb_spark.oracle import compare
+from bemidb_spark.streaming import stateful
+
+ALL = {}
+for mod in (relational_ext, stateful):
+    ALL.update({name: (mod.QUERIES[name], mod.ORACLES[name]) for name in mod.QUERIES})
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_ext_oracle_parity(spark, sf_dir, name):
+    fn, oracle = ALL[name]
+    compare(fn(spark, sf_dir), oracle, sf_dir)
+
+
+def test_vector_functions(spark):
+    from bemidb_spark.functions import cosine_sim, dot
+
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 0.0], [0.0, 1.0, 0.0]), ([1.0, 2.0, 2.0], [1.0, 2.0, 2.0])],
+        "a array<float>, b array<float>",
+    )
+    rows = df.select(dot("a", "b").alias("d"), cosine_sim("a", "b").alias("c")).collect()
+    assert rows[0].d == 0.0 and rows[0].c == 0.0
+    assert rows[1].d == 9.0 and abs(rows[1].c - 1.0) < 1e-12
+
+
+def test_hash_sample_is_partition_invariant(spark):
+    from bemidb_spark.functions import hash_sample
+
+    df = spark.range(1000)
+    a = {r.id for r in df.filter(hash_sample("id", 0.2, "t")).collect()}
+    b = {r.id for r in df.repartition(13).filter(hash_sample("id", 0.2, "t")).collect()}
+    assert a == b
+    assert 120 < len(a) < 280  # ~20%
+
+
+def test_sketches_are_close(spark, sf_dir):
+    from bemidb_spark.functions import approx_distinct, approx_quantiles
+    from bemidb_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    est = ev.agg(approx_distinct("user_id").alias("d")).collect()[0].d
+    exact = ev.select("user_id").distinct().count()
+    assert abs(est - exact) / exact < 0.15
+    q = ev.agg(approx_quantiles("value", [0.5]).alias("q")).collect()[0].q[0]
+    assert 0 < q < 200
