@@ -90,6 +90,18 @@ def parse_interval(text: str) -> int:
     m = re.search(r"(-?\d+)\s+(?:day|days)", text)
     if m:
         micros += int(m.group(1)) * MICROS_PER_DAY
+    m = re.search(r"(-?\d+)\s+(?:hour|hours)", text)
+    if m:
+        micros += int(m.group(1)) * 3600 * MICROS_PER_SECOND
+    m = re.search(r"(-?\d+)\s+(?:minute|minutes|min|mins)", text)
+    if m:
+        micros += int(m.group(1)) * 60 * MICROS_PER_SECOND
+    m = re.search(r"(-?\d+(?:\.\d+)?)\s+(?:second|seconds|sec|secs)", text)
+    if m:
+        micros += int(float(m.group(1)) * MICROS_PER_SECOND)
+    m = re.search(r"(-?\d+)\s+(?:microsecond|microseconds)", text)
+    if m:
+        micros += int(m.group(1))
     m = re.search(r"(-?)(\d{1,2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?", text)
     if m:
         sign = -1 if m.group(1) else 1

@@ -96,3 +96,39 @@ def ensure_warehouse(
     os.makedirs(out, exist_ok=True)
     ingest(spark, sf_dir, out)
     return out
+
+
+def write_bucketed(
+    spark: SparkSession,
+    sf_dir: str,
+    tables_and_keys: dict[str, tuple[str, int]] | None = None,
+) -> None:
+    """Write bucketed copies of join-heavy tables (co-located join layout).
+
+    ``saveAsTable`` with ``bucketBy`` records bucket metadata in the session
+    catalog; a later join on the bucket key reads both sides pre-partitioned
+    and skips the shuffle entirely (verified by plan in tests). The cluster
+    equivalent is Iceberg's bucket(N, key) partition transform.
+    """
+    tables_and_keys = tables_and_keys or {
+        "lineitem": ("l_orderkey", 8),
+        "orders": ("o_orderkey", 8),
+    }
+    import shutil
+
+    src = load_tables(spark, sf_dir)
+    warehouse_root = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for name, (key, n_buckets) in tables_and_keys.items():
+        spark.sql(f"DROP TABLE IF EXISTS {name}_bucketed")
+        # a previous session's managed-table dir blocks saveAsTable
+        shutil.rmtree(os.path.join(warehouse_root, f"{name}_bucketed"), ignore_errors=True)
+        (
+            src[name]
+            .write.bucketBy(n_buckets, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .format("parquet")
+            .saveAsTable(f"{name}_bucketed")
+        )

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from bemidb_spark import warehouse
 from bemidb_spark.operators import tpch
 from bemidb_spark.oracle import compare
@@ -25,3 +27,54 @@ def test_ingest_roundtrip_and_parity(spark, sf_dir, tmp_path_factory):
     # queries on the warehouse layout still match the oracle on the SOURCE dir
     for q in ("tpch_q1", "tpch_q3", "tpch_q12"):
         compare(tpch.QUERIES[q](spark, wh), tpch.ORACLES[q], sf_dir)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from bemidb_spark.plans.skew import salted_join
+    from bemidb_spark.tables import load_tables
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].withColumnRenamed("l_orderkey", "okey")
+    od = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+
+    plain = (
+        li.join(od, "okey")
+        .groupBy("o_orderpriority").count()
+        .collect()
+    )
+    salted = (
+        salted_join(li, od, "okey", salt=4, salt_source="l_partkey")
+        .groupBy("o_orderpriority").count()
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
+    import contextlib
+    import io
+
+    from bemidb_spark import warehouse as wh
+
+    wh.write_bucketed(spark, sf_dir)
+    # force a non-broadcast join so the bucketed (shuffle-free) path shows
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.sql("""
+            SELECT o_orderpriority, count(*) AS n
+            FROM lineitem_bucketed l JOIN orders_bucketed o
+              ON l.l_orderkey = o.o_orderkey
+            GROUP BY o_orderpriority
+        """)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # the join itself is exchange-free: the only Exchange is the groupBy's
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange" not in join_section
+        assert joined.count() == 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
