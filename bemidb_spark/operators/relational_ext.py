@@ -137,3 +137,29 @@ def _ngram_top(spark: bool) -> str:
 
 
 _register_sql("ngram_top_bigrams", _ngram_top(True), _ngram_top(False))
+
+
+# ---------------------------------------------------------------------------
+# sketch profile: HLL cardinality + quantile estimates (rows-only check:
+# estimates are engine-specific, so no oracle — the driver records the
+# weaker rows-only result; exact twins exist elsewhere in the battery)
+# ---------------------------------------------------------------------------
+def _sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.functions import approx_distinct, approx_quantiles
+    from bemidb_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            approx_distinct("user_id").alias("approx_users"),
+            approx_quantiles("value", [0.5, 0.95]).alias("value_p50_p95"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+QUERIES["sketch_event_profile"] = _sketch_profile  # rows-only: no ORACLES entry

@@ -296,3 +296,58 @@ def _recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["recursive_month_series"] = _recursive_months
 ORACLES["recursive_month_series"] = _REC_DUCK
+
+
+# ---------------------------------------------------------------------------
+# scalar string-function battery (pass-through surface, SURVEY 2.A)
+# ---------------------------------------------------------------------------
+def _string_funcs(spark: bool) -> str:
+    pos = "instr(source, '1')" if spark else "position('1' IN source)"
+    return f"""
+    SELECT doc_id,
+           split_part(source, 'c', 2) AS src_num,
+           lpad(CAST(doc_id AS {'STRING' if spark else 'VARCHAR'}), 6, '0') AS padded,
+           concat_ws('|', lang, source) AS joined,
+           upper(lang) AS lang_up,
+           reverse(lang) AS lang_rev,
+           replace(source, 'src', 'source_') AS replaced,
+           CAST({pos} AS BIGINT) AS one_pos,
+           substring(text, 1, 12) AS head,
+           repeat(lang, 2) AS lang2,
+           translate(lang, 'en', 'EN') AS lang_tr,
+           length(text) AS text_len
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_register_sql("string_funcs_battery", _string_funcs(True), _string_funcs(False))
+
+
+# ---------------------------------------------------------------------------
+# scalar date/time-function battery
+# ---------------------------------------------------------------------------
+def _date_funcs(spark: bool) -> str:
+    fmt = (
+        "date_format(ts, 'yyyy-MM-dd HH')" if spark
+        else "strftime(ts, '%Y-%m-%d %H')"
+    )
+    doy = "dayofyear(ts)" if spark else "dayofyear(ts)"
+    return f"""
+    SELECT event_id,
+           {fmt} AS hour_label,
+           CAST(year(ts) AS INT) AS y,
+           CAST(month(ts) AS INT) AS m,
+           CAST(day(ts) AS INT) AS d,
+           CAST(hour(ts) AS INT) AS h,
+           CAST({doy} AS INT) AS doy,
+           CAST(last_day(CAST(ts AS DATE)) AS DATE) AS month_end,
+           CAST(CAST(ts AS DATE) + INTERVAL 7 DAY AS DATE) AS next_week,
+           greatest(CAST(year(ts) AS INT), 2020) AS g
+    FROM events
+    WHERE event_id < 100
+    ORDER BY event_id
+    """
+
+
+_register_sql("date_funcs_battery", _date_funcs(True), _date_funcs(False))

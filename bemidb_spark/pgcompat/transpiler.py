@@ -253,6 +253,10 @@ def _rewrite_tables(sql: str) -> str:
 
 
 def _rewrite_regex_ops(sql: str) -> str:
+    # psql emits OPERATOR(pg_catalog.~) in \d introspection queries; the
+    # pg_catalog. prefix may already be stripped by _rewrite_functions
+    sql = re.sub(r"OPERATOR\s*\(\s*(?:pg_catalog\.)?!~\s*\)", " NOT RLIKE ", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"OPERATOR\s*\(\s*(?:pg_catalog\.)?~\s*\)", " RLIKE ", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\s+!~\s+", " NOT RLIKE ", sql)
     sql = re.sub(r"(\S)\s+~\s+(\x00\d+\x00)", r"\1 RLIKE \2", sql)
     return sql

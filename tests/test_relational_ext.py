@@ -10,7 +10,8 @@ from bemidb_spark.streaming import stateful
 
 ALL = {}
 for mod in (relational_ext, stateful):
-    ALL.update({name: (mod.QUERIES[name], mod.ORACLES[name]) for name in mod.QUERIES})
+    ALL.update({name: (mod.QUERIES[name], mod.ORACLES[name])
+                for name in mod.QUERIES if name in mod.ORACLES})
 
 
 @pytest.mark.parametrize("name", sorted(ALL))
@@ -51,3 +52,10 @@ def test_sketches_are_close(spark, sf_dir):
     assert abs(est - exact) / exact < 0.15
     q = ev.agg(approx_quantiles("value", [0.5]).alias("q")).collect()[0].q[0]
     assert 0 < q < 200
+
+
+def test_sketch_profile_rows_only(spark, sf_dir):
+    df = relational_ext.QUERIES["sketch_event_profile"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 5
+    assert all(r.approx_users > 0 and len(r.value_p50_p95) == 2 for r in rows)
