@@ -132,3 +132,20 @@ def write_bucketed(
             .format("parquet")
             .saveAsTable(f"{name}_bucketed")
         )
+
+
+def write_partitioned_events(spark: SparkSession, sf_dir: str, out_dir: str) -> str:
+    """Write events hive-partitioned by event_date (Iceberg hidden-partitioning
+    stand-in: the partition column is *derived* from ts at write time, and
+    date-range predicates prune whole partition directories — verified by
+    PartitionFilters in the scan plan)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    path = os.path.join(out_dir, "events_partitioned.parquet")
+    (
+        ev.withColumn("event_date", F.col("ts").cast("date"))
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+    return path

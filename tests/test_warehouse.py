@@ -78,3 +78,27 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir, tmp_path_factory):
         assert joined.count() == 5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_events_prune(spark, sf_dir, tmp_path_factory):
+    import contextlib
+    import io
+
+    from bemidb_spark import warehouse as wh
+
+    out = str(tmp_path_factory.mktemp("part"))
+    path = wh.write_partitioned_events(spark, sf_dir, out)
+    df = (
+        spark.read.parquet(path)
+        .filter("event_date BETWEEN DATE '2024-01-05' AND DATE '2024-01-06'")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    assert "event_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # only the two selected day-partitions are read
+    n = df.count()
+    total = spark.read.parquet(path).count()
+    assert 0 < n < total
