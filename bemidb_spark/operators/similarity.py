@@ -128,3 +128,36 @@ def _ivf_sql(spark: bool) -> str:
 
 
 _register("ann_ivf_topk", _ivf_sql(True), _ivf_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# embedding preprocessing: L2-normalize + int8 quantization + per-vector stats
+# (training-data prep: quantized vectors are what a 100 TB corpus actually
+# ships to an ANN index; all per-row expressions, no shuffle at all)
+# ---------------------------------------------------------------------------
+def _embed_prep_sql(spark: bool) -> str:
+    norm = dot_fold("embedding", "embedding", spark=spark)
+    if spark:
+        quant = (
+            "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))"
+        )
+        vmin = "array_min(embedding)"
+        vmax = "array_max(embedding)"
+    else:
+        quant = (
+            "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 + 0.5) AS INT))"
+        )
+        vmin = "list_min(embedding)"
+        vmax = "list_max(embedding)"
+    return f"""
+    SELECT vec_id,
+           CAST(sqrt({norm}) AS DOUBLE) AS l2_norm,
+           {quant} AS q_int8,
+           CAST({vmin} AS FLOAT) AS v_min,
+           CAST({vmax} AS FLOAT) AS v_max
+    FROM embeddings
+    ORDER BY vec_id
+    """
+
+
+_register("embedding_quantize_int8", _embed_prep_sql(True), _embed_prep_sql(False))
