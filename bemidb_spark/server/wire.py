@@ -141,8 +141,15 @@ class _Prepared:
 
 
 class _Conn:
-    def __init__(self, sock: socket.socket, spark: SparkSession, catalog: Catalog | None):
+    def __init__(
+        self,
+        sock: socket.socket,
+        spark: SparkSession,
+        catalog: Catalog | None,
+        password: str | None = None,
+    ):
         self.sock = sock
+        self.password = password
         self.session = PgSession(spark, catalog)
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
@@ -163,7 +170,25 @@ class _Conn:
     def _send_ready(self) -> None:
         self._send(b"Z", b"I")
 
+    # Spark error class -> pg SQLSTATE (clients branch on these; the
+    # reference maps common errors the same way, SURVEY known-hard list)
+    _SQLSTATE_MAP = [
+        ("TABLE_OR_VIEW_NOT_FOUND", "42P01"),
+        ("UNRESOLVED_COLUMN", "42703"),
+        ("UNRESOLVED_ROUTINE", "42883"),
+        ("PARSE_SYNTAX_ERROR", "42601"),
+        ("DIVIDE_BY_ZERO", "22012"),
+        ("CAST_INVALID_INPUT", "22P02"),
+        ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
+        ("AMBIGUOUS_REFERENCE", "42702"),
+    ]
+
     def _send_error(self, message: str, code: str = "XX000") -> None:
+        if code == "XX000":
+            for marker, sqlstate in self._SQLSTATE_MAP:
+                if marker in message:
+                    code = sqlstate
+                    break
         fields = b"SERROR\x00" + f"C{code}".encode() + b"\x00" + f"M{message}".encode() + b"\x00\x00"
         self._send(b"E", fields)
 
@@ -207,7 +232,15 @@ class _Conn:
                 break
             self._send_error(f"unsupported protocol: {code}", "0A000")
             return False
-        self._send(b"R", struct.pack("!I", 0))  # AuthenticationOk (trust)
+        if self.password is not None:
+            self._send(b"R", struct.pack("!I", 3))  # AuthenticationCleartextPassword
+            msg_type = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            if msg_type != b"p" or body.rstrip(b"\x00").decode() != self.password:
+                self._send_error("password authentication failed", "28P01")
+                return False
+        self._send(b"R", struct.pack("!I", 0))  # AuthenticationOk
         for k, v in [
             ("server_version", self.session.settings["server_version"]),
             ("server_encoding", "UTF8"),
@@ -364,9 +397,11 @@ class WireServer:
         catalog: Catalog | None = None,
         host: str = "127.0.0.1",
         port: int = 0,
+        password: str | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
+        self.password = password
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()
         self._threads: list[threading.Thread] = []
@@ -391,7 +426,7 @@ class WireServer:
 
     def _serve_conn(self, sock: socket.socket) -> None:
         try:
-            _Conn(sock, self.spark, self.catalog).serve()
+            _Conn(sock, self.spark, self.catalog, self.password).serve()
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:

@@ -12,12 +12,23 @@ import struct
 
 
 class MiniPgClient:
-    def __init__(self, host: str, port: int, user: str = "bemidb", database: str = "bemidb"):
+    def __init__(self, host: str, port: int, user: str = "bemidb",
+                 database: str = "bemidb", password: str | None = None):
         self.sock = socket.create_connection((host, port))
         params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
         payload = struct.pack("!I", 196608) + params
         self.sock.sendall(struct.pack("!I", len(payload) + 4) + payload)
-        self.startup_messages = self._read_until_ready()
+        first = self._read_message()
+        self.startup_messages: list[tuple[bytes, bytes]] = [first]
+        if first[0] == b"R" and struct.unpack("!I", first[1][:4])[0] == 3:
+            pw = (password or "").encode() + b"\x00"
+            self.sock.sendall(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+        if first[0] != b"E":
+            try:
+                while self.startup_messages[-1][0] != b"Z":
+                    self.startup_messages.append(self._read_message())
+            except ConnectionResetError:
+                pass  # auth failure: server errors and closes before ReadyForQuery
 
     # ------------------------------------------------------------------ io
     def _recv_exact(self, n: int) -> bytes:

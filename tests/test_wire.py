@@ -142,3 +142,24 @@ def test_concurrent_clients(server):
     for t in threads:
         t.join(60)
     assert results == {0: "25", 1: "26", 2: "27", 3: "28"}
+
+
+def test_sqlstate_mapping(client):
+    r = client.query("SELECT * FROM table_that_is_missing")
+    assert r["errors"][0]["C"] == "42P01"
+    r = client.query("SELECT no_such_col FROM region")
+    assert r["errors"][0]["C"] == "42703"
+
+
+def test_password_auth(spark):
+    srv = WireServer(spark, password="sesame")
+    srv.start()
+    try:
+        ok = MiniPgClient(srv.host, srv.port, password="sesame")
+        assert ok.query("SELECT 1 AS x")["rows"] == [["1"]]
+        ok.close()
+        bad = MiniPgClient(srv.host, srv.port, password="wrong")
+        errs = [b for t, b in bad.startup_messages if t == b"E"]
+        assert errs and b"28P01" in errs[0]
+    finally:
+        srv.stop()
