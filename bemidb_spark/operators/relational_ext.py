@@ -163,3 +163,55 @@ def _sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["sketch_event_profile"] = _sketch_profile  # rows-only: no ORACLES entry
+
+
+# ---------------------------------------------------------------------------
+# capstone: composed training-data pipeline in ONE declarative plan
+# (quality gate -> exact dedup survivors -> deterministic 50% sample ->
+# per-language doc/token budget). Each stage is a CTE, so Catalyst fuses
+# the whole pipeline: one scan of documents, one dedup shuffle, one final
+# aggregation — the shape this runs at 100 TB.
+# ---------------------------------------------------------------------------
+def _pipeline(spark: bool) -> str:
+    w = words("text", spark=spark)
+    size = "size" if spark else "len"
+    distinct = "array_distinct" if spark else "list_distinct"
+    h = (
+        "CAST(conv(substring(md5(concat('p1:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        if spark
+        else "CAST('0x' || substr(md5(concat('p1:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text, lower(trim(text)) AS norm, {w} AS w
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, lang, norm, CAST({size}(w) AS BIGINT) AS n_tokens
+      FROM scored
+      WHERE {size}(w) >= 10
+        AND CAST({size}({distinct}(w)) AS DOUBLE) / {size}(w) >= 0.3
+    ),
+    deduped AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY md5(norm) ORDER BY doc_id) AS rk
+        FROM quality
+      ) d WHERE rk = 1
+    ),
+    sampled AS (
+      SELECT doc_id, lang, n_tokens
+      FROM deduped
+      WHERE {h} / 4294967296.0 < 0.5
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM sampled
+    GROUP BY lang
+    ORDER BY lang
+    """
+
+
+_register_sql("pipeline_training_subset", _pipeline(True), _pipeline(False))
