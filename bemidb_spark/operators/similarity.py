@@ -149,10 +149,13 @@ def _embed_prep_sql(spark: bool) -> str:
         )
         vmin = "list_min(embedding)"
         vmax = "list_max(embedding)"
+    # q_int8 is serialized to a JSON string at the contract boundary: the
+    # driver's pandas canonicalizer cannot hash raw list columns, and the
+    # compact `[1,-2,...]` rendering is byte-identical across both engines.
     return f"""
     SELECT vec_id,
            CAST(sqrt({norm}) AS DOUBLE) AS l2_norm,
-           {quant} AS q_int8,
+           to_json({quant}) AS q_int8,
            CAST({vmin} AS FLOAT) AS v_min,
            CAST({vmax} AS FLOAT) AS v_max
     FROM embeddings

@@ -202,7 +202,7 @@ _register_sql("json_extract_bucket", _JSON_SPARK, _JSON_DUCK)
 # ---------------------------------------------------------------------------
 _ARR_SPARK = """
     SELECT user_id,
-           array_sort(collect_set(event_type)) AS types,
+           to_json(array_sort(collect_set(event_type))) AS types,
            CAST(size(array_sort(collect_set(event_type))) AS BIGINT) AS n_types,
            array_contains(collect_set(event_type), 'purchase') AS has_purchase
     FROM events
@@ -211,7 +211,7 @@ _ARR_SPARK = """
 """
 _ARR_DUCK = """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
+           to_json(list_sort(list(DISTINCT event_type))) AS types,
            CAST(len(list(DISTINCT event_type)) AS BIGINT) AS n_types,
            list_contains(list(DISTINCT event_type), 'purchase') AS has_purchase
     FROM events
@@ -271,15 +271,25 @@ def _recursive_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("month", F.min("o_orderdate")).alias("lo"),
         F.date_trunc("month", F.max("o_orderdate")).alias("hi"),
     ).collect()[0]
-    seed = spark.createDataFrame([(bounds.lo,)], "m timestamp_ntz")
+    # range(1)+lit keeps the seed JVM-side; createDataFrame from Python rows
+    # would spin up Python workers just to ship one timestamp.
+    seed = spark.range(1).select(F.lit(bounds.lo).cast("timestamp_ntz").alias("m"))
     hi = F.lit(bounds.hi).cast("timestamp_ntz")
 
+    # Doubling recursion: frontier_k = first 2^k months (each step shifts the
+    # whole prefix by its current span and unions) — O(log n) global barriers
+    # vs O(n) for the naive +1-month linear recursion. Same fixpoint as the
+    # oracle's linear WITH RECURSIVE, reached in 7 steps instead of 80.
+    shift = [1]
+
     def step(prev: DataFrame) -> DataFrame:
-        return (
-            prev.select(F.expr("m + INTERVAL 1 MONTH").alias("m")).filter(F.col("m") <= hi)
+        delta = shift[0]
+        shift[0] *= 2
+        return prev.unionAll(
+            prev.select(F.expr(f"m + INTERVAL {delta} MONTH").alias("m")).filter(F.col("m") <= hi)
         )
 
-    months = iterate(seed, step, max_iter=120)
+    months = iterate(seed, step, max_iter=20, frontier_partitions=1, emit="last")
     per_month = (
         orders.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("m"))
         .agg(F.count(F.lit(1)).alias("n_orders"))

@@ -1,0 +1,82 @@
+"""Local emulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at sf0.01, compares
+against ``oracle_sql()`` via DuckDB (rows + schema + order-insensitive value
+multiset), times each query, and additionally flags output columns with
+complex Spark types (array/map/struct) — the driver's pandas canonicalizer
+cannot hash those, so they must be serialized (``to_json``) at the contract
+boundary.
+
+Usage: python tools/run_gate.py [name-substring ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from pyspark.sql import types as T
+
+    from bemidb_spark.oracle import compare
+    from bemidb_spark.session import build_session
+
+    filters = sys.argv[1:]
+    spark = build_session()
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    results: dict[str, dict] = {}
+    failed = []
+    for name, fn in queries.items():
+        if filters and not any(f in name for f in filters):
+            continue
+        t0 = time.monotonic()
+        row = {"ok": None, "sec": None, "rows": None, "complex_cols": [], "oracle": name in oracles}
+        try:
+            df = fn(spark, SF_DIR)
+            row["complex_cols"] = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+            ]
+            if name in oracles:
+                compare(df, oracles[name], SF_DIR)
+                row["rows"] = df.count()
+            else:
+                row["rows"] = df.count()  # rows-only entry (e.g. sketches)
+            row["ok"] = True
+        except Exception as e:  # noqa: BLE001
+            row["ok"] = False
+            row["err"] = f"{type(e).__name__}: {e}"[:500]
+            failed.append(name)
+            traceback.print_exc()
+        row["sec"] = round(time.monotonic() - t0, 2)
+        results[name] = row
+        flag = "OK " if row["ok"] else "FAIL"
+        extra = f" COMPLEX={row['complex_cols']}" if row["complex_cols"] else ""
+        extra += "" if row["oracle"] else " (rows-only)"
+        print(f"{flag} {name:34s} {row['sec']:6.2f}s rows={row['rows']}{extra}", flush=True)
+
+    n = len(results)
+    n_ok = sum(1 for r in results.values() if r["ok"])
+    n_complex = sum(1 for r in results.values() if r["complex_cols"])
+    print(f"\n{n_ok}/{n} ok, {len(failed)} failed, {n_complex} with complex output cols")
+    if failed:
+        print("FAILED:", ", ".join(failed))
+    with open(os.path.join(os.path.dirname(__file__), "gate_last.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
