@@ -82,10 +82,17 @@ def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple
     return out
 
 
+# Bare view names bound by bind_catalog_tables (vs user/session temp views):
+# these must be RE-replaced on re-registration so a table swap (REFRESH
+# MATERIALIZED VIEW, replace_table) re-points them at the new location.
+_BOUND_BARE_NAMES: set[str] = set()
+
+
 def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
     """Make every catalog table resolvable by name (the reference's B3 role:
     schema.table -> engine-readable relation, query_remapper_table.go:93-110).
-    Registers `<schema>_<table>` always, and bare `<table>` when free."""
+    Registers `<schema>_<table>` always, and bare `<table>` when free or
+    previously bound by us."""
     if catalog is None:
         return
     existing = {t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"}
@@ -96,8 +103,9 @@ def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
         except Exception:  # location vanished (dropped mid-flight)
             continue
         df.createOrReplaceTempView(f"{schema}_{table}")
-        if table not in existing:
+        if table not in existing or table in _BOUND_BARE_NAMES:
             df.createOrReplaceTempView(table)
+            _BOUND_BARE_NAMES.add(table)
 
 
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:

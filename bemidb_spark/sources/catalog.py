@@ -36,6 +36,17 @@ class Catalog:
             self._write({"tables": {}, "matviews": {}})
 
     # -- storage ------------------------------------------------------------
+    def version(self) -> int:
+        """Monotonic-enough catalog version: the state file's mtime_ns.
+
+        Every committed change rewrites the file via atomic rename, so any
+        table swap bumps this; sessions use it to invalidate prepared plans.
+        """
+        try:
+            return os.stat(self._path).st_mtime_ns
+        except OSError:
+            return 0
+
     def _read(self) -> dict:
         with open(self._path) as fh:
             return json.load(fh)

@@ -217,3 +217,39 @@ def test_permissions_forbidden_column_errors(pg):
             /*BEMIDB_PERMISSIONS {"public.region": ["r_name"]}*/
             SELECT r_regionkey FROM region
         """).collect()
+
+
+# -- prepared-plan cache -----------------------------------------------------
+def test_plan_cache_reuses_dataframe(pg):
+    a = pg.execute("SELECT COUNT(*) AS n FROM region")
+    b = pg.execute("SELECT COUNT(*) AS n FROM region")
+    assert a is b  # same Dataset => analyzed/optimized plan computed once
+
+
+def test_plan_cache_invalidated_by_set(pg):
+    a = pg.execute("SELECT COUNT(*) AS n FROM nation")
+    pg.execute("SET timezone TO 'America/New_York'")
+    b = pg.execute("SELECT COUNT(*) AS n FROM nation")
+    pg.execute("SET timezone TO 'UTC'")
+    assert a is not b
+
+
+def test_plan_cache_invalidated_by_matview_ddl(pg):
+    a = pg.execute("SELECT COUNT(*) AS n FROM customer")
+    pg.execute("CREATE MATERIALIZED VIEW plancache_mv AS SELECT 1 AS one")
+    try:
+        b = pg.execute("SELECT COUNT(*) AS n FROM customer")
+        assert a is not b
+    finally:
+        pg.execute("DROP MATERIALIZED VIEW plancache_mv")
+
+
+def test_refresh_matview_keeps_views_readable(pg):
+    pg.execute("CREATE MATERIALIZED VIEW refresh_mv AS SELECT COUNT(*) AS n FROM region")
+    try:
+        before = pg.execute("SELECT n FROM refresh_mv").collect()
+        pg.execute("REFRESH MATERIALIZED VIEW refresh_mv")
+        after = pg.execute("SELECT n FROM refresh_mv").collect()
+        assert [tuple(r) for r in before] == [tuple(r) for r in after]
+    finally:
+        pg.execute("DROP MATERIALIZED VIEW refresh_mv")
