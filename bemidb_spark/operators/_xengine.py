@@ -40,7 +40,7 @@ def shingles(words_expr: str, n: int, *, spark: bool) -> str:
     """Word n-gram shingle array (distinct not applied — caller decides)."""
     if spark:
         return (
-            f"CASE WHEN size({words_expr}) < {n} THEN array({words_expr}[0]) "
+            f"CASE WHEN size({words_expr}) < {n} THEN array(array_join({words_expr}, ' ')) "
             f"ELSE transform(sequence(1, size({words_expr}) - {n - 1}), "
             f"i -> array_join(slice({words_expr}, i, {n}), ' ')) END"
         )

@@ -21,6 +21,7 @@ concurrent queries schedule under FAIR — the engine's throughput path).
 
 from __future__ import annotations
 
+import re
 import socket
 import struct
 import threading
@@ -262,26 +263,84 @@ class _Conn:
         self._send(b"C", _tag_for(sql, n).encode() + b"\x00")
 
     def _split_statements(self, sql: str) -> list[str]:
-        out, cur, in_str = [], [], False
-        for ch in sql:
-            if ch == "'":
-                in_str = not in_str
-            if ch == ";" and not in_str:
+        """Split on top-level ';' — aware of '…' strings, $tag$…$tag$ dollar
+        quoting, -- line comments, and /* */ block comments (the cases real
+        clients actually send; reference splits via the pg parser)."""
+        out: list[str] = []
+        cur: list[str] = []
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch == "'":  # quoted string ('' is an escaped quote)
+                j = i + 1
+                while j < n:
+                    if sql[j] == "'":
+                        if j + 1 < n and sql[j + 1] == "'":
+                            j += 2
+                            continue
+                        break
+                    j += 1
+                cur.append(sql[i:j + 1])
+                i = j + 1
+                continue
+            if ch == "$":  # dollar-quoted string: $tag$ ... $tag$
+                m = re.match(r"\$[A-Za-z_]*\$", sql[i:])
+                if m:
+                    tag = m.group(0)
+                    end = sql.find(tag, i + len(tag))
+                    end = n if end < 0 else end + len(tag)
+                    cur.append(sql[i:end])
+                    i = end
+                    continue
+            if ch == "-" and sql[i:i + 2] == "--":  # line comment
+                j = sql.find("\n", i)
+                j = n if j < 0 else j
+                cur.append(sql[i:j])
+                i = j
+                continue
+            if ch == "/" and sql[i:i + 2] == "/*":  # block comment
+                j = sql.find("*/", i + 2)
+                j = n if j < 0 else j + 2
+                cur.append(sql[i:j])
+                i = j
+                continue
+            if ch == ";":
                 stmt = "".join(cur).strip()
                 if stmt:
                     out.append(stmt)
                 cur = []
-            else:
-                cur.append(ch)
+                i += 1
+                continue
+            cur.append(ch)
+            i += 1
         stmt = "".join(cur).strip()
         if stmt:
             out.append(stmt)
-        return out
+        # Leading comments would defeat the router's statement-prefix check
+        # (and a comment-only statement is a no-op, like pg's empty query).
+        stripped = [self._strip_leading_comments(s) for s in out]
+        return [s for s in stripped if s]
+
+    @staticmethod
+    def _strip_leading_comments(stmt: str) -> str:
+        prev = None
+        while prev != stmt:
+            prev = stmt
+            stmt = re.sub(r"\A\s*--[^\n]*\n?", "", stmt)
+            stmt = re.sub(r"\A\s*/\*.*?\*/", "", stmt, flags=re.DOTALL)
+        return stmt.strip()
 
     def _substitute_params(self, sql: str, params: list[str | None]) -> str:
         for i, p in enumerate(reversed(params), start=0):
             idx = len(params) - i
-            val = "NULL" if p is None else "'" + p.replace("'", "''") + "'"
+            if p is None:
+                val = "NULL"
+            else:
+                # Spark string literals treat backslash as an escape (unlike
+                # pg standard_conforming_strings), so double it BEFORE the
+                # quote doubling or a param like C:\x corrupts / escapes the
+                # literal.
+                val = "'" + p.replace("\\", "\\\\").replace("'", "''") + "'"
             sql = sql.replace(f"${idx}", val)
         return sql
 
@@ -289,19 +348,31 @@ class _Conn:
     def serve(self) -> None:
         if not self.handshake():
             return
+        in_error = False  # extended-protocol error state: skip until Sync
         while True:
             msg_type = self._recv_exact(1)
             (length,) = struct.unpack("!I", self._recv_exact(4))
             body = self._recv_exact(length - 4)
             if msg_type == b"X":  # Terminate
                 return
+            if in_error:
+                # After an extended-protocol error, pg discards everything
+                # until Sync so pipelined clients stay in step.
+                if msg_type == b"S":
+                    in_error = False
+                    self._send_ready()
+                continue
             try:
                 self._dispatch(msg_type, body)
             except (UnsupportedQueryError, Exception) as exc:  # noqa: BLE001
-                code = "42601" if isinstance(exc, UnsupportedQueryError) else "XX000"
+                code = getattr(exc, "sqlstate", None) or (
+                    "42601" if isinstance(exc, UnsupportedQueryError) else "XX000"
+                )
                 self._send_error(str(exc)[:400], code)
                 if msg_type == b"Q":
                     self._send_ready()
+                else:
+                    in_error = True
 
     def _dispatch(self, msg_type: bytes, body: bytes) -> None:
         if msg_type == b"Q":  # simple query
@@ -338,16 +409,37 @@ class _Conn:
                 off += plen
                 fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
                 params.append(self._decode_param(raw, fmt))
-            prep = self.prepared[stmt_name]
+            prep = self.prepared.get(stmt_name)
+            if prep is None:
+                err = UnsupportedQueryError(
+                    f'prepared statement "{stmt_name}" does not exist'
+                )
+                err.sqlstate = "26000"
+                raise err
             self.portals[portal] = _Prepared(
                 sql=self._substitute_params(prep.sql, params)
             )
             self._send(b"2", b"")  # BindComplete
         elif msg_type == b"D":  # Describe ('S' stmt | 'P' portal)
             kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
-            target = self.prepared.get(name) if kind == b"S" else self.portals.get(name)
+            if kind == b"S":
+                # Parse -> Describe without Bind: the statement may still hold
+                # $n placeholders, which Spark can't execute — reply NoData
+                # like the reference (query_handler.go:201-202); clients
+                # (psycopg3) re-describe the bound portal.
+                if name not in self.prepared:
+                    err = UnsupportedQueryError(
+                        f'prepared statement "{name}" does not exist'
+                    )
+                    err.sqlstate = "26000"
+                    raise err
+                self._send(b"n", b"")  # NoData
+                return
+            target = self.portals.get(name)
             if target is None:
-                raise UnsupportedQueryError(f"unknown prepared statement/portal {name!r}")
+                err = UnsupportedQueryError(f'portal "{name}" does not exist')
+                err.sqlstate = "34000"
+                raise err
             # Describe executes and caches — reference query_handler.go:205-209
             df = self.session.execute(target.sql)
             target.result = (df, df.collect())
@@ -356,7 +448,9 @@ class _Conn:
             name = body.split(b"\x00", 1)[0].decode()
             portal = self.portals.get(name)
             if portal is None:
-                raise UnsupportedQueryError(f"unknown portal {name!r}")
+                err = UnsupportedQueryError(f'portal "{name}" does not exist')
+                err.sqlstate = "34000"
+                raise err
             if portal.result is None:
                 df = self.session.execute(portal.sql)
                 portal.result = (df, df.collect())

@@ -163,3 +163,44 @@ def test_password_auth(spark):
         assert errs and b"28P01" in errs[0]
     finally:
         srv.stop()
+
+
+def test_param_with_backslash_roundtrips(client):
+    r = client.extended_query("SELECT $1 AS p", [r"C:\temp\x"])
+    assert r["errors"] == []
+    assert r["rows"] == [[r"C:\temp\x"]]
+
+
+def test_describe_unbound_statement_returns_nodata(client):
+    # Parse -> Describe('S') -> Sync: must NOT execute the $1 placeholder.
+    client._send(b"P", b"s1\x00SELECT $1\x00" + struct.pack("!H", 0))
+    client._send(b"D", b"Ss1\x00")
+    client._send(b"S", b"")
+    msgs = client._read_until_ready()
+    types = [t for t, _ in msgs]
+    assert b"n" in types  # NoData
+    assert b"E" not in types
+
+
+def test_extended_error_discards_until_sync(client):
+    # Bind to an unknown statement, then Execute (must be skipped), then Sync.
+    client._send(b"B", b"\x00nosuch\x00" + struct.pack("!HHH", 0, 0, 0))
+    client._send(b"E", b"\x00" + struct.pack("!I", 0))
+    client._send(b"S", b"")
+    msgs = client._read_until_ready()
+    errs = [body for t, body in msgs if t == b"E"]
+    assert len(errs) == 1  # one error for Bind; Execute was discarded
+    assert b"26000" in errs[0]
+    # connection still usable
+    r = client.query("SELECT 1 AS one")
+    assert r["rows"] == [["1"]]
+
+
+def test_split_statements_dollar_quotes_and_comments(client):
+    r = client.query(
+        "SELECT 1 AS a; -- trailing; comment\n"
+        "SELECT '$x; $y' AS b; /* block; comment */ SELECT 3 AS c"
+    )
+    assert r["errors"] == []
+    assert len(r["tags"]) == 3
+    assert [row for row in r["rows"]] == [["1"], ["$x; $y"], ["3"]]
