@@ -148,9 +148,11 @@ class _Conn:
         spark: SparkSession,
         catalog: Catalog | None,
         password: str | None = None,
+        auth_method: str = "cleartext",
     ):
         self.sock = sock
         self.password = password
+        self.auth_method = auth_method
         self.session = PgSession(spark, catalog)
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
@@ -233,7 +235,10 @@ class _Conn:
                 break
             self._send_error(f"unsupported protocol: {code}", "0A000")
             return False
-        if self.password is not None:
+        if self.password is not None and self.auth_method == "scram-sha-256":
+            if not self._scram_handshake():
+                return False
+        elif self.password is not None:
             self._send(b"R", struct.pack("!I", 3))  # AuthenticationCleartextPassword
             msg_type = self._recv_exact(1)
             (length,) = struct.unpack("!I", self._recv_exact(4))
@@ -252,6 +257,40 @@ class _Conn:
             self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
         self._send(b"K", struct.pack("!II", 1, 0))
         self._send_ready()
+        return True
+
+    def _scram_handshake(self) -> bool:
+        """SASL SCRAM-SHA-256 (RFC 7677; reference config.go:102)."""
+        from bemidb_spark.server import scram
+
+        # AuthenticationSASL: advertise the mechanism list.
+        self._send(b"R", struct.pack("!I", 10) + scram.MECHANISM.encode() + b"\x00\x00")
+        exchange = scram.ScramExchange(scram.build_verifier(self.password))
+        try:
+            msg_type = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            body = self._recv_exact(length - 4)
+            if msg_type != b"p":
+                raise ValueError("expected SASLInitialResponse")
+            mech_end = body.index(b"\x00")
+            if body[:mech_end].decode() != scram.MECHANISM:
+                raise ValueError("unsupported SASL mechanism")
+            (resp_len,) = struct.unpack_from("!i", body, mech_end + 1)
+            client_first = body[mech_end + 5:mech_end + 5 + resp_len].decode()
+            server_first = exchange.server_first(client_first)
+            # AuthenticationSASLContinue
+            self._send(b"R", struct.pack("!I", 11) + server_first.encode())
+            msg_type = self._recv_exact(1)
+            (length,) = struct.unpack("!I", self._recv_exact(4))
+            client_final = self._recv_exact(length - 4).decode()
+            if msg_type != b"p":
+                raise ValueError("expected SASLResponse")
+            server_final = exchange.verify_final(client_final)
+        except ValueError as exc:
+            self._send_error(f"password authentication failed: {exc}", "28P01")
+            return False
+        # AuthenticationSASLFinal carries the server signature.
+        self._send(b"R", struct.pack("!I", 12) + server_final.encode())
         return True
 
     # ------------------------------------------------------------ statements
@@ -492,10 +531,12 @@ class WireServer:
         host: str = "127.0.0.1",
         port: int = 0,
         password: str | None = None,
+        auth_method: str = "cleartext",
     ) -> None:
         self.spark = spark
         self.catalog = catalog
         self.password = password
+        self.auth_method = auth_method
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()
         self._threads: list[threading.Thread] = []
@@ -520,7 +561,7 @@ class WireServer:
 
     def _serve_conn(self, sock: socket.socket) -> None:
         try:
-            _Conn(sock, self.spark, self.catalog, self.password).serve()
+            _Conn(sock, self.spark, self.catalog, self.password, self.auth_method).serve()
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:

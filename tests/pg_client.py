@@ -7,6 +7,10 @@ format rather than a library's tolerance.
 
 from __future__ import annotations
 
+import base64
+import hashlib
+import hmac
+import os
 import socket
 import struct
 
@@ -23,12 +27,52 @@ class MiniPgClient:
         if first[0] == b"R" and struct.unpack("!I", first[1][:4])[0] == 3:
             pw = (password or "").encode() + b"\x00"
             self.sock.sendall(b"p" + struct.pack("!I", len(pw) + 4) + pw)
+        elif first[0] == b"R" and struct.unpack("!I", first[1][:4])[0] == 10:
+            first = self._scram_auth(user, password or "", first[1][4:])
+            self.startup_messages.append(first)
         if first[0] != b"E":
             try:
                 while self.startup_messages[-1][0] != b"Z":
                     self.startup_messages.append(self._read_message())
             except ConnectionResetError:
                 pass  # auth failure: server errors and closes before ReadyForQuery
+
+    # ---------------------------------------------------------------- scram
+    def _scram_auth(self, user: str, password: str, mechanisms: bytes) -> tuple[bytes, bytes]:
+        """RFC 7677 SCRAM-SHA-256 client, computed from first principles with
+        hashlib/hmac (independent of the server's implementation).
+        Returns the first post-SASL message (AuthenticationOk or Error)."""
+        assert b"SCRAM-SHA-256" in mechanisms
+        nonce = base64.b64encode(os.urandom(18)).decode()
+        first_bare = f"n={user},r={nonce}"
+        init = ("n,," + first_bare).encode()
+        payload = b"SCRAM-SHA-256\x00" + struct.pack("!i", len(init)) + init
+        self._send(b"p", payload)
+        t, body = self._read_message()
+        if t == b"E":
+            return t, body
+        assert t == b"R" and struct.unpack("!I", body[:4])[0] == 11
+        server_first = body[4:].decode()
+        attrs = dict(p.split("=", 1) for p in server_first.split(","))
+        full_nonce, salt = attrs["r"], base64.b64decode(attrs["s"])
+        assert full_nonce.startswith(nonce)
+        salted = hashlib.pbkdf2_hmac("sha256", password.encode(), salt, int(attrs["i"]))
+        client_key = hmac.digest(salted, b"Client Key", "sha256")
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={full_nonce}"
+        auth_msg = ",".join([first_bare, server_first, without_proof]).encode()
+        signature = hmac.digest(stored_key, auth_msg, "sha256")
+        proof = bytes(a ^ b for a, b in zip(client_key, signature))
+        final = f"{without_proof},p={base64.b64encode(proof).decode()}"
+        self._send(b"p", final.encode())
+        t, body = self._read_message()
+        if t == b"E":
+            return t, body
+        assert t == b"R" and struct.unpack("!I", body[:4])[0] == 12
+        server_key = hmac.digest(salted, b"Server Key", "sha256")
+        expected_sig = base64.b64encode(hmac.digest(server_key, auth_msg, "sha256")).decode()
+        self.scram_server_verified = body[4:].decode() == f"v={expected_sig}"
+        return self._read_message()  # AuthenticationOk
 
     # ------------------------------------------------------------------ io
     def _recv_exact(self, n: int) -> bytes:

@@ -204,3 +204,32 @@ def test_split_statements_dollar_quotes_and_comments(client):
     assert r["errors"] == []
     assert len(r["tags"]) == 3
     assert [row for row in r["rows"]] == [["1"], ["$x; $y"], ["3"]]
+
+
+def test_scram_sha256_auth(spark):
+    # RFC 7677 exchange: client computes proof with hashlib/hmac from first
+    # principles (tests/pg_client.py:_scram_auth); server never sees the
+    # password (reference config.go:102 StringToScramSha256).
+    srv = WireServer(spark, password="sesame", auth_method="scram-sha-256")
+    srv.start()
+    try:
+        ok = MiniPgClient(srv.host, srv.port, password="sesame")
+        assert ok.scram_server_verified  # mutual auth: server signature checks
+        assert ok.query("SELECT 1 AS x")["rows"] == [["1"]]
+        ok.close()
+        bad = MiniPgClient(srv.host, srv.port, password="wrong")
+        errs = [b for t, b in bad.startup_messages if t == b"E"]
+        assert errs and b"28P01" in errs[0]
+    finally:
+        srv.stop()
+
+
+def test_scram_verifier_format():
+    # pg_shadow-shaped verifier (reference query_handler_test.go:1466).
+    from bemidb_spark.server.scram import build_verifier, parse_verifier
+
+    v = build_verifier("secret", salt=b"0123456789abcdef", iterations=4096)
+    assert v.startswith("SCRAM-SHA-256$4096:")
+    iters, salt, stored, server = parse_verifier(v)
+    assert (iters, salt) == (4096, b"0123456789abcdef")
+    assert len(stored) == 32 and len(server) == 32
