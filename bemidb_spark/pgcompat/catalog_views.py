@@ -22,18 +22,6 @@ from bemidb_spark.sources.catalog import Catalog
 PG_USER = "bemidb"
 PG_DATABASE = "bemidb"
 
-# (oid, typname) — the common subset clients introspect (reference seeds ~90,
-# query_remapper_table.go:566-703; this is the same idea, truncated to types
-# the engine can actually produce).
-_PG_TYPES = [
-    (16, "bool"), (17, "bytea"), (18, "char"), (19, "name"), (20, "int8"),
-    (21, "int2"), (23, "int4"), (25, "text"), (26, "oid"), (114, "json"),
-    (700, "float4"), (701, "float8"), (1042, "bpchar"), (1043, "varchar"),
-    (1082, "date"), (1083, "time"), (1114, "timestamp"), (1184, "timestamptz"),
-    (1186, "interval"), (1266, "timetz"), (1700, "numeric"), (2950, "uuid"),
-    (3802, "jsonb"),
-]
-
 _SPARK_TO_PG_TYPE = {
     "boolean": "bool",
     "tinyint": "int2",
@@ -57,6 +45,46 @@ def pg_type_name(spark_type: str) -> str:
     if t.startswith("array"):
         return "_" + pg_type_name(t[6:-1])
     return _SPARK_TO_PG_TYPE.get(t, "text")
+
+
+# pg type name -> (oid, SQL-standard display name used by format_type()).
+_PG_TYPE_INFO = {
+    "bool": (16, "boolean"), "bytea": (17, "bytea"), "char": (18, '"char"'),
+    "name": (19, "name"), "int8": (20, "bigint"), "int2": (21, "smallint"),
+    "int4": (23, "integer"), "text": (25, "text"), "oid": (26, "oid"),
+    "json": (114, "json"), "float4": (700, "real"),
+    "float8": (701, "double precision"), "bpchar": (1042, "character"),
+    "varchar": (1043, "character varying"), "date": (1082, "date"),
+    "time": (1083, "time without time zone"),
+    "timestamp": (1114, "timestamp without time zone"),
+    "timestamptz": (1184, "timestamp with time zone"),
+    "interval": (1186, "interval"), "timetz": (1266, "time with time zone"),
+    "numeric": (1700, "numeric"), "uuid": (2950, "uuid"), "jsonb": (3802, "jsonb"),
+    # common array types
+    "_bool": (1000, "boolean[]"), "_bytea": (1001, "bytea[]"),
+    "_int2": (1005, "smallint[]"), "_int4": (1007, "integer[]"),
+    "_text": (1009, "text[]"), "_varchar": (1015, "character varying[]"),
+    "_int8": (1016, "bigint[]"), "_float4": (1021, "real[]"),
+    "_float8": (1022, "double precision[]"), "_numeric": (1231, "numeric[]"),
+    "_timestamp": (1115, "timestamp without time zone[]"),
+    "_date": (1182, "date[]"), "_timestamptz": (1185, "timestamp with time zone[]"),
+}
+
+
+def pg_type_oid(pg_name: str) -> int:
+    return _PG_TYPE_INFO.get(pg_name, _PG_TYPE_INFO["text"])[0]
+
+
+def format_type_case_sql(oid_expr: str) -> str:
+    """CASE expression mapping a type oid to pg's format_type() display name —
+    the inline-fold emulation of the reference's format_type macro
+    (query_remapper_function.go:14-112)."""
+    whens = " ".join(
+        f"WHEN {oid} THEN '{disp}'"
+        for oid, disp in sorted(set(_PG_TYPE_INFO.values()))
+        if "'" not in disp
+    )
+    return f"(CASE CAST({oid_expr} AS BIGINT) {whens} ELSE 'text' END)"
 
 
 def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple]:
@@ -120,26 +148,49 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     ).createOrReplaceTempView("pg_namespace")
 
     ns_oid = {s: 2200 + i for i, s in enumerate(schemas)}
+    matview_names = set()
+    if catalog is not None:
+        matview_names = {k.split(".", 1)[1] for k in catalog.matviews()}
+    # Full psql-introspection column set (reference seeds the same shape via
+    # DDL, query_remapper_table.go:275-712); relkind 'm' for matviews.
     classes = [
-        (16384 + i, t, ns_oid[s], "r", float(len(cols)))
+        (16384 + i, t, ns_oid[s],
+         "m" if t in matview_names else "r",
+         float(len(cols)), 10, False, 0, False, False, False, False, False,
+         0, "p", "d", 2, 0, len(cols))
         for i, (s, t, cols) in enumerate(inventory)
     ]
     spark.createDataFrame(
-        classes or [(0, "", 0, "", 0.0)],
-        "oid bigint, relname string, relnamespace bigint, relkind string, reltuples double",
+        classes
+        or [(0, "", 0, "", 0.0, 0, False, 0, False, False, False, False,
+             False, 0, "", "", 0, 0, 0)],
+        "oid bigint, relname string, relnamespace bigint, relkind string, "
+        "reltuples double, relowner bigint, relhasindex boolean, relchecks int, "
+        "relhasrules boolean, relhastriggers boolean, relrowsecurity boolean, "
+        "relforcerowsecurity boolean, relispartition boolean, reltablespace bigint, "
+        "relpersistence string, relreplident string, relam bigint, reloftype bigint, "
+        "relnatts int",
     ).createOrReplaceTempView("pg_class")
 
     attrs = []
     for i, (s, t, cols) in enumerate(inventory):
         for pos, (cname, ctype, nullable) in enumerate(cols, start=1):
-            attrs.append((16384 + i, cname, pos, pg_type_name(ctype), not nullable))
+            pg_name = pg_type_name(ctype)
+            attrs.append(
+                (16384 + i, cname, pos, pg_name, not nullable,
+                 pg_type_oid(pg_name), -1, False, False, "", "", 0)
+            )
     spark.createDataFrame(
-        attrs or [(0, "", 0, "", False)],
-        "attrelid bigint, attname string, attnum int, atttypname string, attnotnull boolean",
+        attrs or [(0, "", 0, "", False, 0, 0, False, False, "", "", 0)],
+        "attrelid bigint, attname string, attnum int, atttypname string, "
+        "attnotnull boolean, atttypid bigint, atttypmod int, attisdropped boolean, "
+        "atthasdef boolean, attidentity string, attgenerated string, attcollation bigint",
     ).createOrReplaceTempView("pg_attribute")
 
     spark.createDataFrame(
-        _PG_TYPES, "oid bigint, typname string"
+        [(oid, name, 0) for name, (oid, _) in sorted(_PG_TYPE_INFO.items(), key=lambda kv: kv[1][0])]
+        or [(0, "", 0)],
+        "oid bigint, typname string, typcollation bigint",
     ).createOrReplaceTempView("pg_type")
 
     spark.createDataFrame(
@@ -162,6 +213,85 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         [(e, n) for e, n in [("plpgsql", "1.0")]],
         "extname string, extversion string",
     ).createOrReplaceTempView("pg_extension")
+
+    # --- psql \d support set (B5 breadth: reference query_remapper_table.go
+    # :275-712 seeds pg_index/pg_matviews/pg_shadow/pg_collation/pg_am/... ) ---
+    spark.createDataFrame([(2, "heap")], "oid bigint, amname string") \
+        .createOrReplaceTempView("pg_am")
+    spark.sql("""
+        SELECT * FROM VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                              CAST(NULL AS INT), CAST(NULL AS STRING))
+            AS t(oid, adrelid, adnum, adbin) WHERE 1 = 0
+    """).createOrReplaceTempView("pg_attrdef")
+    spark.sql("""
+        SELECT * FROM VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                              CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
+                              CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+                              CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+                              CAST(NULL AS ARRAY<INT>))
+            AS t(indexrelid, indrelid, indnatts, indisunique, indisprimary,
+                 indisvalid, indisclustered, indisreplident, indkey) WHERE 1 = 0
+    """).createOrReplaceTempView("pg_index")
+    spark.sql("""
+        SELECT * FROM VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                              CAST(NULL AS INT), CAST(NULL AS STRING))
+            AS t(objoid, classoid, objsubid, description) WHERE 1 = 0
+    """).createOrReplaceTempView("pg_description")
+    spark.sql("""
+        SELECT * FROM VALUES (CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+                              CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                              CAST(NULL AS BIGINT), CAST(NULL AS STRING),
+                              CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
+                              CAST(NULL AS BOOLEAN))
+            AS t(oid, conname, connamespace, conrelid, conindid, contype,
+                 condeferrable, condeferred, convalidated) WHERE 1 = 0
+    """).createOrReplaceTempView("pg_constraint")
+    spark.createDataFrame(
+        [(100, "default", "d"), (950, "C", "c"), (951, "POSIX", "c")],
+        "oid bigint, collname string, collprovider string",
+    ).createOrReplaceTempView("pg_collation")
+    # pg_shadow: passwd carries a real SCRAM verifier for the server's user,
+    # shaped like the reference's row (query_handler_test.go:1466).
+    from bemidb_spark.server.scram import build_verifier
+
+    verifier = build_verifier(PG_USER, salt=b"bemidb-spark-ini", iterations=4096)
+    spark.createDataFrame(
+        [(PG_USER, 10, True, True, False, False, verifier, None)],
+        "usename string, usesysid bigint, usecreatedb boolean, usesuper boolean, "
+        "userepl boolean, usebypassrls boolean, passwd string, valuntil timestamp",
+    ).createOrReplaceTempView("pg_shadow")
+    spark.createDataFrame(
+        [(s, t, PG_USER, None, False, True,
+          catalog.matview_definition("matviews", t) if catalog is not None else "")
+         for s, t, _ in inventory if t in matview_names]
+        or [("", "", "", None, False, False, "")],
+        "schemaname string, matviewname string, matviewowner string, "
+        "tablespace string, hasindexes boolean, ispopulated boolean, definition string",
+    ).createOrReplaceTempView("pg_matviews")
+    stat_rows = [
+        (16384 + i, s, t, 0, 0, 0, 0, 0, 0, 0)
+        for i, (s, t, cols) in enumerate(inventory)
+    ]
+    spark.createDataFrame(
+        stat_rows or [(0, "", "", 0, 0, 0, 0, 0, 0, 0)],
+        "relid bigint, schemaname string, relname string, seq_scan bigint, "
+        "seq_tup_read bigint, idx_scan bigint, idx_tup_fetch bigint, "
+        "n_live_tup bigint, n_dead_tup bigint, n_mod_since_analyze bigint",
+    ).createOrReplaceTempView("pg_stat_user_tables")
+    # pg_get_keywords() is remapped to this view (reference installs it as a
+    # table macro, query_remapper_function.go:96-112).
+    spark.createDataFrame(
+        [(w, "R", "reserved") for w in
+         ["all", "and", "any", "as", "asc", "between", "by", "case", "cast",
+          "check", "create", "cross", "current_date", "current_time",
+          "current_timestamp", "current_user", "default", "desc", "distinct",
+          "else", "end", "except", "false", "from", "group", "having", "in",
+          "inner", "intersect", "into", "is", "join", "left", "like", "limit",
+          "not", "null", "on", "or", "order", "outer", "primary", "right",
+          "select", "table", "then", "to", "true", "union", "unique", "user",
+          "using", "when", "where", "with"]],
+        "word string, catcode string, catdesc string",
+    ).createOrReplaceTempView("pg_keywords_view")
 
     # information_schema (B6)
     spark.createDataFrame(

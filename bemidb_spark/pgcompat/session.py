@@ -176,6 +176,20 @@ class PgSession:
         }
         for pat, repl in replacements.items():
             sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
+        # pg_show_all_settings() table function -> inline VALUES over the live
+        # session settings (reference installs it as a table macro,
+        # query_remapper_function.go:96-112).
+        if re.search(r"pg_show_all_settings\s*\(\s*\)", sql, re.IGNORECASE):
+            rows = ", ".join(
+                "('{}', '{}', '')".format(k.replace("'", "''"), v.replace("'", "''"))
+                for k, v in sorted(self.settings.items())
+            )
+            sql = re.sub(
+                r"pg_show_all_settings\s*\(\s*\)",
+                f"(SELECT * FROM (VALUES {rows}) AS t(name, setting, description))",
+                sql,
+                flags=re.IGNORECASE,
+            )
         return sql
 
     # --------------------------------------------------------------- router

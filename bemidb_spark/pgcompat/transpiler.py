@@ -56,6 +56,9 @@ TYPE_MAP = {
     "oid": "BIGINT",
     "regclass": "STRING",
     "regproc": "STRING",
+    "regtype": "STRING",
+    "regrole": "STRING",
+    "regnamespace": "STRING",
     "float4": "FLOAT",
     "real": "FLOAT",
     "float8": "DOUBLE",
@@ -241,6 +244,71 @@ def _balance_double_open(sql: str, marker: str) -> str:
     return "".join(out)
 
 
+def _rewrite_pg_macros(sql: str) -> str:
+    """psql-introspection macro emulation (B7 breadth — the reference installs
+    these as engine macros, query_remapper_function.go:14-112). Runs on the
+    string-shielded text; inserted literals survive unshielding because only
+    \\x00N\\x00 placeholders are resolved."""
+    from bemidb_spark.pgcompat.catalog_views import format_type_case_sql
+
+    simple = {
+        r"pg_get_userbyid\s*\([^()]*\)": "'bemidb'",
+        r"pg_table_is_visible\s*\([^()]*\)": "true",
+        r"pg_function_is_visible\s*\([^()]*\)": "true",
+        r"pg_get_expr\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_indexdef\s*\([^()]*\)": "''",
+        r"pg_get_constraintdef\s*\([^()]*\)": "''",
+        r"pg_get_ruledef\s*\([^()]*\)": "''",
+        r"pg_get_triggerdef\s*\([^()]*\)": "''",
+        r"pg_get_partkeydef\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_statisticsobjdef_columns\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_(?:total_relation|relation|table|indexes)_size\s*\([^()]*\)": "CAST(0 AS BIGINT)",
+        r"pg_size_pretty\s*\((?:[^()]|\([^()]*\))*\)": "'0 bytes'",
+        r"(?:obj|col|shobj)_description\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_keywords\s*\(\s*\)": "pg_keywords_view",
+    }
+    for pat, repl in simple.items():
+        sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
+    # quote_ident: quote only when the identifier needs it (pg semantics).
+    sql = re.sub(
+        r"quote_ident\s*\(([^()]+)\)",
+        "(CASE WHEN \\1 RLIKE '^[a-z_][a-z0-9_]*$' THEN \\1"
+        " ELSE concat('\"', replace(\\1, '\"', '\"\"'), '\"') END)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # format_type(oid, typmod) -> display name via inline CASE over the oid.
+    sql = re.sub(
+        r"format_type\s*\(([^,()]+),\s*[^()]+\)",
+        lambda m: format_type_case_sql(m.group(1)),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # aclexplode(acl) -> empty grant table (we model a single superuser).
+    sql = re.sub(
+        r"aclexplode\s*\([^()]*\)",
+        "(SELECT CAST(NULL AS BIGINT) AS grantor, CAST(NULL AS BIGINT) AS grantee, "
+        "CAST(NULL AS STRING) AS privilege_type, CAST(NULL AS BOOLEAN) AS is_grantable "
+        "WHERE 1 = 0)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # information_schema._pg_expandarray(arr) -> (x, n) rows, n 1-based.
+    sql = re.sub(
+        r"(?:information_schema\s*\.\s*)?_pg_expandarray\s*\(((?:[^()]|\([^()]*\))+)\)",
+        r"(SELECT col AS x, CAST(pos + 1 AS INT) AS n "
+        r"FROM (SELECT posexplode(\1) AS (pos, col)))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # COLLATE clauses have no Spark equivalent; our collation is binary.
+    sql = re.sub(
+        rf"\s+COLLATE\s+(?:pg_catalog\.)?(?:{_IDENT}|`[^`]*`|\x00\d+\x00)",
+        "", sql, flags=re.IGNORECASE,
+    )
+    return sql
+
+
 def _rewrite_tables(sql: str) -> str:
     """pg_catalog.x / information_schema.x → emulation view names (B5/B6)."""
     sql = re.sub(
@@ -262,10 +330,22 @@ def _rewrite_regex_ops(sql: str) -> str:
     return sql
 
 
+def _rewrite_quoted_idents(sql: str) -> str:
+    """pg double-quoted identifiers -> Spark backticks (runs on shielded text,
+    so double quotes inside string literals are untouched)."""
+    def repl(m: re.Match) -> str:
+        inner = m.group(1).replace('""', '"').replace("`", "``")
+        return f"`{inner}`"
+
+    return re.sub(r'"((?:[^"]|"")*)"', repl, sql)
+
+
 def transpile(sql: str) -> str:
     """Rewrite a Postgres-dialect query into Spark SQL."""
     shielded, literals = _shield_strings(sql)
+    shielded = _rewrite_quoted_idents(shielded)
     shielded = _rewrite_tables(shielded)
+    shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)
     shielded = _rewrite_any_string_array(shielded, literals)
     shielded = _rewrite_json_ops(shielded)

@@ -1,0 +1,195 @@
+"""Golden tests: the literal introspection SQL psql sends for \\dt and \\d.
+
+The reference supports psql by seeding a full fake pg_catalog and macro set
+(reference query_remapper_table.go:275-712, query_remapper_function.go:14-112);
+these queries are the actual statements psql 16 emits (captured via psql -E),
+driven through the PgSession router end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bemidb_spark.pgcompat.session import PgSession
+from bemidb_spark.sources.catalog import Catalog
+
+
+@pytest.fixture(scope="module")
+def pg(spark, sf_dir, tmp_path_factory):
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    catalog = Catalog(str(tmp_path_factory.mktemp("psqlwh")))
+    session = PgSession(spark, catalog)
+    session.execute(
+        "CREATE MATERIALIZED VIEW region_names AS SELECT r_name FROM region"
+    )
+    return session
+
+
+# --- \dt --------------------------------------------------------------------
+_PSQL_DT = """SELECT n.nspname as "Schema",
+  c.relname as "Name",
+  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' WHEN 't' THEN 'TOAST table' WHEN 'f' THEN 'foreign table' WHEN 'p' THEN 'partitioned table' WHEN 'I' THEN 'partitioned index' END as "Type",
+  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relkind IN ('r','p','')
+      AND n.nspname <> 'pg_catalog'
+      AND n.nspname !~ '^pg_toast'
+      AND n.nspname <> 'information_schema'
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 1,2"""
+
+
+def test_psql_dt_lists_tables(pg):
+    rows = [tuple(r) for r in pg.execute(_PSQL_DT).collect()]
+    names = {r[1] for r in rows}
+    assert {"region", "nation", "customer", "orders", "lineitem"} <= names
+    assert all(r[2] == "table" and r[3] == "bemidb" for r in rows)
+
+
+def test_psql_dm_lists_matviews(pg):
+    dm = _PSQL_DT.replace("c.relkind IN ('r','p','')", "c.relkind IN ('m','')")
+    rows = [tuple(r) for r in pg.execute(dm).collect()]
+    assert ("matviews", "region_names", "materialized view", "bemidb") in rows
+
+
+# --- \d region: the 4-query sequence ---------------------------------------
+_PSQL_OID_LOOKUP = """SELECT c.oid,
+  n.nspname,
+  c.relname
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relname OPERATOR(pg_catalog.~) '^(region)$' COLLATE pg_catalog.default
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 2, 3"""
+
+
+def _region_oid(pg) -> int:
+    rows = pg.execute(_PSQL_OID_LOOKUP).collect()
+    assert len(rows) == 1 and rows[0][2] == "region"
+    return rows[0][0]
+
+
+def test_psql_d_oid_lookup(pg):
+    assert _region_oid(pg) > 16000
+
+
+def test_psql_d_class_details(pg):
+    oid = _region_oid(pg)
+    q = f"""SELECT c.relchecks, c.relkind, c.relhasindex, c.relhasrules, c.relhastriggers, c.relrowsecurity, c.relforcerowsecurity, false AS relhasoids, c.relispartition, '', c.reltablespace, CASE WHEN c.reloftype = 0 THEN '' ELSE c.reloftype::pg_catalog.regtype::pg_catalog.text END, c.relpersistence, c.relreplident, am.amname
+FROM pg_catalog.pg_class c
+ LEFT JOIN pg_catalog.pg_am am ON (c.relam = am.oid)
+WHERE c.oid = '{oid}'"""
+    rows = [tuple(r) for r in pg.execute(q).collect()]
+    assert len(rows) == 1
+    r = rows[0]
+    assert r[1] == "r" and r[12] == "p" and r[14] == "heap"
+
+
+def test_psql_d_columns(pg):
+    oid = _region_oid(pg)
+    q = f"""SELECT a.attname,
+  pg_catalog.format_type(a.atttypid, a.atttypmod),
+  (SELECT pg_catalog.pg_get_expr(d.adbin, d.adrelid, true)
+   FROM pg_catalog.pg_attrdef d
+   WHERE d.adrelid = a.attrelid AND d.adnum = a.attnum AND a.atthasdef),
+  a.attnotnull,
+  (SELECT c.collname FROM pg_catalog.pg_collation c, pg_catalog.pg_type t
+   WHERE c.oid = a.attcollation AND t.oid = a.atttypid AND a.attcollation <> t.typcollation) AS attcollation,
+  a.attidentity,
+  a.attgenerated
+FROM pg_catalog.pg_attribute a
+WHERE a.attrelid = '{oid}' AND a.attnum > 0 AND NOT a.attisdropped
+ORDER BY a.attnum"""
+    rows = [tuple(r) for r in pg.execute(q).collect()]
+    assert [r[0] for r in rows] == ["r_regionkey", "r_name"]
+    assert rows[0][1] in ("integer", "bigint")
+    assert rows[1][1] == "text"
+
+
+def test_psql_d_indexes(pg):
+    oid = _region_oid(pg)
+    q = f"""SELECT c2.relname, i.indisprimary, i.indisunique, i.indisclustered, i.indisvalid, pg_catalog.pg_get_indexdef(i.indexrelid, 0, true),
+  pg_catalog.pg_get_constraintdef(con.oid, true), contype, condeferrable, condeferred, i.indisreplident, c2.reltablespace
+FROM pg_catalog.pg_class c, pg_catalog.pg_class c2, pg_catalog.pg_index i
+  LEFT JOIN pg_catalog.pg_constraint con ON (conrelid = i.indrelid AND conindid = i.indexrelid AND contype IN ('p','u','x'))
+WHERE c.oid = '{oid}' AND c.oid = i.indrelid AND i.indexrelid = c2.oid
+ORDER BY i.indisprimary DESC, c2.relname"""
+    assert pg.execute(q).collect() == []  # no indexes, but the query parses
+
+
+# --- breadth views ----------------------------------------------------------
+def test_pg_shadow_scram_verifier(pg):
+    rows = [tuple(r) for r in pg.execute(
+        "SELECT usename, passwd FROM pg_catalog.pg_shadow"
+    ).collect()]
+    assert len(rows) == 1 and rows[0][0] == "bemidb"
+    assert rows[0][1].startswith("SCRAM-SHA-256$4096:")
+
+
+def test_pg_matviews_definition(pg):
+    rows = [tuple(r) for r in pg.execute(
+        "SELECT matviewname, ispopulated, definition FROM pg_matviews"
+    ).collect()]
+    assert any(r[0] == "region_names" and r[1] and "r_name" in r[2] for r in rows)
+
+
+def test_pg_stat_user_tables(pg):
+    rows = pg.execute(
+        "SELECT relname, n_live_tup FROM pg_stat_user_tables WHERE relname = 'region'"
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_pg_collation_rows(pg):
+    rows = [r[0] for r in pg.execute(
+        "SELECT collname FROM pg_catalog.pg_collation ORDER BY oid"
+    ).collect()]
+    assert rows == ["default", "C", "POSIX"]
+
+
+# --- macro emulation --------------------------------------------------------
+def test_quote_ident(pg):
+    rows = pg.execute(
+        "SELECT quote_ident('simple') AS a, quote_ident('Needs Quoting') AS b, "
+        "quote_ident('has\"quote') AS c"
+    ).collect()
+    assert tuple(rows[0]) == ("simple", '"Needs Quoting"', '"has""quote"')
+
+
+def test_pg_get_keywords(pg):
+    rows = pg.execute(
+        "SELECT word FROM pg_get_keywords() WHERE word = 'select'"
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_pg_show_all_settings(pg):
+    rows = {r[0]: r[1] for r in pg.execute(
+        "SELECT name, setting FROM pg_show_all_settings()"
+    ).collect()}
+    assert rows["server_version"] == "17.0"
+    assert "search_path" in rows
+
+
+def test_pg_expandarray(pg):
+    rows = [tuple(r) for r in pg.execute(
+        "SELECT x, n FROM information_schema._pg_expandarray(array(10, 20, 30))"
+    ).collect()]
+    assert rows == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_aclexplode_empty(pg):
+    assert pg.execute(
+        "SELECT grantee, privilege_type FROM aclexplode(null) a"
+    ).collect() == []
+
+
+def test_relation_size_functions(pg):
+    rows = pg.execute(
+        "SELECT pg_total_relation_size('region') AS sz, "
+        "pg_size_pretty(pg_relation_size('region')) AS pretty"
+    ).collect()
+    assert tuple(rows[0]) == (0, "0 bytes")
