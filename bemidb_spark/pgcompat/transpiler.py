@@ -97,8 +97,27 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
 
     def cast_repl(m: re.Match) -> str:
         expr, pgtype = m.group(1), m.group(2).lower()
-        if pgtype.startswith("regclass") or pgtype.startswith("regproc"):
-            # ::regclass on a constant → the relation name itself
+        if pgtype.startswith("regclass"):
+            # 'schema.table'::regclass on a literal → real oid lookup over
+            # pg_class/pg_namespace, like the reference's scalar-subquery
+            # rewrite (parser_type_cast.go:90-206) — clients join the result
+            # against pg_class.oid.
+            ph = re.fullmatch(r"\x00(\d+)\x00", expr)
+            if ph:
+                lit = literals[int(ph.group(1))][1:-1].replace("''", "'")
+                parts = lit.replace('"', "").split(".")
+                name = parts[-1].replace("'", "''")
+                if len(parts) > 1:
+                    schema = parts[-2].replace("'", "''")
+                    return (
+                        "(SELECT c.oid FROM pg_class c JOIN pg_namespace n "
+                        "ON n.oid = c.relnamespace "
+                        f"WHERE c.relname = '{name}' AND n.nspname = '{schema}' LIMIT 1)"
+                    )
+                return f"(SELECT oid FROM pg_class WHERE relname = '{name}' LIMIT 1)"
+            return expr
+        if pgtype.startswith("regproc"):
+            # ::regproc on a constant → the function name itself
             return expr
         spark_type = TYPE_MAP.get(pgtype)
         if spark_type is None:
@@ -330,6 +349,56 @@ def _rewrite_regex_ops(sql: str) -> str:
     return sql
 
 
+_SCALAR_CONTEXT = re.compile(
+    r"(=|<>|<=|>=|<|>|\+|-|\*|/|\|\||\bSELECT\b|\bWHEN\b|\bTHEN\b|\bELSE\b)\s*$",
+    re.IGNORECASE,
+)
+_TOP_AGG = re.compile(r"\b(?:MIN|MAX|SUM|AVG|COUNT)\s*\(", re.IGNORECASE)
+
+
+def _inject_scalar_limit(sql: str) -> str:
+    """Postgres laxness: the reference runs with
+    scalar_subquery_error_on_multiple_rows=false (main.go:67) so a multi-row
+    scalar subquery yields its first row; Spark raises. Emulate by injecting
+    LIMIT 1 into expression-position subqueries that aren't aggregated and
+    don't already carry a top-level LIMIT."""
+    out = []
+    i = 0
+    while True:
+        m = re.compile(r"\(\s*SELECT\b", re.IGNORECASE).search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            break
+        # expression context? look at what precedes the '('
+        if not _SCALAR_CONTEXT.search(sql[:m.start()]):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        # find the matching close paren
+        depth = 0
+        j = m.start()
+        while j < len(sql):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        body = sql[m.start() + 1:j]
+        # top-level text only (mask nested parens) for LIMIT/agg detection
+        top = re.sub(r"\([^()]*\)", "()", body)
+        while "(" in top:
+            top = re.sub(r"\([^()]*\)", "()", top)
+        if re.search(r"\bLIMIT\b", top, re.IGNORECASE) or _TOP_AGG.search(top):
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(sql[i:m.start() + 1] + _inject_scalar_limit(body) + " LIMIT 1")
+        i = j
+    return "".join(out)
+
+
 def _rewrite_quoted_idents(sql: str) -> str:
     """pg double-quoted identifiers -> Spark backticks (runs on shielded text,
     so double quotes inside string literals are untouched)."""
@@ -351,6 +420,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)
+    shielded = _inject_scalar_limit(shielded)
     out = _unshield(shielded, literals)
     # json-op rewrite leaves concat('$.', trim(BOTH '''' FROM 'key')) — fold it
     out = re.sub(

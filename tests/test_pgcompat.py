@@ -253,3 +253,34 @@ def test_refresh_matview_keeps_views_readable(pg):
         assert [tuple(r) for r in before] == [tuple(r) for r in after]
     finally:
         pg.execute("DROP MATERIALIZED VIEW refresh_mv")
+
+
+# -- reference laxness: scalar subqueries + ::regclass ------------------------
+def test_scalar_subquery_multi_row_returns_first(pg):
+    # reference runs with scalar_subquery_error_on_multiple_rows=false
+    # (main.go:67): a multi-row scalar subquery yields one row, not an error.
+    rows = pg.execute(
+        "SELECT (SELECT n_name FROM nation ORDER BY n_name) AS first_name"
+    ).collect()
+    expected = pg.execute("SELECT MIN(n_name) AS m FROM nation").collect()[0][0]
+    assert len(rows) == 1 and rows[0][0] == expected
+
+
+def test_scalar_subquery_limit_not_injected_into_cte(pg):
+    rows = pg.execute(
+        "WITH r AS (SELECT n_regionkey FROM nation) SELECT COUNT(*) AS n FROM r"
+    ).collect()
+    assert rows[0][0] == 25
+
+
+def test_regclass_resolves_to_pg_class_oid(pg):
+    # reference resolves '::regclass' via a pg_class scalar subquery
+    # (parser_type_cast.go:90-206); oid-joins must work.
+    rows = pg.execute(
+        "SELECT c.relname FROM pg_class c WHERE c.oid = 'public.region'::regclass::oid"
+    ).collect()
+    assert [r[0] for r in rows] == ["region"]
+    rows = pg.execute(
+        "SELECT 'region'::regclass::oid = (SELECT oid FROM pg_class WHERE relname = 'region') AS same"
+    ).collect()
+    assert rows[0][0] is True
