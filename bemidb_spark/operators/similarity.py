@@ -7,8 +7,8 @@ Two paths, both pure DataFrame/SQL plans:
   a window per query. At 100 TB the candidate scan is partition-parallel, the
   query side broadcasts, and the window is per-query-key — no global sort.
 - **IVF top-k** (`ann_ivf_topk`): the scale path. Vectors are assigned to
-  coarse cells (deterministic bucketing here, k-means centroids in a real
-  index); each cell's centroid is the *decimal-exact* mean of its members
+  coarse cells by real k-means (Lloyd's algorithm unrolled in SQL); each
+  cell's centroid is the *decimal-exact* mean of its members
   (order-independent sums → cross-engine reproducible). A query probes the
   NPROBE nearest centroids and scans only those cells — the classic
   inverted-file pruning that replaces a full scan with a ~NPROBE/NCELLS slice.
@@ -30,7 +30,7 @@ N_QUERIES = 5  # vec_id < 5 are the probe vectors
 TOP_K = 5
 DIM = 64
 N_CELLS = 8
-NPROBE = 2
+NPROBE = 3
 
 
 def _register(name: str, spark_sql: str, duck_sql: str) -> None:
@@ -70,43 +70,91 @@ _register("ann_cosine_topk", _topk_sql(True), _topk_sql(False))
 
 
 # ---------------------------------------------------------------------------
-# IVF top-k: coarse cells -> decimal-exact centroids -> probe NPROBE cells
+# IVF top-k: k-means coarse cells -> decimal-exact centroids -> probe cells
 # ---------------------------------------------------------------------------
-def _ivf_sql(spark: bool) -> str:
-    # Decimal-exact centroid components: SUM(DECIMAL)/COUNT, back to DOUBLE.
+KMEANS_ITERS = 3
+
+
+def _centroid_select(spark: bool) -> str:
+    """Decimal-exact centroid: per-component SUM(DECIMAL)/COUNT, as DOUBLE —
+    order-independent sums keep Spark and DuckDB bit-identical under any
+    partitioning."""
     if spark:
         comp = ", ".join(
             f"CAST(CAST(SUM(CAST(embedding[{i}] AS DECIMAL(20,10))) / COUNT(*) AS DECIMAL(20,10)) AS DOUBLE)"
             for i in range(DIM)
         )
-        centroid = f"array({comp})"
-    else:
-        comp = ", ".join(
-            f"CAST(CAST(SUM(CAST(embedding[{i + 1}] AS DECIMAL(20,10))) / COUNT(*) AS DECIMAL(20,10)) AS DOUBLE)"
-            for i in range(DIM)
-        )
-        centroid = f"[{comp}]"
-    cos_centroid = dot_fold("q.embedding", "ct.centroid", spark=spark)
+        return f"array({comp})"
+    comp = ", ".join(
+        f"CAST(CAST(SUM(CAST(embedding[{i + 1}] AS DECIMAL(20,10))) / COUNT(*) AS DECIMAL(20,10)) AS DOUBLE)"
+        for i in range(DIM)
+    )
+    return f"[{comp}]"
+
+
+def _ivf_sql(spark: bool) -> str:
+    """IVF with REAL k-means cells, fully in SQL.
+
+    Lloyd's algorithm, ``KMEANS_ITERS`` rounds, unrolled as chained CTEs:
+    assignment = argmin L2 over the current centroids (ranked by
+    ``c·c − 2·e·c``, which orders identically to true L2 since ``e·e`` is
+    constant per vector; deterministic tie-break on cell id), update =
+    decimal-exact mean. Init is the deterministic ``vec_id % K`` partition.
+    Every arithmetic step is a sequential fold or decimal sum, so the DuckDB
+    oracle reproduces the exact cells, centroids, and ranking.
+
+    100 TB shape: centroids are a K-row broadcast side; assignment is a
+    map-side cross join + per-vector top-1 window partitioned by vec_id; the
+    probe phase scans only ~NPROBE/K of the corpus — real inverted-file
+    pruning (vs the previous vec_id%K cells whose centroids were all ≈ the
+    global mean and pruned nothing).
+    """
+    centroid = _centroid_select(spark)
     cos = cosine("q.embedding", "c.embedding", spark=spark)
-    return f"""
-    WITH cells AS (
-      SELECT vec_id, embedding, vec_id % {N_CELLS} AS cell
-      FROM embeddings
-    ),
-    centroids AS (
-      SELECT cell, {centroid} AS centroid
-      FROM cells
-      GROUP BY cell
-    ),
-    probes AS (
+
+    def dist(vec: str, cen: str) -> str:
+        cc = dot_fold(cen, cen, spark=spark)
+        ec = dot_fold(vec, cen, spark=spark)
+        return f"({cc} - 2 * {ec})"
+
+    def assign(name: str, from_centroids: str) -> str:
+        return f"""{name} AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {dist('v.embedding', 'ct.centroid')} ASC, ct.cell) AS ark
+        FROM embeddings v CROSS JOIN {from_centroids} ct
+      ) ranked_assign WHERE ark = 1
+    )"""
+
+    ctes = [
+        f"a0 AS (SELECT vec_id, embedding, vec_id % {N_CELLS} AS cell FROM embeddings)"
+    ]
+    prev = "a0"
+    for t in range(1, KMEANS_ITERS + 1):
+        ctes.append(
+            f"c{t} AS (SELECT cell, {centroid} AS centroid FROM {prev} GROUP BY cell)"
+        )
+        if t < KMEANS_ITERS:
+            ctes.append(assign(f"a{t}", f"c{t}"))
+            prev = f"a{t}"
+    final_c = f"c{KMEANS_ITERS}"
+    # final assignment under the final centroids: the inverted file itself
+    ctes.append(assign("cells", final_c))
+    ctes.append(
+        f"""probes AS (
       SELECT query_id, cell FROM (
         SELECT q.vec_id AS query_id, ct.cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {cos_centroid} DESC, ct.cell) AS prk
+                                  ORDER BY {dist('q.embedding', 'ct.centroid')} ASC, ct.cell) AS prk
         FROM embeddings q
-        JOIN centroids ct ON q.vec_id < {N_QUERIES}
+        JOIN {final_c} ct ON q.vec_id < {N_QUERIES}
       ) p WHERE prk <= {NPROBE}
-    ),
+    )"""
+    )
+    with_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {with_block},
     scored AS (
       SELECT p.query_id, c.vec_id AS cand_id, {cos} AS cos_sim
       FROM probes p

@@ -67,3 +67,41 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir_med):
     rows = df.collect()
     assert len(rows) >= 20
     assert all(r.jaccard >= dedup.JACCARD_MIN for r in rows)
+
+
+def test_ivf_kmeans_cells_are_data_dependent(spark, sf_dir):
+    """k-means cells must reflect vector locality, not vec_id arithmetic: at
+    least one vector must land in a different cell than its vec_id % K init,
+    and cell sizes must be non-uniform (data-driven)."""
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql = similarity._ivf_sql(True)
+    cells_probe = sql.split("probes AS")[0].rstrip().rstrip(",") + (
+        "\nSELECT cell, COUNT(*) AS n, "
+        "SUM(CASE WHEN cell <> vec_id % {k} THEN 1 ELSE 0 END) AS moved "
+        "FROM cells GROUP BY cell ORDER BY cell"
+    ).format(k=similarity.N_CELLS)
+    rows = spark.sql(cells_probe).collect()
+    sizes = [r.n for r in rows]
+    assert sum(r.moved for r in rows) > 0  # assignment actually moved vectors
+    assert len(set(sizes)) > 1  # non-uniform, data-driven cells
+
+
+def test_ivf_recall_vs_exact_topk(spark, sf_dir):
+    """recall@5 of IVF against the exact brute-force ranking; with real
+    centroids and NPROBE=2 of 8 cells this must be well above chance
+    (NPROBE/K = 25%)."""
+    exact = similarity.QUERIES["ann_cosine_topk"](spark, sf_dir).collect()
+    approx = similarity.QUERIES["ann_ivf_topk"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        if r.cand_id in exact_sets.get(r.query_id, set()):
+            hits += 1
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"recall@{similarity.TOP_K} = {recall}"
