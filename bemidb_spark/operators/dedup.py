@@ -9,12 +9,13 @@ same plan runs at 100 TB:
   verify. Candidate generation is the banded join (tiny buckets ⇒ near-linear);
   no all-pairs comparison ever happens, which is what makes it scale.
 - **simhash**: 32-bit fingerprint per doc (per-row expression, no shuffle);
-  near-pairs via 8-bit chunk banding (Hamming ≤ HAMMING_MAX).
+  near-pairs use 64-bit fingerprints with 16-bit chunk banding (pigeonhole-
+  exact for Hamming ≤ 3, 65,536 buckets per chunk).
 - **ngram_jaccard**: prefix-blocked exact jaccard (blocking key = first 4
   words) — the classic cheap blocker; complements MinHash (which catches
   pairs whose prefixes differ).
-- **embedding**: per-label blocked cosine pairs (decimal-free, sequential-fold
-  math; see _xengine).
+- **embedding**: random-hyperplane LSH buckets (8 bands × 4 bits) +
+  exact-cosine verify (decimal-free, sequential-fold math; see _xengine).
 
 Every query has a DuckDB oracle producing bit-identical values. Engine-specific
 SQL is generated from one template per operator with `spark: bool` switches, so
@@ -27,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from bemidb_spark.operators._xengine import (
     cosine,
+    dot_fold,
     hash_int,
     minhash,
     shingles,
@@ -42,7 +44,7 @@ BANDS = 8  # 8 bands x 2 rows: P(candidate | jaccard 0.5) ~ 0.90
 ROWS_PER_BAND = MINHASH_K // BANDS
 JACCARD_MIN = 0.5
 SIMHASH_BITS = 32
-HAMMING_MAX = 1  # hamming 0 = the planted near-dups; 32-bit fps over a shared vocab saturate fast
+HAMMING_MAX = 3  # standard 64-bit simhash near-dup threshold
 COSINE_MIN = 0.4
 
 
@@ -160,33 +162,75 @@ _register("dedup_simhash", _simhash_sql(True), _simhash_sql(False))
 
 
 # ---------------------------------------------------------------------------
-# simhash near-pairs: 8-bit chunk banding + Hamming verify
+# simhash near-pairs: 64-bit fingerprints, 16-bit chunk banding + Hamming
 # ---------------------------------------------------------------------------
+PAIR_BITS = 64
+CHUNK_BITS = 16
+N_CHUNKS = PAIR_BITS // CHUNK_BITS
+
+
 def _simhash_pairs_sql(spark: bool) -> str:
-    base = _simhash_sql(spark).replace("ORDER BY doc_id", "")
-    xor = "(a.simhash ^ b.simhash)" if spark else "xor(a.simhash, b.simhash)"
+    """64-bit simhash near-pairs via 16-bit chunk banding.
+
+    By the pigeonhole principle a pair with Hamming <= 3 agrees on at least
+    one of the 4 chunks, so chunk-equality candidate joins are exact for the
+    threshold. 16-bit chunks give 65,536 buckets each — at corpus scale each
+    bucket holds ~n/65536 docs (vs 256 buckets for the old 8-bit banding,
+    which saturated and sent the candidate join quadratic).
+
+    The 64-bit fingerprint is materialized as four 16-bit chunk columns
+    (c0..c3) rather than one BIGINT: bit 63 would overflow the signed range,
+    and the chunks are what both the banding and the Hamming sum need anyway.
+    """
+    # hash_int is 32-bit; two independently-salted hashes give 64 independent
+    # bits (lo: 0-31, hi: 32-63).
+    h_lo = hash_int("token", spark=spark, salt="sh64a")
+    h_hi = hash_int("token", spark=spark, salt="sh64b")
+
+    def shift(i: int) -> str:
+        col, k = ("hlo", i) if i < 32 else ("hhi", i - 32)
+        if spark:
+            return f"(shiftright({col}, {k}) & 1)"
+        return f"(({col} >> {k}) & 1)"
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN {shift(i)} = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(PAIR_BITS)
+    )
+    chunk_exprs = []
+    for c in range(N_CHUNKS):
+        bits = " + ".join(
+            f"(CASE WHEN s{c * CHUNK_BITS + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(CHUNK_BITS)
+        )
+        chunk_exprs.append(f"CAST({bits} AS BIGINT) AS c{c}")
+    if spark:
+        tok = ("SELECT doc_id, token FROM documents "
+               "LATERAL VIEW explode(split(text, ' ')) t AS token")
+    else:
+        tok = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    xor_hamming = " + ".join(
+        f"bit_count(a.c{c} ^ b.c{c})" if spark else f"bit_count(xor(a.c{c}, b.c{c}))"
+        for c in range(N_CHUNKS)
+    )
     chunk_joins = "\n      UNION\n".join(
         f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM fp a JOIN fp b"
-        f" ON (shiftright(a.simhash, {8 * c}) & 255) = (shiftright(b.simhash, {8 * c}) & 255)"
-        f" AND a.doc_id < b.doc_id"
-        if spark else
-        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM fp a JOIN fp b"
-        f" ON ((a.simhash >> {8 * c}) & 255) = ((b.simhash >> {8 * c}) & 255)"
-        f" AND a.doc_id < b.doc_id"
-        for c in range(4)
+        f" FROM fp a JOIN fp b ON a.c{c} = b.c{c} AND a.doc_id < b.doc_id"
+        for c in range(N_CHUNKS)
     )
     return f"""
-    WITH fp AS ({base}),
+    WITH tok AS ({tok}),
+    hashed AS (SELECT doc_id, {h_lo} AS hlo, {h_hi} AS hhi FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {', '.join(chunk_exprs)} FROM bits),
     cands AS (
 {chunk_joins}
     )
-    SELECT c.doc_a, c.doc_b, CAST(bit_count({xor}) AS INT) AS hamming
+    SELECT c.doc_a, c.doc_b, CAST({xor_hamming} AS INT) AS hamming
     FROM cands c
     JOIN fp a ON a.doc_id = c.doc_a
     JOIN fp b ON b.doc_id = c.doc_b
-    WHERE bit_count({xor}) <= {HAMMING_MAX}
+    WHERE {xor_hamming} <= {HAMMING_MAX}
     ORDER BY doc_a, doc_b
     """
 
@@ -230,14 +274,64 @@ _register("dedup_ngram_jaccard", _ngram_sql(True), _ngram_sql(False))
 
 
 # ---------------------------------------------------------------------------
-# embedding cosine near-dup (label-blocked)
+# embedding cosine near-dup (random-hyperplane LSH buckets)
 # ---------------------------------------------------------------------------
+LSH_BITS_PER_BAND = 4
+LSH_BANDS = 8
+EMB_DIM = 64
+
+
+def _hyperplane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: md5-derived components in
+    [-1, 1]. Baked into the SQL as literals, so both engines bucket
+    identically and results are reproducible across runs."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp{j}-{i}".encode()).hexdigest()[:8], 16) / 0x7FFFFFFF - 1.0
+        for i in range(EMB_DIM)
+    ]
+
+
 def _embedding_sql(spark: bool) -> str:
+    """Cosine near-dup with random-hyperplane LSH blocking (no label use).
+
+    Bucket key per band = the sign pattern of LSH_BITS_PER_BAND hyperplane
+    dot products; candidates = same-bucket pairs in ANY band; verification =
+    exact sequential-fold cosine. At corpus scale the pruning factor is
+    2^bits per band and bits grows with log(n) — unlike label blocking, whose
+    biggest block is O(n) and makes the join quadratic. The parameters here
+    (8 bands x 4 bits) are tuned for this corpus's weak pairs (cos ~0.45,
+    ~60 deg): P(candidate) = 1-(1-p^4)^8 ~ 0.83 where p = 1 - theta/pi.
+    """
     cos = cosine("a.embedding", "b.embedding", spark=spark)
+    arr = (lambda v: "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")") if spark \
+        else (lambda v: "[" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + "]")
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(LSH_BITS_PER_BAND):
+            j = b * LSH_BITS_PER_BAND + r
+            d = dot_fold("embedding", arr(_hyperplane(j)), spark=spark)
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        band_cols.append(" + ".join(bits) + f" AS band{b}")
+    band_pairs = "\n      UNION\n".join(
+        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
+        f" FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
+        for b in range(LSH_BANDS)
+    )
     return f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WITH sigs AS (
+      SELECT vec_id, {', '.join(band_cols)}
+      FROM embeddings
+    ),
+    cands AS (
+{band_pairs}
+    )
+    SELECT c.vec_a, c.vec_b, {cos} AS cos_sim
+    FROM cands c
+    JOIN embeddings a ON a.vec_id = c.vec_a
+    JOIN embeddings b ON b.vec_id = c.vec_b
     WHERE {cos} >= {COSINE_MIN}
     ORDER BY vec_a, vec_b
     """

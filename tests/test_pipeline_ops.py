@@ -105,3 +105,83 @@ def test_ivf_recall_vs_exact_topk(spark, sf_dir):
     assert total > 0
     recall = hits / total
     assert recall >= 0.5, f"recall@{similarity.TOP_K} = {recall}"
+
+
+def test_cosine_lsh_recall_and_pruning(spark, sf_dir):
+    """The hyperplane-LSH blocker must (a) beat the old label-blocking recall
+    against the exact all-pairs truth and (b) generate strictly fewer
+    candidates than all-pairs (the pruning that makes it scale)."""
+    from bemidb_spark.operators._xengine import cosine
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    cos = cosine("a.embedding", "b.embedding", spark=True)
+    exact = {(r.vec_a, r.vec_b) for r in spark.sql(f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {dedup.COSINE_MIN}""").collect()}
+    label_blocked = {(r.vec_a, r.vec_b) for r in spark.sql(f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {cos} >= {dedup.COSINE_MIN}""").collect()}
+    lsh = {(r.vec_a, r.vec_b)
+           for r in dedup.QUERIES["dedup_embedding_cosine"](spark, sf_dir).collect()}
+    assert lsh <= exact  # verification step keeps only true pairs
+    assert len(lsh) / len(exact) >= 0.6
+    assert len(lsh) / len(exact) > len(label_blocked) / len(exact)
+    # pruning: candidate set well under all-pairs
+    sql = dedup._embedding_sql(True)
+    cands_sql = sql.split(")\n    SELECT c.vec_a")[0] + \
+        ") SELECT COUNT(*) AS n FROM (SELECT DISTINCT vec_a, vec_b FROM cands)"
+    n = spark.sql("SELECT COUNT(*) AS n FROM embeddings").collect()[0].n
+    cands = spark.sql(cands_sql).collect()[0].n
+    assert cands < 0.5 * n * (n - 1) / 2
+
+
+def test_simhash64_banding_exact_and_pruning(spark, sf_dir):
+    """On a diverse corpus (unlike the template-generated test corpus, whose
+    fingerprints all cluster), 16-bit chunk banding must find EVERY pair with
+    Hamming <= 3 (pigeonhole: <=3 flipped bits leave >=1 of 4 chunks equal)
+    while generating a small fraction of all-pairs as candidates."""
+    import random
+
+    from bemidb_spark.tables import register_views
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50_000)]
+    docs = []
+    for d in range(1500):
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(40))))
+    planted = []
+    for p in range(20):  # near-dup: copy with one token swapped -> tiny Hamming
+        base_id, base_text = docs[p * 3]
+        toks = base_text.split()
+        toks[5] = rng.choice(vocab)
+        dup_id = 10_000 + p
+        docs.append((dup_id, " ".join(toks)))
+        planted.append((base_id, dup_id))
+    spark.createDataFrame(docs, "doc_id bigint, text string") \
+        .createOrReplaceTempView("documents")
+    try:
+        pairs_sql = dedup._simhash_pairs_sql(True)
+        found = {(r.doc_a, r.doc_b) for r in spark.sql(pairs_sql).collect()}
+        hamming_sql = pairs_sql.replace(
+            f"WHERE {' + '.join(f'bit_count(a.c{c} ^ b.c{c})' for c in range(dedup.N_CHUNKS))} <= {dedup.HAMMING_MAX}",
+            "WHERE 1 = 1",
+        )
+        # every planted pair within the threshold must be found (exactness)
+        all_pairs = {(r.doc_a, r.doc_b): r.hamming
+                     for r in spark.sql(hamming_sql).collect()
+                     if (r.doc_a, r.doc_b) in set(planted)}
+        within = {p for p, hm in all_pairs.items() if hm <= dedup.HAMMING_MAX}
+        assert len(within) >= 10  # one-token edits stay under the threshold
+        assert within <= found
+        # pruning: candidates a small fraction of all-pairs
+        cands_sql = pairs_sql.split(")\n    SELECT c.doc_a")[0] + \
+            ") SELECT COUNT(*) AS n FROM (SELECT DISTINCT doc_a, doc_b FROM cands)"
+        n = 1520
+        cands = spark.sql(cands_sql).collect()[0].n
+        assert cands < 0.05 * n * (n - 1) / 2
+    finally:
+        register_views(spark, sf_dir)  # restore the shared documents view
