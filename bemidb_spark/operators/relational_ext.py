@@ -124,15 +124,15 @@ def _ngram_top(spark: bool) -> str:
                f"LATERAL VIEW explode({sh}) t AS bigram")
     else:
         tok = f"SELECT unnest({sh}) AS bigram FROM (SELECT {w} AS w FROM documents)"
+    # ORDER BY ... LIMIT k (not a global ROW_NUMBER window): Spark plans this
+    # as TakeOrderedAndProject — per-partition top-k then a k-row merge on the
+    # driver — instead of sorting every distinct bigram in one partition.
     return f"""
-    SELECT bigram, n FROM (
-      SELECT bigram, COUNT(*) AS n,
-             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, bigram) AS rk
-      FROM ({tok}) tokens
-      GROUP BY bigram
-    ) ranked
-    WHERE rk <= 20
+    SELECT bigram, COUNT(*) AS n
+    FROM ({tok}) tokens
+    GROUP BY bigram
     ORDER BY n DESC, bigram
+    LIMIT 20
     """
 
 

@@ -59,3 +59,14 @@ def test_sketch_profile_rows_only(spark, sf_dir):
     rows = df.collect()
     assert len(rows) == 5
     assert all(r.approx_users > 0 and len(r.value_p50_p95) == 2 for r in rows)
+
+
+def test_ngram_top_bigrams_no_global_sort(spark, sf_dir):
+    """Top-k must plan as TakeOrderedAndProject (per-partition top-k + k-row
+    merge), not a single-partition global sort of all distinct bigrams."""
+    from bemidb_spark.operators import relational_ext
+
+    df = relational_ext.QUERIES["ngram_top_bigrams"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
