@@ -70,18 +70,29 @@ class Catalog:
         )
 
     def commit_table(
-        self, schema: str, table: str, location: str, columns: list[dict]
+        self, schema: str, table: str, location: str, columns: list[dict],
+        props: dict | None = None,
     ) -> str | None:
-        """Atomically point schema.table at location; return the old location."""
+        """Atomically point schema.table at location; return the old location.
+
+        ``props`` carries table layout metadata (e.g. key-bucket partitioning
+        for pruned MERGE); omitted -> the previous entry's props are kept.
+        """
         with _LOCK:
             state = self._read()
-            old = state["tables"].get(self._key(schema, table), {}).get("location")
-            state["tables"][self._key(schema, table)] = {
-                "location": location,
-                "columns": columns,
-            }
+            prev = state["tables"].get(self._key(schema, table), {})
+            old = prev.get("location")
+            entry = {"location": location, "columns": columns}
+            carried = props if props is not None else prev.get("props")
+            if carried:
+                entry["props"] = carried
+            state["tables"][self._key(schema, table)] = entry
             self._write(state)
         return old
+
+    def table_props(self, schema: str, table: str) -> dict:
+        entry = self._read()["tables"].get(self._key(schema, table)) or {}
+        return entry.get("props", {})
 
     def location(self, schema: str, table: str) -> str:
         entry = self._read()["tables"].get(self._key(schema, table))

@@ -25,6 +25,7 @@ driver-side action is the catalog pointer swap.
 
 from __future__ import annotations
 
+import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,8 +41,48 @@ def _columns_meta(df: DataFrame) -> list[dict]:
     ]
 
 
+# hive partition column for key-bucketed tables (pruned MERGE)
+BUCKET_COL = "_kb"
+
+
 def read_table(spark: SparkSession, catalog: Catalog, schema: str, table: str) -> DataFrame:
-    return spark.read.parquet(catalog.location(schema, table))
+    df = spark.read.parquet(catalog.location(schema, table))
+    if BUCKET_COL in df.columns:
+        df = df.drop(BUCKET_COL)
+    return df
+
+
+def _bucket_expr(key_cols: list[str], n_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
+
+
+def write_bucketed_table(
+    spark: SparkSession,
+    catalog: Catalog,
+    schema: str,
+    table: str,
+    df: DataFrame,
+    key_cols: list[str],
+    n_buckets: int = 16,
+) -> str:
+    """Write a table hive-partitioned by key bucket (``_kb=<n>/`` dirs).
+
+    This is the layout that makes `upsert_by_key`/`delete_by_key` rewrite
+    only the partitions containing affected keys — the Spark-side analogue of
+    the reference's key-overlapping-file rewrite
+    (iceberg_table_writer.go:304-378). At 100 TB, a k-row MERGE touches
+    ~k/n_buckets of the table instead of all of it.
+    """
+    loc = catalog.new_location(schema, table)
+    out = df.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+    out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(loc)
+    old = catalog.commit_table(
+        schema, table, loc, _columns_meta(df),
+        props={"bucket_keys": key_cols, "n_buckets": n_buckets},
+    )
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
+    return loc
 
 
 def replace_table(
@@ -85,6 +126,25 @@ def append_with_cursor(
     return n
 
 
+def _bucketed_layout(
+    catalog: Catalog, schema: str, table: str, key_cols: list[str]
+) -> int | None:
+    """n_buckets if the table is key-bucketed on exactly these keys."""
+    props = catalog.table_props(schema, table)
+    if props.get("bucket_keys") == list(key_cols):
+        return int(props["n_buckets"])
+    return None
+
+
+def _affected_buckets(updates: DataFrame, key_cols: list[str], n_buckets: int) -> list[int]:
+    rows = (
+        updates.select(_bucket_expr(key_cols, n_buckets).alias(BUCKET_COL))
+        .distinct()
+        .collect()
+    )
+    return sorted(r[0] for r in rows)
+
+
 def upsert_by_key(
     spark: SparkSession,
     catalog: Catalog,
@@ -93,11 +153,37 @@ def upsert_by_key(
     updates: DataFrame,
     key_cols: list[str],
 ) -> str:
-    """MERGE: matched rows replaced by updates, unmatched inserted."""
-    current = read_table(spark, catalog, schema, table)
-    kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
-    merged = kept.unionByName(updates)
-    return replace_table(catalog, schema, table, merged)
+    """MERGE: matched rows replaced by updates, unmatched inserted.
+
+    On a key-bucketed table only the partitions containing affected keys are
+    rewritten (dynamic partition overwrite); every other partition's files
+    are untouched bytes — mirroring the reference's key-overlapping-file
+    rewrite (iceberg_table_writer.go:304-378). Falls back to a full
+    rewrite-and-swap for unbucketed tables.
+    """
+    n_buckets = _bucketed_layout(catalog, schema, table, key_cols)
+    if n_buckets is None:
+        current = read_table(spark, catalog, schema, table)
+        kept = current.join(updates.select(*key_cols), on=key_cols, how="left_anti")
+        merged = kept.unionByName(updates)
+        return replace_table(catalog, schema, table, merged)
+    loc = catalog.location(schema, table)
+    buckets = _affected_buckets(updates, key_cols, n_buckets)
+    current = spark.read.parquet(loc).filter(F.col(BUCKET_COL).isin(buckets))
+    kept = current.drop(BUCKET_COL).join(
+        updates.select(*key_cols), on=key_cols, how="left_anti"
+    )
+    merged = kept.unionByName(updates).withColumn(
+        BUCKET_COL, _bucket_expr(key_cols, n_buckets)
+    )
+    # dynamic mode replaces ONLY the partitions present in `merged`
+    merged.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy(BUCKET_COL).parquet(loc)
+    # re-commit (same location) so the catalog version bumps and sessions
+    # drop prepared plans that captured the old file listing
+    catalog.commit_table(schema, table, loc, _columns_meta(merged.drop(BUCKET_COL)))
+    return loc
 
 
 def delete_by_key(
@@ -108,10 +194,29 @@ def delete_by_key(
     keys: DataFrame,
     key_cols: list[str],
 ) -> str:
-    """MERGE ... WHEN MATCHED THEN DELETE."""
-    current = read_table(spark, catalog, schema, table)
-    remaining = current.join(keys.select(*key_cols), on=key_cols, how="left_anti")
-    return replace_table(catalog, schema, table, remaining)
+    """MERGE ... WHEN MATCHED THEN DELETE (partition-pruned when bucketed)."""
+    n_buckets = _bucketed_layout(catalog, schema, table, key_cols)
+    if n_buckets is None:
+        current = read_table(spark, catalog, schema, table)
+        remaining = current.join(keys.select(*key_cols), on=key_cols, how="left_anti")
+        return replace_table(catalog, schema, table, remaining)
+    loc = catalog.location(schema, table)
+    buckets = _affected_buckets(keys, key_cols, n_buckets)
+    current = spark.read.parquet(loc).filter(F.col(BUCKET_COL).isin(buckets))
+    remaining = current.drop(BUCKET_COL).join(
+        keys.select(*key_cols), on=key_cols, how="left_anti"
+    ).withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+    remaining_buckets = {r[0] for r in remaining.select(BUCKET_COL).distinct().collect()}
+    remaining.write.mode("overwrite") \
+        .option("partitionOverwriteMode", "dynamic") \
+        .partitionBy(BUCKET_COL).parquet(loc)
+    # dynamic overwrite can't emit an EMPTY partition: buckets whose rows were
+    # all deleted keep their old files — remove those directories explicitly
+    for b in buckets:
+        if b not in remaining_buckets:
+            shutil.rmtree(os.path.join(loc, f"{BUCKET_COL}={b}"), ignore_errors=True)
+    catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
+    return loc
 
 
 def compact_table(

@@ -109,3 +109,69 @@ def test_matview_lifecycle(spark, catalog, sf_dir):
     matview.drop_materialized_view(catalog, "mv_orders_flat")
     with pytest.raises(KeyError):
         matview.read_materialized_view(spark, catalog, "mv_orders_flat")
+
+
+def _file_digests(loc):
+    import hashlib
+    import os
+
+    out = {}
+    for root, _, files in os.walk(loc):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, loc)] = hashlib.md5(fh.read()).hexdigest()
+    return out
+
+
+def test_bucketed_upsert_rewrites_only_affected_partitions(spark, catalog):
+    from bemidb_spark.sources.writer import write_bucketed_table
+
+    base = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    loc = write_bucketed_table(spark, catalog, "s", "b", base, ["k"], n_buckets=8)
+    before = _file_digests(loc)
+    assert len({p.split("/")[0] for p in before}) == 8  # all 8 bucket dirs
+
+    updates = spark.createDataFrame([(3, 999), (3 + 8, 888)], "k bigint, v bigint")
+    upsert_by_key(spark, catalog, "s", "b", updates, ["k"])
+    after = _file_digests(loc)
+
+    from bemidb_spark.sources.writer import _bucket_expr
+    touched = {
+        r[0] for r in updates.select(_bucket_expr(["k"], 8).alias("b")).distinct().collect()
+    }
+    untouched_dirs = {f"_kb={b}" for b in range(8)} - {f"_kb={b}" for b in touched}
+    for path, digest in before.items():
+        if path.split("/")[0] in untouched_dirs:
+            assert after.get(path) == digest, f"untouched partition changed: {path}"
+    # content correct
+    rows = {r.k: r.v for r in read_table(spark, catalog, "s", "b").collect()}
+    assert rows[3] == 999 and rows[11] == 888 and rows[0] == 0 and len(rows) == 200
+
+
+def test_bucketed_delete_prunes_and_handles_emptied_bucket(spark, catalog):
+    from bemidb_spark.sources.writer import write_bucketed_table, _bucket_expr
+
+    base = spark.range(40).select(F.col("id").alias("k"), F.lit("x").alias("v"))
+    loc = write_bucketed_table(spark, catalog, "s", "d", base, ["k"], n_buckets=4)
+    before = _file_digests(loc)
+
+    # delete every key in bucket 2 plus one key from another bucket
+    all_rows = base.withColumn("b", _bucket_expr(["k"], 4)).collect()
+    bucket2_keys = [r.k for r in all_rows if r.b == 2]
+    other_key = next(r.k for r in all_rows if r.b != 2)
+    keys = spark.createDataFrame([(k,) for k in bucket2_keys + [other_key]], "k bigint")
+    delete_by_key(spark, catalog, "s", "d", keys, ["k"])
+
+    after = _file_digests(loc)
+    touched = {2, next(r.b for r in all_rows if r.k == other_key)}
+    for path, digest in before.items():
+        bucket = int(path.split("/")[0].split("=")[1])
+        if bucket not in touched:
+            assert after.get(path) == digest
+    remaining = {r.k for r in read_table(spark, catalog, "s", "d").collect()}
+    assert remaining == {r.k for r in all_rows} - set(bucket2_keys) - {other_key}
+    assert not any(p.startswith("_kb=2/") for p in after)  # emptied dir removed
