@@ -316,3 +316,147 @@ class AttioSyncer:
         schema, table = ATTIO_COMPANIES_TABLE
         replace_table(self.catalog, schema, table, df)
         return len(rows)
+
+    def sync_people(self) -> int:
+        rows = [
+            _normalize_attio_person(rec)
+            for page in self.fetch_pages()
+            for rec in page
+        ]
+        df = self.spark.createDataFrame(rows, attio_people_schema())
+        schema, table = ATTIO_PEOPLE_TABLE
+        replace_table(self.catalog, schema, table, df)
+        return len(rows)
+
+    def sync_deals(self) -> int:
+        rows = [
+            _normalize_attio_deal(rec)
+            for page in self.fetch_pages()
+            for rec in page
+        ]
+        df = self.spark.createDataFrame(rows, attio_deals_schema())
+        schema, table = ATTIO_DEALS_TABLE
+        replace_table(self.catalog, schema, table, df)
+        return len(rows)
+
+
+# ---------------------------------------------------------------------------
+# C11 breadth: Attio people + deals (reference record_person.go, record_deal.go)
+# ---------------------------------------------------------------------------
+def full_location_value(values: list[dict]):
+    """parser.go FirstLocationValue: join the non-empty address parts."""
+    if not values:
+        return None
+    loc = values[0]
+    parts = [
+        loc.get(k)
+        for k in ("line_1", "line_2", "line_3", "line_4",
+                  "locality", "region", "postcode", "country_code")
+        if loc.get(k)
+    ]
+    return ", ".join(parts)
+
+
+# reference PeopleIcebergSchemaColumns (record_person.go:84-117)
+_ATTIO_PERSON_COLUMNS: list[tuple[str, str]] = [
+    ("id", "text"), ("name", "text"), ("description", "text"),
+    ("email_addresses", "_text"), ("company", "text"), ("job_title", "text"),
+    ("avatar_url", "text"), ("phone_numbers", "_text"),
+    ("primary_location", "text"), ("angellist", "text"), ("facebook", "text"),
+    ("instagram", "text"), ("linkedin", "text"), ("twitter", "text"),
+    ("twitter_follower_count", "int4"),
+    ("first_calendar_interaction", "timestamp"),
+    ("last_calendar_interaction", "timestamp"),
+    ("next_calendar_interaction", "timestamp"),
+    ("first_email_interaction", "timestamp"),
+    ("last_email_interaction", "timestamp"),
+    ("first_interaction", "timestamp"), ("last_interaction", "timestamp"),
+    ("next_interaction", "timestamp"),
+    ("strongest_connection_strength_legacy", "int4"),
+    ("strongest_connection_strength", "text"),
+    ("strongest_connection_user", "text"), ("associated_deals", "_text"),
+    ("associated_users", "_text"), ("created_at", "timestamp"),
+    ("created_by", "text"),
+]
+
+# reference DealsIcebergSchemaColumns (record_deal.go:38-50)
+_ATTIO_DEAL_COLUMNS: list[tuple[str, str]] = [
+    ("id", "text"), ("name", "text"), ("stage", "text"), ("owner", "text"),
+    ("value", "float4"), ("associated_people", "_text"),
+    ("associated_company", "text"), ("created_at", "timestamp"),
+    ("created_by", "text"),
+]
+
+ATTIO_PEOPLE_TABLE = ("attio", "people")
+ATTIO_DEALS_TABLE = ("attio", "deals")
+
+
+def attio_people_schema() -> T.StructType:
+    return T.StructType([spark_field(c, pg) for c, pg in _ATTIO_PERSON_COLUMNS])
+
+
+def attio_deals_schema() -> T.StructType:
+    return T.StructType([spark_field(c, pg) for c, pg in _ATTIO_DEAL_COLUMNS])
+
+
+def _normalize_attio_person(record: dict) -> tuple:
+    """record_person.go:44-81 field extraction via the parser.go extractors."""
+    v = record.get("values", {})
+
+    def ts(field: str, key: str = "interacted_at"):
+        raw = first_value(v.get(field, []), key)
+        return parse_timestamp(raw) if raw else None
+
+    created = first_value(v.get("created_at", []))
+    follower = first_value(v.get("twitter_follower_count", []))
+    legacy = first_value(v.get("strongest_connection_strength_legacy", []))
+    return (
+        first_value(v.get("record_id", [])),
+        first_value(v.get("name", []), "full_name"),
+        first_value(v.get("description", [])),
+        all_values(v.get("email_addresses", []), "email_address"),
+        first_value(v.get("company", []), "target_record_id"),
+        first_value(v.get("job_title", [])),
+        first_value(v.get("avatar_url", [])),
+        all_values(v.get("phone_numbers", []), "phone_number"),
+        full_location_value(v.get("primary_location", [])),
+        first_value(v.get("angellist", [])),
+        first_value(v.get("facebook", [])),
+        first_value(v.get("instagram", [])),
+        first_value(v.get("linkedin", [])),
+        first_value(v.get("twitter", [])),
+        int(follower) if follower is not None else None,
+        ts("first_calendar_interaction"),
+        ts("last_calendar_interaction"),
+        ts("next_calendar_interaction"),
+        ts("first_email_interaction"),
+        ts("last_email_interaction"),
+        ts("first_interaction"),
+        ts("last_interaction"),
+        ts("next_interaction"),
+        int(legacy) if legacy is not None else None,
+        first_select_value(v.get("strongest_connection_strength", [])),
+        first_value(v.get("strongest_connection_user", []), "referenced_actor_id"),
+        all_values(v.get("associated_deals", []), "target_record_id"),
+        all_values(v.get("associated_users", []), "target_record_id"),
+        parse_timestamp(created) if created else None,
+        first_value(v.get("created_by", []), "referenced_actor_id"),
+    )
+
+
+def _normalize_attio_deal(record: dict) -> tuple:
+    """record_deal.go:21-35 field extraction via the parser.go extractors."""
+    v = record.get("values", {})
+    value = first_value(v.get("value", []), "currency_value")
+    created = first_value(v.get("created_at", []))
+    return (
+        first_value(v.get("record_id", [])),
+        first_value(v.get("name", [])),
+        first_status_value(v.get("stage", [])),
+        first_value(v.get("owner", []), "referenced_actor_id"),
+        float(value) if value is not None else None,
+        all_values(v.get("associated_people", []), "target_record_id"),
+        first_value(v.get("associated_company", []), "target_record_id"),
+        parse_timestamp(created) if created else None,
+        first_value(v.get("created_by", []), "referenced_actor_id"),
+    )

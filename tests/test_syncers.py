@@ -109,3 +109,77 @@ def test_attio_companies_sync(spark, catalog):
     assert float(row.funding_raised_usd) == 1200000.0
     assert str(row.foundation_date) == "2019-05-01"
     assert row.associated_deals == ["deal_9"] and row.created_by == "actor_7"
+
+
+def test_attio_people_sync(spark, catalog):
+    record = {
+        "values": {
+            "record_id": [{"value": "person_1"}],
+            "name": [{"full_name": "Ada Lovelace"}],
+            "email_addresses": [
+                {"email_address": "ada@example.com"},
+                {"email_address": "ada@acme.com"},
+            ],
+            "company": [{"target_record_id": "rec_1"}],
+            "job_title": [{"value": "Engineer"}],
+            "phone_numbers": [{"phone_number": "+1-555-0100"}],
+            "primary_location": [{
+                "line_1": "1 Main St", "locality": "Springfield",
+                "region": "IL", "postcode": "62704", "country_code": "US",
+            }],
+            "twitter_follower_count": [{"value": 321}],
+            "last_interaction": [{"interacted_at": "2024-02-28 09:30:00"}],
+            "strongest_connection_strength": [{"option": {"title": "strong"}}],
+            "associated_deals": [{"target_record_id": "deal_9"}],
+            "associated_users": [{"target_record_id": "user_3"}],
+            "created_at": [{"value": "2024-03-01 10:00:00"}],
+            "created_by": [{"referenced_actor_id": "actor_7"}],
+        },
+    }
+    syncer = AttioSyncer(spark, catalog, lambda: iter([[record]]))
+    assert syncer.sync_people() == 1
+    row = read_table(spark, catalog, "attio", "people").collect()[0]
+    assert row.id == "person_1" and row.name == "Ada Lovelace"
+    assert row.email_addresses == ["ada@example.com", "ada@acme.com"]
+    assert row.company == "rec_1" and row.job_title == "Engineer"
+    assert row.phone_numbers == ["+1-555-0100"]
+    # parser.go FirstLocationValue: non-empty parts joined with ', '
+    assert row.primary_location == "1 Main St, Springfield, IL, 62704, US"
+    assert row.twitter_follower_count == 321
+    assert row.strongest_connection_strength == "strong"
+    assert row.associated_deals == ["deal_9"] and row.associated_users == ["user_3"]
+    assert str(row.last_interaction).startswith("2024-02-28 09:30:00")
+    assert row.created_by == "actor_7"
+    # schema parity with PeopleIcebergSchemaColumns (30 columns, exact order)
+    cols = [f.name for f in read_table(spark, catalog, "attio", "people").schema.fields]
+    assert len(cols) == 30 and cols[0] == "id" and cols[-1] == "created_by"
+
+
+def test_attio_deals_sync(spark, catalog):
+    record = {
+        "values": {
+            "record_id": [{"value": "deal_9"}],
+            "name": [{"value": "Big Deal"}],
+            "stage": [{"status": {"title": "In Progress"}}],
+            "owner": [{"referenced_actor_id": "actor_7"}],
+            "value": [{"currency_value": 250000.0}],
+            "associated_people": [
+                {"target_record_id": "person_1"},
+                {"target_record_id": "person_2"},
+            ],
+            "associated_company": [{"target_record_id": "rec_1"}],
+            "created_at": [{"value": "2024-03-02 11:00:00"}],
+            "created_by": [{"referenced_actor_id": "actor_8"}],
+        },
+    }
+    syncer = AttioSyncer(spark, catalog, lambda: iter([[record]]))
+    assert syncer.sync_deals() == 1
+    row = read_table(spark, catalog, "attio", "deals").collect()[0]
+    assert row.id == "deal_9" and row.name == "Big Deal"
+    assert row.stage == "In Progress" and row.owner == "actor_7"
+    assert float(row.value) == 250000.0
+    assert row.associated_people == ["person_1", "person_2"]
+    assert row.associated_company == "rec_1" and row.created_by == "actor_8"
+    cols = [f.name for f in read_table(spark, catalog, "attio", "deals").schema.fields]
+    assert cols == ["id", "name", "stage", "owner", "value", "associated_people",
+                    "associated_company", "created_at", "created_by"]
