@@ -43,6 +43,31 @@ class UnsupportedQueryError(Exception):
     pass
 
 
+# Spark auto-generates names like `1`, `(a + b)`, `lower(x)` for unnamed
+# SELECT targets; pg names them `?column?` / the function name (B15 —
+# reference query_remapper_select.go:51-86). ORMs string-match these.
+_FUNC_NAME = re.compile(r"^(\w+)\(.*\)$", re.DOTALL)
+_CAST_SIMPLE = re.compile(r"^CAST\((\w+) AS [^()]+\)$", re.IGNORECASE)
+_SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
+
+
+def _pg_default_name(name: str) -> str:
+    if _SIMPLE_IDENT.match(name):
+        return name  # real column name or explicit alias
+    m = _CAST_SIMPLE.match(name)
+    if m:
+        return m.group(1)  # pg: cast of a column keeps the column's name
+    m = _FUNC_NAME.match(name)
+    if m and m.group(1).upper() != "CAST":
+        return m.group(1).lower()  # pg: function call -> function name
+    return "?column?"  # literals, arithmetic, anything else
+
+
+def _pg_default_names(df: DataFrame) -> DataFrame:
+    names = [_pg_default_name(n) for n in df.columns]
+    return df.toDF(*names) if names != df.columns else df
+
+
 class PgSession:
     """One client session: settings dict + router over a shared SparkSession."""
 
@@ -228,7 +253,7 @@ class PgSession:
             if perms is not None:
                 folded = apply_permissions(folded, perms)
             folded = self._qualify_catalog_tables(folded)
-            df = self.spark.sql(transpile(folded))
+            df = _pg_default_names(self.spark.sql(transpile(folded)))
             if perms is None:
                 if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                     self._plan_cache.pop(next(iter(self._plan_cache)))

@@ -399,6 +399,46 @@ def _inject_scalar_limit(sql: str) -> str:
     return "".join(out)
 
 
+def _alias_bare_literals(sql: str) -> str:
+    """A select-list item that is just a string literal gets pg's default
+    name: SELECT 'x'  ->  SELECT 'x' AS `?column?` (B15 — Spark would
+    otherwise name the column after the literal's content, which is
+    indistinguishable from a column reference post-hoc). Depth-aware so
+    literals inside IN (...) / function args are untouched."""
+    # token stream: placeholders, parens, commas, words
+    tokens = list(re.finditer(r"\x00\d+\x00|\(|\)|,|\b[A-Za-z_]\w*\b", sql))
+    # select-list depth tracking: a SELECT at depth d opens a list that ends
+    # at FROM (same d) or at the ')' closing depth d
+    select_depths: list[int] = []
+    depth = 0
+    insertions: list[int] = []  # positions where ' AS `?column?`' goes
+    for i, t in enumerate(tokens):
+        tx = t.group(0)
+        if tx == "(":
+            depth += 1
+        elif tx == ")":
+            if select_depths and select_depths[-1] == depth:
+                select_depths.pop()
+            depth -= 1
+        elif tx.upper() == "SELECT":
+            select_depths.append(depth)
+        elif tx.upper() == "FROM":
+            if select_depths and select_depths[-1] == depth:
+                select_depths.pop()
+        elif tx.startswith("\x00"):
+            if not (select_depths and select_depths[-1] == depth):
+                continue
+            prev = tokens[i - 1].group(0).upper() if i > 0 else ""
+            nxt = tokens[i + 1].group(0).upper() if i + 1 < len(tokens) else ""
+            item_start = prev in ("SELECT", ",")
+            item_end = nxt in (",", "FROM") or i + 1 == len(tokens)
+            if item_start and item_end:
+                insertions.append(t.end())
+    for pos in reversed(insertions):
+        sql = sql[:pos] + " AS `?column?`" + sql[pos:]
+    return sql
+
+
 def _rewrite_quoted_idents(sql: str) -> str:
     """pg double-quoted identifiers -> Spark backticks (runs on shielded text,
     so double quotes inside string literals are untouched)."""
@@ -413,6 +453,7 @@ def transpile(sql: str) -> str:
     """Rewrite a Postgres-dialect query into Spark SQL."""
     shielded, literals = _shield_strings(sql)
     shielded = _rewrite_quoted_idents(shielded)
+    shielded = _alias_bare_literals(shielded)
     shielded = _rewrite_tables(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)

@@ -139,6 +139,7 @@ class _Prepared:
     sql: str
     params: list[str | None] = field(default_factory=list)
     result: tuple[DataFrame, list] | None = None  # (df, collected rows)
+    sent: int = 0  # rows already streamed (portal suspension cursor)
 
 
 class _Conn:
@@ -483,8 +484,10 @@ class _Conn:
             df = self.session.execute(target.sql)
             target.result = (df, df.collect())
             self._send_row_description(df)
-        elif msg_type == b"E":  # Execute
-            name = body.split(b"\x00", 1)[0].decode()
+        elif msg_type == b"E":  # Execute [portal name] [max rows]
+            name_end = body.index(b"\x00")
+            name = body[:name_end].decode()
+            (max_rows,) = struct.unpack_from("!i", body, name_end + 1)
             portal = self.portals.get(name)
             if portal is None:
                 err = UnsupportedQueryError(f'portal "{name}" does not exist')
@@ -493,10 +496,21 @@ class _Conn:
             if portal.result is None:
                 df = self.session.execute(portal.sql)
                 portal.result = (df, df.collect())
+                portal.sent = 0
             df, rows = portal.result
-            n = self._send_rows(df, rows)
-            self._send(b"C", _tag_for(portal.sql, n).encode() + b"\x00")
-            portal.result = None
+            # Execute's max-rows field: stream at most that many rows and
+            # suspend the portal if more remain (reference
+            # query_handler.go:218-238); 0 = no limit.
+            remaining = rows[portal.sent:]
+            batch = remaining[:max_rows] if max_rows > 0 else remaining
+            self._send_rows(df, batch)
+            portal.sent += len(batch)
+            if portal.sent < len(rows):
+                self._send(b"s", b"")  # PortalSuspended
+            else:
+                self._send(b"C", _tag_for(portal.sql, portal.sent).encode() + b"\x00")
+                portal.result = None
+                portal.sent = 0
         elif msg_type == b"S":  # Sync
             self._send_ready()
         elif msg_type == b"C":  # Close

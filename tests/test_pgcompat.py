@@ -284,3 +284,13 @@ def test_regclass_resolves_to_pg_class_oid(pg):
         "SELECT 'region'::regclass::oid = (SELECT oid FROM pg_class WHERE relname = 'region') AS same"
     ).collect()
     assert rows[0][0] is True
+
+
+def test_pg_default_column_names(pg):
+    # B15: unnamed targets get pg's default names (?column?, function name)
+    df = pg.execute("SELECT 1, 'x', 2 + 3, lower('ABC'), count(*) FROM region")
+    assert df.columns == ["?column?", "?column?", "?column?", "lower", "count"]
+    df = pg.execute("SELECT r_regionkey::text FROM region LIMIT 1")
+    assert df.columns == ["r_regionkey"]  # cast of a column keeps its name
+    df = pg.execute("SELECT r_name AS explicit FROM region LIMIT 1")
+    assert df.columns == ["explicit"]

@@ -233,3 +233,22 @@ def test_scram_verifier_format():
     iters, salt, stored, server = parse_verifier(v)
     assert (iters, salt) == (4096, b"0123456789abcdef")
     assert len(stored) == 32 and len(server) == 32
+
+
+def test_execute_row_limit_and_portal_suspension(client):
+    # Parse + Bind a 5-row portal, Execute with max_rows=2 three times:
+    # 2 rows + PortalSuspended, 2 rows + PortalSuspended, 1 row + Complete.
+    client._send(b"P", b"lim\x00SELECT r_regionkey FROM region ORDER BY r_regionkey\x00" + struct.pack("!H", 0))
+    client._send(b"B", b"plim\x00lim\x00" + struct.pack("!HHH", 0, 0, 0))
+    seen = []
+    for _ in range(3):
+        client._send(b"E", b"plim\x00" + struct.pack("!i", 2))
+    client._send(b"S", b"")
+    msgs = client._read_until_ready()
+    kinds = [t for t, _ in msgs]
+    rows = [b for t, b in msgs if t == b"D"]
+    assert kinds.count(b"s") == 2           # two suspensions
+    assert kinds.count(b"C") == 1           # final CommandComplete
+    assert len(rows) == 5
+    tag = next(b for t, b in msgs if t == b"C")
+    assert tag.rstrip(b"\x00") == b"SELECT 5"
