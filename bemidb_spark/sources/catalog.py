@@ -22,6 +22,7 @@ import json
 import os
 import tempfile
 import threading
+import time
 import uuid
 
 _LOCK = threading.Lock()
@@ -83,12 +84,39 @@ class Catalog:
             prev = state["tables"].get(self._key(schema, table), {})
             old = prev.get("location")
             entry = {"location": location, "columns": columns}
+            # snapshot log (reference keeps a snapshot history in its table
+            # metadata, storage_utils.go:371-496): superseded locations stay
+            # readable until expired, giving time travel + safe in-flight
+            # reads across a swap
+            snapshots = list(prev.get("snapshots", []))
+            if old and old != location:
+                snapshots.append({"location": old, "at": time.time()})
+            entry["snapshots"] = snapshots
             carried = props if props is not None else prev.get("props")
             if carried:
                 entry["props"] = carried
             state["tables"][self._key(schema, table)] = entry
             self._write(state)
         return old
+
+    def snapshots(self, schema: str, table: str) -> list[dict]:
+        """Superseded locations, oldest first (live location not included)."""
+        entry = self._read()["tables"].get(self._key(schema, table)) or {}
+        return list(entry.get("snapshots", []))
+
+    def prune_snapshots(self, schema: str, table: str, keep: int) -> list[str]:
+        """Drop all but the newest ``keep`` snapshots from the log; returns
+        the expired locations (caller deletes the files)."""
+        with _LOCK:
+            state = self._read()
+            entry = state["tables"].get(self._key(schema, table))
+            if entry is None:
+                return []
+            snaps = entry.get("snapshots", [])
+            expired = snaps[: max(0, len(snaps) - keep)]
+            entry["snapshots"] = snaps[len(expired):]
+            self._write(state)
+        return [s["location"] for s in expired]
 
     def table_props(self, schema: str, table: str) -> dict:
         entry = self._read()["tables"].get(self._key(schema, table)) or {}
@@ -115,6 +143,17 @@ class Catalog:
             entry = state["tables"].pop(self._key(schema, table), None)
             self._write(state)
         return entry["location"] if entry else None
+
+    def drop_table_locations(self, schema: str, table: str) -> list[str]:
+        """Drop the table; return EVERY location (live + snapshots) so the
+        caller can delete the files."""
+        with _LOCK:
+            state = self._read()
+            entry = state["tables"].pop(self._key(schema, table), None)
+            self._write(state)
+        if not entry:
+            return []
+        return [s["location"] for s in entry.get("snapshots", [])] + [entry["location"]]
 
     def rename_table(self, schema: str, table: str, new_table: str) -> None:
         with _LOCK:

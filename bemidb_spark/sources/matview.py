@@ -18,7 +18,6 @@ SQL through its engine.
 
 from __future__ import annotations
 
-import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -69,10 +68,10 @@ def read_materialized_view(
 
 
 def drop_materialized_view(catalog: Catalog, name: str) -> None:
+    from bemidb_spark.sources.writer import drop_table_files
+
     catalog.drop_matview(MATVIEW_SCHEMA, name)
-    loc = catalog.drop_table(MATVIEW_SCHEMA, name)
-    if loc:
-        shutil.rmtree(loc, ignore_errors=True)
+    drop_table_files(catalog, MATVIEW_SCHEMA, name)
 
 
 def rename_materialized_view(catalog: Catalog, name: str, new_name: str) -> None:

@@ -85,22 +85,64 @@ def write_bucketed_table(
     return loc
 
 
+# superseded snapshots retained per table before auto-expiry (time travel +
+# in-flight reader safety; reference keeps a snapshot log,
+# storage_utils.go:371-496)
+SNAPSHOT_RETENTION = 3
+
+
 def replace_table(
     catalog: Catalog,
     schema: str,
     table: str,
     df: DataFrame,
     n_files: int | None = None,
-    drop_old: bool = True,
+    drop_old: bool = False,
 ) -> str:
-    """Full-refresh: write df to a fresh location, swap the catalog pointer."""
+    """Full-refresh: write df to a fresh location, swap the catalog pointer.
+
+    The superseded location is NOT deleted: it joins the snapshot log, so
+    readers that resolved the old location keep working and `read_table_at`
+    can time-travel. Snapshots beyond SNAPSHOT_RETENTION are expired
+    (deleted) automatically; pass drop_old=True for the old eager behavior.
+    """
     loc = catalog.new_location(schema, table)
     out = df.repartition(n_files) if n_files else df
     out.write.mode("overwrite").parquet(loc)
     old = catalog.commit_table(schema, table, loc, _columns_meta(df))
     if old and drop_old:
-        shutil.rmtree(old, ignore_errors=True)
+        for expired in catalog.prune_snapshots(schema, table, keep=0):
+            shutil.rmtree(expired, ignore_errors=True)
+    else:
+        expire_snapshots(catalog, schema, table, keep=SNAPSHOT_RETENTION)
     return loc
+
+
+def read_table_at(
+    spark: SparkSession, catalog: Catalog, schema: str, table: str, age: int = 1
+) -> DataFrame:
+    """Time-travel read: ``age`` swaps ago (1 = the snapshot just replaced)."""
+    snaps = catalog.snapshots(schema, table)
+    if age < 1 or age > len(snaps):
+        raise KeyError(f"no snapshot {age} swaps back for {schema}.{table}")
+    df = spark.read.parquet(snaps[-age]["location"])
+    return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+
+def expire_snapshots(
+    catalog: Catalog, schema: str, table: str, keep: int = 0
+) -> int:
+    """Delete snapshot locations beyond ``keep`` (Iceberg expire_snapshots)."""
+    expired = catalog.prune_snapshots(schema, table, keep)
+    for loc in expired:
+        shutil.rmtree(loc, ignore_errors=True)
+    return len(expired)
+
+
+def drop_table_files(catalog: Catalog, schema: str, table: str) -> None:
+    """Drop a table and delete its live + snapshot locations."""
+    for loc in catalog.drop_table_locations(schema, table):
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def append_with_cursor(

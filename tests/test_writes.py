@@ -175,3 +175,40 @@ def test_bucketed_delete_prunes_and_handles_emptied_bucket(spark, catalog):
     remaining = {r.k for r in read_table(spark, catalog, "s", "d").collect()}
     assert remaining == {r.k for r in all_rows} - set(bucket2_keys) - {other_key}
     assert not any(p.startswith("_kb=2/") for p in after)  # emptied dir removed
+
+
+def test_snapshot_history_time_travel_and_inflight_readers(spark, catalog):
+    from bemidb_spark.sources.writer import expire_snapshots, read_table_at
+
+    v1 = spark.range(5).withColumn("v", F.lit("one"))
+    replace_table(catalog, "s", "h", v1)
+    reader_v1 = read_table(spark, catalog, "s", "h")  # resolves v1 location
+    v2 = spark.range(7).withColumn("v", F.lit("two"))
+    replace_table(catalog, "s", "h", v2)
+
+    # in-flight reader of the superseded snapshot still works (no rmtree)
+    assert reader_v1.count() == 5
+    # time travel: one swap back is v1
+    assert read_table_at(spark, catalog, "s", "h", age=1).count() == 5
+    assert read_table(spark, catalog, "s", "h").count() == 7
+
+    v3 = spark.range(2).withColumn("v", F.lit("three"))
+    replace_table(catalog, "s", "h", v3)
+    assert read_table_at(spark, catalog, "s", "h", age=2).count() == 5
+    assert len(catalog.snapshots("s", "h")) == 2
+
+    # expiry deletes files and trims the log
+    import os
+    old_loc = catalog.snapshots("s", "h")[0]["location"]
+    assert os.path.exists(old_loc)
+    assert expire_snapshots(catalog, "s", "h", keep=1) == 1
+    assert not os.path.exists(old_loc)
+    assert len(catalog.snapshots("s", "h")) == 1
+
+
+def test_snapshot_retention_bounds_disk(spark, catalog):
+    from bemidb_spark.sources.writer import SNAPSHOT_RETENTION
+
+    for i in range(SNAPSHOT_RETENTION + 3):
+        replace_table(catalog, "s", "r", spark.range(i + 1))
+    assert len(catalog.snapshots("s", "r")) == SNAPSHOT_RETENTION
