@@ -85,6 +85,8 @@ class PgSession:
         # per-query planning cost dominates the suite (see bench.py).
         self._plan_cache: dict[str, DataFrame] = {}
         self._catalog_version = catalog.version() if catalog is not None else 0
+        self._qualify_re: re.Pattern | None = None
+        self._qualify_re_version: int | None = None
         self.settings: dict[str, str] = {
             "search_path": '"$user", public',
             "timezone": "UTC",
@@ -266,11 +268,24 @@ class PgSession:
         self._plan_cache.clear()
 
     def _qualify_catalog_tables(self, sql: str) -> str:
-        """schema.table -> schema_table view names for catalog tables (B3)."""
+        """schema.table -> schema_table view names for catalog tables (B3).
+
+        One combined regex pass (not one per table): the alternation is built
+        from the catalog once per catalog version, and queries that reference
+        no qualified name skip the substitution entirely.
+        """
         if self.catalog is None:
             return sql
-        for key in self.catalog.tables():
-            schema, table = key.split(".", 1)
-            sql = re.sub(rf"\b{re.escape(schema)}\.{re.escape(table)}\b",
-                         f"{schema}_{table}", sql)
-        return sql
+        version = self.catalog.version()
+        if self._qualify_re_version != version:
+            keys = [k for k in self.catalog.tables() if "." in k]
+            self._qualify_re = (
+                re.compile(
+                    r"\b(" + "|".join(re.escape(k) for k in sorted(keys)) + r")\b"
+                )
+                if keys else None
+            )
+            self._qualify_re_version = version
+        if self._qualify_re is None or "." not in sql:
+            return sql
+        return self._qualify_re.sub(lambda m: m.group(1).replace(".", "_"), sql)
