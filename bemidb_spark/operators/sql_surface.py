@@ -221,6 +221,50 @@ _ARR_DUCK = """
 _register_sql("array_agg_types", _ARR_SPARK, _ARR_DUCK)
 
 # ---------------------------------------------------------------------------
+# ORDER-inside-aggregate: string_agg with a deterministic element order
+# (pg `string_agg(x, ',' ORDER BY x)`; Spark 4 spells it WITHIN GROUP)
+# ---------------------------------------------------------------------------
+_STRAGG_SPARK = """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',') WITHIN GROUP (ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""
+_STRAGG_DUCK = """
+    SELECT r.r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""
+_register_sql("string_agg_ordered", _STRAGG_SPARK, _STRAGG_DUCK)
+
+# ---------------------------------------------------------------------------
+# ARRAY(SELECT ...) sublink: pg/DuckDB array-from-subquery; Spark expresses
+# the same semantics as a correlated scalar subquery over collect_list
+# (the transpiler rewrites the sorted uncorrelated form the same way)
+# ---------------------------------------------------------------------------
+_ARRSUB_SPARK = """
+    SELECT r.r_name,
+           to_json((SELECT array_sort(collect_list(n.n_name))
+                    FROM nation n WHERE n.n_regionkey = r.r_regionkey)) AS nations
+    FROM region r
+    ORDER BY r.r_name
+"""
+_ARRSUB_DUCK = """
+    SELECT r.r_name,
+           to_json(ARRAY(SELECT n.n_name FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                         ORDER BY n.n_name)) AS nations
+    FROM region r
+    ORDER BY r.r_name
+"""
+_register_sql("array_sublink_regions", _ARRSUB_SPARK, _ARRSUB_DUCK)
+
+# ---------------------------------------------------------------------------
 # VALUES list joined against data
 # ---------------------------------------------------------------------------
 _VALUES = """

@@ -229,6 +229,14 @@ def _rewrite_functions(sql: str) -> str:
     )
     # close the extra paren opened by the collect_list rewrite
     sql = _balance_double_open(sql, "to_json(collect_list(")
+    # pg ORDER-inside-agg: string_agg(x, ',' ORDER BY y) -> Spark's
+    # string_agg(x, ',') WITHIN GROUP (ORDER BY y)
+    sql = re.sub(
+        r"\bstring_agg\s*\(([^,()]+),\s*(\x00\d+\x00)\s+ORDER\s+BY\s+([^()]+?)\s*\)",
+        r"string_agg(\1, \2) WITHIN GROUP (ORDER BY \3)",
+        sql,
+        flags=re.IGNORECASE,
+    )
     sql = re.sub(r"\bstring_agg\s*\(", "concat_ws_agg_placeholder(", sql, flags=re.IGNORECASE)
     sql = sql.replace("concat_ws_agg_placeholder(", "string_agg(")  # Spark 4 has string_agg
     sql = re.sub(r"\barray_upper\s*\(\s*([^,()]+)\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
@@ -328,6 +336,20 @@ def _rewrite_pg_macros(sql: str) -> str:
     return sql
 
 
+def _rewrite_array_sublink(sql: str) -> str:
+    """ARRAY(SELECT x FROM ... ORDER BY x) -> array_sort(collect_list(x))
+    scalar subquery (the sorted sublink form clients actually send; pg's
+    ARRAY sublink, parser reference query_remapper_select.go ARRAY handling).
+    Unordered or differently-ordered sublinks are left for Spark to reject
+    loudly rather than silently reordering."""
+    return re.sub(
+        r"ARRAY\s*\(\s*SELECT\s+(\w+(?:\.\w+)?)\s+FROM\s+(.*?)\s+ORDER\s+BY\s+\1\s*\)",
+        r"(SELECT array_sort(collect_list(\1)) FROM \2)",
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+
+
 def _rewrite_tables(sql: str) -> str:
     """pg_catalog.x / information_schema.x → emulation view names (B5/B6)."""
     sql = re.sub(
@@ -353,7 +375,10 @@ _SCALAR_CONTEXT = re.compile(
     r"(=|<>|<=|>=|<|>|\+|-|\*|/|\|\||\bSELECT\b|\bWHEN\b|\bTHEN\b|\bELSE\b)\s*$",
     re.IGNORECASE,
 )
-_TOP_AGG = re.compile(r"\b(?:MIN|MAX|SUM|AVG|COUNT)\s*\(", re.IGNORECASE)
+_TOP_AGG = re.compile(
+    r"\b(?:MIN|MAX|SUM|AVG|COUNT|COLLECT_LIST|COLLECT_SET|ARRAY_AGG|STRING_AGG|LISTAGG)\s*[(#]",
+    re.IGNORECASE,
+)
 
 
 def _inject_scalar_limit(sql: str) -> str:
@@ -386,10 +411,12 @@ def _inject_scalar_limit(sql: str) -> str:
                     break
             j += 1
         body = sql[m.start() + 1:j]
-        # top-level text only (mask nested parens) for LIMIT/agg detection
-        top = re.sub(r"\([^()]*\)", "()", body)
-        while "(" in top:
-            top = re.sub(r"\([^()]*\)", "()", top)
+        # top-level text only (mask nested parens with a paren-free token so
+        # the reduction terminates) for LIMIT/agg detection
+        top, prev_top = body, None
+        while prev_top != top:
+            prev_top = top
+            top = re.sub(r"\([^()]*\)", "#", top)
         if re.search(r"\bLIMIT\b", top, re.IGNORECASE) or _TOP_AGG.search(top):
             out.append(sql[i:j])
             i = j
@@ -455,6 +482,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_quoted_idents(shielded)
     shielded = _alias_bare_literals(shielded)
     shielded = _rewrite_tables(shielded)
+    shielded = _rewrite_array_sublink(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)
     shielded = _rewrite_any_string_array(shielded, literals)
