@@ -1,0 +1,258 @@
+"""Corpus-curation operators: decontamination, repetition filters, duplicate
+clustering, and n-gram familiarity scoring over the `documents` table.
+
+The reference engine has no corpus-curation surface (it is a pass-through SQL
+engine); these are training-data-pipeline extensions in the same family as
+`operators/dedup.py`, built as pure relational pipelines so the identical plan
+runs at 100 TB:
+
+- **decontamination**: flag training docs that share >= K distinct word
+  5-grams with an eval split (here: `source = 'src0'`). The eval shingle set
+  is tiny relative to the corpus, so at scale the shingle join is a broadcast
+  hash join against a full scan of the train side — no shuffle of the corpus;
+  the per-doc distinct-overlap count is a map-side-combinable aggregation on
+  doc_id. This is the standard n-gram-overlap decontamination used for
+  benchmark leakage checks.
+- **repetition**: Gopher-style per-document repetition signals — duplicate-
+  word fraction and most-frequent-bigram fraction — as per-row explode +
+  two-level aggregate. All ratios are INT/INT computed in IEEE double (one
+  correctly-rounded division), so both engines agree bit-for-bit.
+- **dup_clusters**: connected components over the MinHash-LSH near-dup pair
+  graph (edges from `dedup.dedup_minhash_lsh`), via iterative min-label
+  propagation in Spark (each round = one shuffle join; rounds = cluster
+  diameter, which is tiny for dup clusters). The DuckDB oracle computes the
+  same components with a recursive transitive closure. At 100 TB the
+  propagation loop is the standard big-graph CC shape (alternating-star
+  variants halve round count; diameter of dup clusters rarely exceeds ~4).
+- **familiarity**: per-doc mean corpus-frequency of its bigrams — a cheap
+  LM-free fluency/quality proxy (docs made of corpus-rare bigrams score low).
+  Corpus counts shuffle once on bigram, then join back to doc bigrams; at
+  scale the counts table can be replaced by a count-min sketch broadcast.
+
+Every query has a DuckDB oracle producing bit-identical values (see
+`_xengine` for the cross-engine primitives and determinism rules).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bemidb_spark.operators._xengine import shingles, words
+from bemidb_spark.operators.dedup import _minhash_sql
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+EVAL_SOURCE = "src0"  # the held-out "benchmark" split
+DECON_NGRAM = 5
+DECON_MIN_SHARED = 5
+DUP_WORD_MAX = 0.5  # Gopher-style thresholds for the keep flag
+TOP_BIGRAM_MAX = 0.12
+CC_MAX_ROUNDS = 12
+
+
+def _register_sql(name: str, spark_sql: str, duck_sql: str) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql
+
+
+# ---------------------------------------------------------------------------
+# decontamination: eval-split n-gram overlap
+# ---------------------------------------------------------------------------
+def _decontaminate_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", DECON_NGRAM, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    if spark:
+        expl = (
+            f"SELECT doc_id, source, s FROM "
+            f"(SELECT doc_id, source, {distinct}({sh}) AS sh "
+            f" FROM (SELECT doc_id, source, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(sh) t AS s"
+        )
+    else:
+        expl = (
+            f"SELECT doc_id, source, unnest({distinct}({sh})) AS s "
+            f"FROM (SELECT doc_id, source, {w} AS w FROM documents)"
+        )
+    return f"""
+    WITH sh AS ({expl}),
+    ev AS (SELECT DISTINCT s FROM sh WHERE source = '{EVAL_SOURCE}'),
+    hits AS (
+      SELECT t.doc_id, COUNT(DISTINCT t.s) AS n_shared
+      FROM sh t JOIN ev ON t.s = ev.s
+      WHERE t.source <> '{EVAL_SOURCE}'
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_shared, 0) AS shared_ngrams,
+           CASE WHEN COALESCE(h.n_shared, 0) >= {DECON_MIN_SHARED}
+                THEN 1 ELSE 0 END AS contaminated
+    FROM documents d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.source <> '{EVAL_SOURCE}'
+    ORDER BY d.doc_id
+    """
+
+
+_register_sql("decontaminate_eval_overlap", _decontaminate_sql(True), _decontaminate_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# repetition / boilerplate signals (Gopher-style)
+# ---------------------------------------------------------------------------
+def _repetition_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    bg = shingles("w", 2, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    if spark:
+        expl = (
+            f"SELECT doc_id, b FROM (SELECT doc_id, {bg} AS bgs "
+            f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(bgs) t AS b"
+        )
+    else:
+        expl = (
+            f"SELECT doc_id, unnest({bg}) AS b "
+            f"FROM (SELECT doc_id, {w} AS w FROM documents)"
+        )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {size}(w) AS n_words, {size}({distinct}(w)) AS n_distinct
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    bg AS ({expl}),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+    agg AS (SELECT doc_id, MAX(c) AS max_bg, SUM(c) AS tot_bg FROM bgc GROUP BY doc_id)
+    SELECT b.doc_id,
+           b.n_words,
+           CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words AS dup_word_frac,
+           CAST(a.max_bg AS DOUBLE) / a.tot_bg AS top_bigram_frac,
+           CASE WHEN CAST(b.n_words - b.n_distinct AS DOUBLE) / b.n_words <= {DUP_WORD_MAX}
+                 AND CAST(a.max_bg AS DOUBLE) / a.tot_bg <= {TOP_BIGRAM_MAX}
+                THEN 1 ELSE 0 END AS keep
+    FROM base b JOIN agg a ON b.doc_id = a.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+_register_sql("repetition_filter", _repetition_sql(True), _repetition_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# bigram familiarity: mean corpus-frequency of a doc's bigrams
+# ---------------------------------------------------------------------------
+def _familiarity_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    bg = shingles("w", 2, spark=spark)
+    if spark:
+        expl = (
+            f"SELECT doc_id, b FROM (SELECT doc_id, {bg} AS bgs "
+            f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(bgs) t AS b"
+        )
+    else:
+        expl = (
+            f"SELECT doc_id, unnest({bg}) AS b "
+            f"FROM (SELECT doc_id, {w} AS w FROM documents)"
+        )
+    return f"""
+    WITH bg AS ({expl}),
+    corpus AS (SELECT b, COUNT(*) AS cnt FROM bg GROUP BY b)
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(c.cnt) AS DOUBLE) / COUNT(*) AS avg_bigram_freq
+    FROM bg JOIN corpus c ON bg.b = c.b
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """
+
+
+_register_sql("bigram_familiarity", _familiarity_sql(True), _familiarity_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over MinHash near-dup pairs
+# ---------------------------------------------------------------------------
+def _dup_clusters_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label propagation over the near-dup pair graph.
+
+    Each round: label(v) <- min(label(v), min over neighbors label(u)) — one
+    shuffle join per round, rounds bounded by cluster diameter (checked with a
+    cheap changed-count; dup clusters converge in a handful of rounds). The
+    edge set comes from the LSH candidate pipeline, so nothing here is
+    all-pairs. Returns (doc_id, cluster_id, cluster_size, is_canonical).
+    """
+    register_views(spark, sf_dir)
+    pairs = spark.sql(f"SELECT doc_a, doc_b FROM ({_minhash_sql(True)})")
+    und = pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    und = und.persist()
+    labels = (
+        und.select(F.col("doc_a").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nbr_min = (
+            und.join(labels, und.doc_b == labels.doc_id)
+            .groupBy(und.doc_a.alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select("doc_id", F.least("label", F.coalesce("nbr_label", "label")).alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            "cluster_size",
+            F.when(F.col("doc_id") == F.col("label"), 1).otherwise(0).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DUP_CLUSTERS_DUCK = f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql(False)})),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, s.cluster_size,
+           CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS is_canonical
+    FROM labels l JOIN sizes s ON l.cluster_id = s.cluster_id
+    ORDER BY l.doc_id
+"""
+
+QUERIES["dedup_dup_clusters"] = _dup_clusters_spark
+ORACLES["dedup_dup_clusters"] = _DUP_CLUSTERS_DUCK

@@ -10,11 +10,11 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from bemidb_spark.operators import dedup, similarity, text
+from bemidb_spark.operators import curation, dedup, similarity, text
 from bemidb_spark.oracle import compare
 
 ALL = {}
-for mod in (dedup, similarity, text):
+for mod in (dedup, similarity, text, curation):
     ALL.update({name: (mod.QUERIES[name], mod.ORACLES[name]) for name in mod.QUERIES})
 
 
@@ -185,3 +185,35 @@ def test_simhash64_banding_exact_and_pruning(spark, sf_dir):
         assert cands < 0.05 * n * (n - 1) / 2
     finally:
         register_views(spark, sf_dir)  # restore the shared documents view
+
+
+def test_decontamination_flags_planted_eval_dups(spark, sf_dir_med):
+    """Docs sharing many 5-grams with the eval split (near-copies of eval
+    docs) must be flagged; unrelated docs must not be."""
+    df = curation.QUERIES["decontaminate_eval_overlap"](spark, sf_dir_med)
+    rows = df.collect()
+    flagged = [r for r in rows if r.contaminated == 1]
+    assert len(flagged) >= 1
+    # flagged docs share far more 5-grams than the unflagged background
+    assert min(r.shared_ngrams for r in flagged) >= curation.DECON_MIN_SHARED
+    clean = [r.shared_ngrams for r in rows if r.contaminated == 0]
+    assert max(clean, default=0) < curation.DECON_MIN_SHARED
+
+
+def test_dup_clusters_cover_pairs_and_pick_min_canonical(spark, sf_dir_med):
+    """Every near-dup pair must land in one cluster; the canonical member is
+    the cluster min; sizes are consistent."""
+    pairs = {(r.doc_a, r.doc_b)
+             for r in spark.sql(dedup._minhash_sql(True)).collect()}
+    labels = {r.doc_id: (r.cluster_id, r.cluster_size, r.is_canonical)
+              for r in curation.QUERIES["dedup_dup_clusters"](spark, sf_dir_med).collect()}
+    assert pairs, "corpus has planted near-dup pairs"
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0], (a, b)
+    from collections import Counter
+
+    members = Counter(cl for cl, _, _ in labels.values())
+    for doc, (cl, size, canon) in labels.items():
+        assert size == members[cl]
+        assert canon == (1 if doc == cl else 0)
+        assert cl <= doc
