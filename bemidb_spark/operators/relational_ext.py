@@ -215,3 +215,55 @@ def _pipeline(spark: bool) -> str:
 
 
 _register_sql("pipeline_training_subset", _pipeline(True), _pipeline(False))
+
+
+# ---------------------------------------------------------------------------
+# range join: same-user event pairs within ±5 minutes, bucketed equi-join
+# ---------------------------------------------------------------------------
+RANGE_US = 300_000_000  # ±5 minutes in microseconds
+
+
+def _range_join(spark: bool) -> str:
+    """Time-range self-join via bucketing.
+
+    The naive plan for `a.ts BETWEEN b.ts - Δ AND b.ts + Δ` is a
+    broadcast-nested-loop / cartesian per user — O(n²) at scale. Bucketing
+    time into Δ-sized bins and probing the 3 adjacent bins turns it into an
+    equi-join on (user_id, bucket): every qualifying pair shares a bin with
+    one of the probe keys (|Δt| ≤ Δ ⇒ bins differ by ≤ 1), so the bucketed
+    join is exact, and each pair matches exactly one probe bin (b's own bin).
+    One shuffle on (user_id, bucket); no range predicate reaches the join.
+    The DuckDB oracle runs the naive theta join — same result, different plan.
+    """
+    if spark:
+        e = ("SELECT event_id, user_id, unix_micros(CAST(ts AS TIMESTAMP)) AS us "
+             "FROM events")
+        probe = (f"SELECT event_id, user_id, us, probe_bkt FROM "
+                 f"(SELECT event_id, user_id, us, CAST(floor(us / {RANGE_US}) AS BIGINT) AS bkt FROM e) "
+                 f"LATERAL VIEW explode(array(bkt - 1, bkt, bkt + 1)) t AS probe_bkt")
+        return f"""
+    WITH e AS ({e}),
+    probes AS ({probe}),
+    build AS (SELECT event_id, user_id, us,
+                     CAST(floor(us / {RANGE_US}) AS BIGINT) AS bkt FROM e)
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           b.us - a.us AS dt_us
+    FROM probes a
+    JOIN build b
+      ON a.user_id = b.user_id AND a.probe_bkt = b.bkt
+         AND a.event_id < b.event_id
+    WHERE abs(a.us - b.us) <= {RANGE_US}
+    ORDER BY event_a, event_b
+    """
+    return f"""
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id,
+           b.us - a.us AS dt_us
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND abs(a.us - b.us) <= {RANGE_US}
+    ORDER BY event_a, event_b
+    """
+
+
+_register_sql("range_join_close_events", _range_join(True), _range_join(False))

@@ -188,3 +188,29 @@ ORACLES["streaming_session_windows"] = """
     GROUP BY user_id, session_no
     ORDER BY user_id, session_start
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming exact dedup: first-seen (user_id, event_type) keys
+# ---------------------------------------------------------------------------
+def _dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming `dropDuplicates` on the key columns — the stateful exact-
+    dedup shape: state = seen-key hash table, each micro-batch emits only
+    first-seen keys (append mode). Only the key columns are projected, so the
+    result is deterministic regardless of which physical row arrived first.
+    In production the state is bounded with ``dropDuplicatesWithinWatermark``
+    (keys expire after the lateness horizon); the bounded-input test keeps
+    full state so the streaming answer equals batch DISTINCT exactly.
+    """
+    ev = _events_stream(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+    table = _run_to_memory(dedup, "stream_dedup", output_mode="append")
+    return spark.sql(f"SELECT user_id, event_type FROM {table} ORDER BY user_id, event_type")
+
+
+QUERIES["streaming_dedup_keys"] = _dedup_keys
+ORACLES["streaming_dedup_keys"] = """
+    SELECT DISTINCT user_id, event_type
+    FROM events
+    ORDER BY user_id, event_type
+"""

@@ -70,3 +70,13 @@ def test_ngram_top_bigrams_no_global_sort(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The ±Δt self-join must plan as a hash/sort-merge equi-join on
+    (user_id, bucket) — never a nested-loop/cartesian per user."""
+    from bemidb_spark.operators import relational_ext
+
+    df = relational_ext.QUERIES["range_join_close_events"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
