@@ -24,12 +24,12 @@ warm, already-running server — reference Makefile:66-68, README.md:259-270:
      submitted concurrently (16 client threads, FAIR scheduler) — single-node
      *throughput*; the reference server also serves concurrent clients.
 
-Small-scale engine profile: whole-stage codegen is disabled and shuffle
-partitions lowered for the measured session ONLY because at SF≤1 per-query
-codegen compilation dominates actual compute; at cluster scale the defaults in
-``build_session`` (codegen on, AQE) are the right call — this is a stats-based
-engine choice, not a semantic change. Set SPARK_GRAFT_BENCH_SCALE_CONF=1 to
-keep the scale-ready defaults and report that profile instead.
+Engine profile: the scale-ready defaults from ``build_session`` (whole-stage
+codegen on, AQE) are used as-is — with prepared plans the per-query codegen
+compilation happens once during warm-up, exactly as on a warm server, so the
+round-1 small-data profile (codegen off) is no longer needed and both profiles
+measure within noise of each other. Set SPARK_GRAFT_BENCH_SMALL_CONF=1 to
+reproduce the old small-data profile.
 
 Prints ONE JSON line:
   {"metric": "tpch_22q_total", "value": <sequential sec>, "unit": "sec",
@@ -53,7 +53,7 @@ from bemidb_spark.warehouse import ensure_warehouse
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
-SCALE_CONF = os.environ.get("SPARK_GRAFT_BENCH_SCALE_CONF") == "1"
+SMALL_CONF = os.environ.get("SPARK_GRAFT_BENCH_SMALL_CONF") == "1"
 
 
 def main() -> None:
@@ -63,8 +63,8 @@ def main() -> None:
         extra_conf={"spark.scheduler.mode": "FAIR"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    if not SCALE_CONF:
-        # Small-data profile (see module docstring).
+    if SMALL_CONF:
+        # Round-1 small-data profile (see module docstring).
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
 
@@ -130,7 +130,7 @@ def main() -> None:
         "concurrent_samples": samples,
         "prepare_sec": prepare_sec,
         "ingest_sec": ingest_sec,
-        "scale_conf": SCALE_CONF,
+        "scale_conf": not SMALL_CONF,
     }))
 
 
