@@ -405,3 +405,27 @@ def _date_funcs(spark: bool) -> str:
 
 
 _register_sql("date_funcs_battery", _date_funcs(True), _date_funcs(False))
+
+
+# ---------------------------------------------------------------------------
+# LATERAL join: correlated top-N subquery per outer row (pg JOIN LATERAL;
+# Spark plans it as a LateralJoin over a correlated subquery — the top-2
+# orders per customer shape ORMs and report tools generate)
+# ---------------------------------------------------------------------------
+_LATERAL_SPARK = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+_LATERAL_DUCK = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+"""
+_register_sql("lateral_topn_per_customer", _LATERAL_SPARK, _LATERAL_DUCK)
