@@ -429,3 +429,47 @@ _LATERAL_DUCK = """
     ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
 """
 _register_sql("lateral_topn_per_customer", _LATERAL_SPARK, _LATERAL_DUCK)
+
+
+# ---------------------------------------------------------------------------
+# exact ordered-set aggregates: percentile_cont WITHIN GROUP (pg 9.4+ form);
+# identical linear-interpolation arithmetic in both engines (verified
+# bit-exact), unlike the sketch-based approx_quantiles entry
+# ---------------------------------------------------------------------------
+_PCTL = """
+    SELECT event_type,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+_register_sql("percentile_event_values", _PCTL)
+
+
+# ---------------------------------------------------------------------------
+# regexp scalar battery: extract / replace / match over document metadata
+# (pg ~, substring(x from 'pat'), regexp_replace; the basic POSIX-class
+# pattern subset is semantics-identical across Spark's Java regex and
+# DuckDB's RE2)
+# ---------------------------------------------------------------------------
+def _regex_sql(spark: bool) -> str:
+    # Partial-match predicate on both sides: Spark RLIKE and DuckDB
+    # regexp_matches are both unanchored (pg ~); DuckDB's SIMILAR TO would be
+    # full-match and silently diverge on strings with surrounding text.
+    match = (f"source RLIKE 'src[0-9]+'" if spark
+             else "regexp_matches(source, 'src[0-9]+')")
+    return f"""
+    SELECT source,
+           CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_num,
+           regexp_replace(source, '[0-9]+', '#') AS masked,
+           CASE WHEN {match} THEN 1 ELSE 0 END AS is_src,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+_register_sql("regex_funcs_battery", _regex_sql(True), _regex_sql(False))
