@@ -125,6 +125,25 @@ def _array_elem(s: str | None) -> str:
     return s
 
 
+_COPY_OUT_RE = re.compile(
+    r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.\"]*(?:\s*\([^)]*\))?)\s+TO\s+STDOUT\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _copy_text_escape(v: str) -> str:
+    """pg COPY text-format escapes: backslash, tab, newline, CR."""
+    return (v.replace("\\", "\\\\").replace("\t", "\\t")
+             .replace("\n", "\\n").replace("\r", "\\r"))
+
+
+def _csv_field(v: str) -> str:
+    """CSV quoting per pg COPY CSV: quote when delimiter/quote/EOL present."""
+    if any(c in v for c in (',', '"', '\n', '\r')):
+        return '"' + v.replace('"', '""') + '"'
+    return v
+
+
 def _tag_for(sql: str, n_rows: int) -> str:
     head = sql.strip().split()[0].upper() if sql.strip() else "SELECT"
     if head in ("SELECT", "WITH", "VALUES", "TABLE", "SHOW"):
@@ -296,11 +315,48 @@ class _Conn:
 
     # ------------------------------------------------------------ statements
     def _run_statement(self, sql: str) -> None:
+        if _COPY_OUT_RE.match(sql):
+            self._run_copy_out(sql)
+            return
         df = self.session.execute(sql)
         rows = df.collect()
         self._send_row_description(df)
         n = self._send_rows(df, rows)
         self._send(b"C", _tag_for(sql, n).encode() + b"\x00")
+
+    # ------------------------------------------------------------- COPY OUT
+    # Beyond-reference: the reference server has no COPY support at all, but
+    # psql's \copy and every bulk-export client sends `COPY … TO STDOUT`.
+    # Subset: COPY ( query ) TO STDOUT and COPY table [(cols)] TO STDOUT,
+    # text format (pg default: tab fields, \N nulls, backslash escapes) and
+    # CSV via `WITH (FORMAT CSV [, HEADER])` or legacy `[WITH] CSV [HEADER]`.
+    def _run_copy_out(self, sql: str) -> None:
+        m = _COPY_OUT_RE.match(sql)
+        target, opts = m.group(1).strip(), (m.group(2) or "")
+        if target.startswith("("):
+            query = target[1:-1]
+        else:
+            tm = re.match(r"([A-Za-z_][\w.\"]*)\s*(?:\(([^)]*)\))?\s*$", target)
+            cols = tm.group(2).strip() if tm.group(2) else "*"
+            query = f"SELECT {cols} FROM {tm.group(1)}"
+        csv = re.search(r"\bCSV\b|FORMAT\s+CSV", opts, re.IGNORECASE) is not None
+        header = csv and re.search(r"\bHEADER(\s+TRUE|\s*\)|\s|$)", opts, re.IGNORECASE) is not None
+        df = self.session.execute(query)
+        rows = df.collect()
+        fields = list(df.schema.fields)
+        ncols = len(fields)
+        self._send(b"H", struct.pack("!BH", 0, ncols) + struct.pack(f"!{ncols}H", *([0] * ncols)))
+        if header:
+            self._send(b"d", (",".join(_csv_field(f.name) for f in fields) + "\n").encode())
+        for row in rows:
+            vals = [_encode_value(row[i], fields[i].dataType, fields[i]) for i in range(ncols)]
+            if csv:
+                line = ",".join("" if v is None else _csv_field(v) for v in vals)
+            else:
+                line = "\t".join("\\N" if v is None else _copy_text_escape(v) for v in vals)
+            self._send(b"d", (line + "\n").encode())
+        self._send(b"c", b"")
+        self._send(b"C", f"COPY {len(rows)}".encode() + b"\x00")
 
     def _split_statements(self, sql: str) -> list[str]:
         """Split on top-level ';' — aware of '…' strings, $tag$…$tag$ dollar

@@ -132,8 +132,12 @@ class MiniPgClient:
     # -------------------------------------------------------------- parsing
     @staticmethod
     def _collect(messages: list[tuple[bytes, bytes]]) -> dict:
-        out: dict = {"columns": [], "oids": [], "rows": [], "tags": [], "errors": []}
+        out: dict = {"columns": [], "oids": [], "rows": [], "tags": [], "errors": [],
+                     "copy_data": []}
         for t, body in messages:
+            if t == b"d":  # CopyData (COPY … TO STDOUT)
+                out["copy_data"].append(body.decode())
+                continue
             if t == b"T":
                 (n,) = struct.unpack_from("!H", body, 0)
                 off = 2

@@ -252,3 +252,34 @@ def test_execute_row_limit_and_portal_suspension(client):
     assert len(rows) == 5
     tag = next(b for t, b in msgs if t == b"C")
     assert tag.rstrip(b"\x00") == b"SELECT 5"
+
+
+def test_copy_out_text_format(client):
+    """COPY (query) TO STDOUT: text format — tab fields, \\N nulls."""
+    r = client.query(
+        "COPY (SELECT r_regionkey, r_name, NULLIF(r_name, 'ASIA') AS n "
+        "FROM region ORDER BY r_regionkey) TO STDOUT")
+    assert r["tags"] == ["COPY 5"]
+    assert r["errors"] == []
+    lines = [l.rstrip("\n") for l in r["copy_data"]]
+    assert lines[0].split("\t")[:2] == ["0", "AFRICA"]
+    asia = [l for l in lines if l.startswith("2\t")][0]
+    assert asia.split("\t") == ["2", "ASIA", "\\N"]
+
+
+def test_copy_out_csv_header_and_table_form(client):
+    """COPY table (cols) TO STDOUT WITH (FORMAT CSV, HEADER)."""
+    r = client.query(
+        "COPY region (r_regionkey, r_name) TO STDOUT WITH (FORMAT CSV, HEADER)")
+    assert r["tags"] == ["COPY 5"]
+    lines = [l.rstrip("\n") for l in r["copy_data"]]
+    assert lines[0] == "r_regionkey,r_name"
+    assert len(lines) == 6
+    assert any(l.endswith(",EUROPE") for l in lines[1:])
+
+
+def test_copy_out_csv_quoting(client):
+    """Values containing the delimiter/quote are CSV-quoted and doubled."""
+    r = client.query(
+        "COPY (SELECT 'a,b' AS x, 'q\"t' AS y, 'plain' AS z) TO STDOUT CSV")
+    assert r["copy_data"] == ['"a,b","q""t",plain\n']
