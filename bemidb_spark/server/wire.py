@@ -29,6 +29,7 @@ import uuid as uuid_mod
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bemidb_spark.pgcompat.session import PgSession, UnsupportedQueryError
@@ -129,6 +130,24 @@ _COPY_OUT_RE = re.compile(
     r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.\"]*(?:\s*\([^)]*\))?)\s+TO\s+STDOUT\s*(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_COPY_IN_RE = re.compile(
+    r"^\s*COPY\s+([A-Za-z_][\w.\"]*)\s*(?:\(([^)]*)\))?\s+FROM\s+STDIN\s*(.*?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _copy_text_unescape(v: str) -> str:
+    out, i, n = [], 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "\\" and i + 1 < n:
+            nxt = v[i + 1]
+            out.append({"t": "\t", "n": "\n", "r": "\r", "\\": "\\"}.get(nxt, nxt))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
 
 
 def _copy_text_escape(v: str) -> str:
@@ -171,6 +190,7 @@ class _Conn:
         auth_method: str = "cleartext",
     ):
         self.sock = sock
+        self.spark = spark
         self.password = password
         self.auth_method = auth_method
         self.session = PgSession(spark, catalog)
@@ -314,9 +334,17 @@ class _Conn:
         return True
 
     # ------------------------------------------------------------ statements
+    def _read_message(self) -> tuple[bytes, bytes]:
+        msg_type = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        return msg_type, self._recv_exact(length - 4)
+
     def _run_statement(self, sql: str) -> None:
         if _COPY_OUT_RE.match(sql):
             self._run_copy_out(sql)
+            return
+        if _COPY_IN_RE.match(sql):
+            self._run_copy_in(sql)
             return
         df = self.session.execute(sql)
         rows = df.collect()
@@ -357,6 +385,106 @@ class _Conn:
             self._send(b"d", (line + "\n").encode())
         self._send(b"c", b"")
         self._send(b"C", f"COPY {len(rows)}".encode() + b"\x00")
+
+    # -------------------------------------------------------------- COPY IN
+    # Beyond-reference bulk load: `COPY table [(cols)] FROM STDIN` appends
+    # parquet files to the catalog table's live location — the same
+    # append-new-files-only path as the cursor syncer, so a bulk load never
+    # rewrites existing data (bucketed tables get their `_kb=` partition
+    # computed so partition-pruned MERGE keeps working afterwards).
+    def _run_copy_in(self, sql: str) -> None:
+        import csv as _csv
+        import io
+
+        from bemidb_spark.sources.writer import (
+            BUCKET_COL,
+            _bucket_expr,
+            read_table,
+        )
+
+        m = _COPY_IN_RE.match(sql)
+        if self.session.catalog is None:
+            raise UnsupportedQueryError("COPY FROM requires a table catalog")
+        name = m.group(1).replace('"', "")
+        schema, _, table = name.rpartition(".")
+        schema = schema or "public"
+        target = read_table(self.spark, self.session.catalog, schema, table)
+        fields = {f.name: f for f in target.schema.fields}
+        cols = ([c.strip().strip('"') for c in m.group(2).split(",")]
+                if m.group(2) else [f.name for f in target.schema.fields])
+        unknown = [c for c in cols if c not in fields]
+        if unknown:
+            err = UnsupportedQueryError(
+                f'column "{unknown[0]}" of relation "{table}" does not exist')
+            err.sqlstate = "42703"
+            raise err
+        opts = m.group(3) or ""
+        csv = re.search(r"\bCSV\b|FORMAT\s+CSV", opts, re.IGNORECASE) is not None
+        header = csv and re.search(r"\bHEADER(\s+TRUE|\s*\)|\s|$)", opts, re.IGNORECASE) is not None
+        n = len(cols)
+        self._send(b"G", struct.pack("!BH", 0, n) + struct.pack(f"!{n}H", *([0] * n)))
+        chunks: list[bytes] = []
+        while True:
+            t, body = self._read_message()
+            if t == b"d":
+                chunks.append(body)
+            elif t == b"c":  # CopyDone
+                break
+            elif t == b"f":  # CopyFail
+                err = UnsupportedQueryError(
+                    "COPY from stdin failed: " + body.rstrip(b"\x00").decode())
+                err.sqlstate = "57014"
+                raise err
+            elif t in (b"H", b"S"):  # Flush/Sync mid-copy: ignore
+                continue
+            else:
+                raise UnsupportedQueryError(
+                    f"unexpected message {t!r} during COPY FROM STDIN")
+        data = b"".join(chunks).decode()
+        if csv:
+            parsed = list(_csv.reader(io.StringIO(data)))
+            if header and parsed:
+                parsed = parsed[1:]
+            records = [[None if v == "" else v for v in row] for row in parsed if row]
+        else:
+            records = []
+            for line in data.split("\n"):
+                if line in ("", "\\."):
+                    continue
+                records.append([None if v == "\\N" else _copy_text_unescape(v)
+                                for v in line.split("\t")])
+        bad = next((r for r in records if len(r) != n), None)
+        if bad is not None:
+            err = UnsupportedQueryError(
+                f"row contains {len(bad)} columns, expected {n}")
+            err.sqlstate = "22P04"
+            raise err
+        str_schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+        raw = self.spark.createDataFrame(records, str_schema)
+        typed = raw.select(*[
+            raw[c].cast(fields[c].dataType).alias(c) for c in cols
+        ])
+        for f in target.schema.fields:  # absent columns land as NULL
+            if f.name not in cols:
+                typed = typed.withColumn(
+                    f.name, F.lit(None).cast(f.dataType))
+        typed = typed.select(*[f.name for f in target.schema.fields])
+        props = self.session.catalog.table_props(schema, table) or {}
+        loc = self.session.catalog.location(schema, table)
+        if props.get("bucket_keys"):
+            out = typed.withColumn(
+                BUCKET_COL, _bucket_expr(props["bucket_keys"], props["n_buckets"]))
+            out.write.mode("append").partitionBy(BUCKET_COL).parquet(loc)
+        else:
+            typed.write.mode("append").parquet(loc)
+        # The bound temp view's plan holds a materialized file index; re-bind
+        # the catalog views (as DDL paths do) so appended files are visible.
+        from bemidb_spark.pgcompat.catalog_views import register_pg_catalog
+
+        self.spark.catalog.refreshByPath(loc)
+        register_pg_catalog(self.spark, self.session.catalog)
+        self.session.invalidate_plans()
+        self._send(b"C", f"COPY {len(records)}".encode() + b"\x00")
 
     def _split_statements(self, sql: str) -> list[str]:
         """Split on top-level ';' — aware of '…' strings, $tag$…$tag$ dollar

@@ -106,6 +106,30 @@ class MiniPgClient:
         self._send(b"Q", sql.encode() + b"\x00")
         return self._collect(self._read_until_ready())
 
+    def copy_in(self, sql: str, data: str, chunk: int = 17, fail: str | None = None) -> dict:
+        """COPY … FROM STDIN: send Query, await CopyInResponse ('G'), stream
+        CopyData in deliberately row-misaligned chunks, then CopyDone (or
+        CopyFail when ``fail`` is given)."""
+        self._send(b"Q", sql.encode() + b"\x00")
+        pre = []
+        while True:
+            t, body = self._read_message()
+            pre.append((t, body))
+            if t in (b"G", b"E", b"Z"):
+                break
+        if pre[-1][0] != b"G":  # errored before CopyInResponse
+            while pre[-1][0] != b"Z":
+                pre.append(self._read_message())
+            return self._collect(pre)
+        if fail is not None:
+            self._send(b"f", fail.encode() + b"\x00")
+        else:
+            raw = data.encode()
+            for i in range(0, len(raw), chunk):
+                self._send(b"d", raw[i:i + chunk])
+            self._send(b"c", b"")
+        return self._collect(self._read_until_ready())
+
     # ------------------------------------------------------------- extended
     def extended_query(self, sql: str, params: list | None = None, binary: bool = False) -> dict:
         self._send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))

@@ -283,3 +283,65 @@ def test_copy_out_csv_quoting(client):
     r = client.query(
         "COPY (SELECT 'a,b' AS x, 'q\"t' AS y, 'plain' AS z) TO STDOUT CSV")
     assert r["copy_data"] == ['"a,b","q""t",plain\n']
+
+
+# ---------------------------------------------------------------- COPY FROM
+@pytest.fixture(scope="module")
+def copy_server(spark, tmp_path_factory):
+    """Server backed by a real catalog with a seeded table (COPY FROM target)."""
+    from bemidb_spark.sources.catalog import Catalog
+    from bemidb_spark.sources.writer import replace_table
+
+    cat = Catalog(str(tmp_path_factory.mktemp("copy_wh")))
+    seed = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", 2.5)],
+        "id bigint, name string, score double")
+    replace_table(cat, "public", "scores", seed)
+    srv = WireServer(spark, cat)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def test_copy_from_stdin_text(copy_server):
+    c = MiniPgClient(copy_server.host, copy_server.port)
+    try:
+        r = c.copy_in("COPY scores FROM STDIN",
+                      "3\tgamma\t3.5\n4\tdelta\\twith\\ttabs\t\\N\n")
+        assert r["errors"] == [] and r["tags"] == ["COPY 2"]
+        rows = c.query("SELECT id, name, score FROM scores ORDER BY id")["rows"]
+        assert len(rows) == 4
+        assert rows[2] == ["3", "gamma", "3.5"]
+        assert rows[3] == ["4", "delta\twith\ttabs", None]
+    finally:
+        c.close()
+
+
+def test_copy_from_stdin_csv_header_subset_cols(copy_server):
+    c = MiniPgClient(copy_server.host, copy_server.port)
+    try:
+        r = c.copy_in("COPY scores (id, name) FROM STDIN WITH (FORMAT CSV, HEADER)",
+                      'id,name\n10,"has,comma"\n11,plain\n')
+        assert r["errors"] == [] and r["tags"] == ["COPY 2"]
+        rows = c.query(
+            "SELECT name, score FROM scores WHERE id >= 10 ORDER BY id")["rows"]
+        assert rows == [["has,comma", None], ["plain", None]]
+    finally:
+        c.close()
+
+
+def test_copy_from_stdin_errors(copy_server):
+    c = MiniPgClient(copy_server.host, copy_server.port)
+    try:
+        # unknown column: errors BEFORE CopyInResponse, no data phase
+        r = c.copy_in("COPY scores (nope) FROM STDIN", "x\n")
+        assert r["errors"] and r["errors"][0]["C"] == "42703"
+        # CopyFail mid-stream surfaces as an error, session stays usable
+        r = c.copy_in("COPY scores FROM STDIN", "", fail="client aborted")
+        assert r["errors"] and r["errors"][0]["C"] == "57014"
+        # bad column count in the data
+        r = c.copy_in("COPY scores FROM STDIN", "1\tonly-two\n")
+        assert r["errors"] and r["errors"][0]["C"] == "22P04"
+        assert c.query("SELECT COUNT(*) AS n FROM scores")["errors"] == []
+    finally:
+        c.close()
