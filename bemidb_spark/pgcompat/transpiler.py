@@ -350,6 +350,88 @@ def _rewrite_array_sublink(sql: str) -> str:
     )
 
 
+def _rewrite_array_literal(sql: str) -> str:
+    """pg ``ARRAY[a, b]`` constructor → Spark ``array(a, b)`` (bracket-matched
+    so nested ARRAY[ARRAY[..]] and subscripts inside work)."""
+    while True:
+        m = re.search(r"\bARRAY\s*\[", sql, re.IGNORECASE)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            if sql[i] == "[":
+                depth += 1
+            elif sql[i] == "]":
+                depth -= 1
+            i += 1
+        sql = sql[:m.start()] + "array(" + sql[m.end():i - 1] + ")" + sql[i:]
+
+
+_SRF_ARGS = r"((?:[^()\x00]|\x00\d+\x00|\([^()]*\))*)"
+
+
+def _rewrite_srf(sql: str) -> str:
+    """Set-returning functions (pg's generate_series / unnest) → Spark
+    generators. FROM-clause forms become inline derived tables over
+    explode/posexplode; select-list forms become bare explode calls with pg's
+    default output column name. WITH ORDINALITY maps to posexplode with a
+    1-based ordinal (pg counts from 1, Spark pos from 0)."""
+
+    def series_from(m: re.Match) -> str:
+        kw, args, alias, col = m.group(1), m.group(2), m.group(3), m.group(4)
+        alias = alias or "generate_series"
+        col = col or (m.group(3) or "generate_series")
+        return (f"{kw} (SELECT explode(sequence({args})) AS {col}) AS {alias}")
+
+    sql = re.sub(
+        rf"\b(FROM|JOIN|,)\s*generate_series\s*\({_SRF_ARGS}\)"
+        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
+        series_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def unnest_from(m: re.Match) -> str:
+        kw, args, ordinal = m.group(1), m.group(2), m.group(3)
+        alias = m.group(4) or "unnest"
+        col = m.group(5) or (m.group(4) or "unnest")
+        ordcol = m.group(6) or "ordinality"
+        if ordinal:
+            return (
+                f"{kw} (SELECT col AS {col}, CAST(pos + 1 AS BIGINT) AS {ordcol} "
+                f"FROM (SELECT posexplode({args}) AS (pos, col))) AS {alias}"
+            )
+        return f"{kw} (SELECT explode({args}) AS {col}) AS {alias}"
+
+    sql = re.sub(
+        rf"\b(FROM|JOIN|,)\s*unnest\s*\({_SRF_ARGS}\)(\s+WITH\s+ORDINALITY)?"
+        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
+        unnest_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # select-list forms (anything not consumed by the FROM rewrites above):
+    # pg names the output column after the function unless the client aliases.
+    def series_sel(m: re.Match) -> str:
+        tail = m.string[m.end():]
+        has_alias = re.match(r"\s+AS\s", tail, re.IGNORECASE) is not None
+        base = f"explode(sequence({m.group(1)}))"
+        return base if has_alias else f"{base} AS generate_series"
+
+    sql = re.sub(
+        rf"\bgenerate_series\s*\({_SRF_ARGS}\)", series_sel, sql, flags=re.IGNORECASE
+    )
+
+    def unnest_sel(m: re.Match) -> str:
+        tail = m.string[m.end():]
+        has_alias = re.match(r"\s+AS\s", tail, re.IGNORECASE) is not None
+        base = f"explode({m.group(1)})"
+        return base if has_alias else f"{base} AS unnest"
+
+    sql = re.sub(rf"\bunnest\s*\({_SRF_ARGS}\)", unnest_sel, sql, flags=re.IGNORECASE)
+    return sql
+
+
 def _rewrite_tables(sql: str) -> str:
     """pg_catalog.x / information_schema.x → emulation view names (B5/B6)."""
     sql = re.sub(
@@ -483,6 +565,8 @@ def transpile(sql: str) -> str:
     shielded = _alias_bare_literals(shielded)
     shielded = _rewrite_tables(shielded)
     shielded = _rewrite_array_sublink(shielded)
+    shielded = _rewrite_array_literal(shielded)
+    shielded = _rewrite_srf(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)
     shielded = _rewrite_any_string_array(shielded, literals)

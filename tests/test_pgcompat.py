@@ -294,3 +294,63 @@ def test_pg_default_column_names(pg):
     assert df.columns == ["r_regionkey"]  # cast of a column keeps its name
     df = pg.execute("SELECT r_name AS explicit FROM region LIMIT 1")
     assert df.columns == ["explicit"]
+
+
+# -- set-returning functions & array constructors (pg SRF surface) -----------
+def test_generate_series_from_clause(pg):
+    rows = pg.execute(
+        "SELECT n FROM generate_series(1, 5) AS g(n) WHERE n % 2 = 1"
+    ).collect()
+    assert [r[0] for r in rows] == [1, 3, 5]
+
+
+def test_generate_series_default_names(pg):
+    df = pg.execute("SELECT * FROM generate_series(2, 4)")
+    assert df.columns == ["generate_series"]
+    assert [r[0] for r in df.collect()] == [2, 3, 4]
+
+
+def test_generate_series_step_and_select_list(pg):
+    rows = pg.execute("SELECT generate_series(0, 10, 5)").collect()
+    assert [r[0] for r in rows] == [0, 5, 10]
+
+
+def test_generate_series_dates(pg):
+    rows = pg.execute(
+        "SELECT d FROM generate_series('2024-01-01'::date, '2024-01-03'::date, "
+        "interval '1 day') AS t(d)"
+    ).collect()
+    assert len(rows) == 3 and str(rows[0][0])[:10] == "2024-01-01"
+
+
+def test_generate_series_cross_join(pg):
+    rows = pg.execute(
+        "SELECT r_name, n FROM region, generate_series(1, 2) AS s(n) "
+        "WHERE r_name = 'ASIA' ORDER BY n"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [("ASIA", 1), ("ASIA", 2)]
+
+
+def test_unnest_from_clause_with_array_literal(pg):
+    rows = pg.execute(
+        "SELECT x FROM unnest(ARRAY['a', 'b', 'c']) AS t(x) ORDER BY x DESC"
+    ).collect()
+    assert [r[0] for r in rows] == ["c", "b", "a"]
+
+
+def test_unnest_with_ordinality(pg):
+    rows = pg.execute(
+        "SELECT x, i FROM unnest(ARRAY[10, 20, 30]) WITH ORDINALITY AS t(x, i)"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [(10, 1), (20, 2), (30, 3)]
+
+
+def test_unnest_select_list_default_name(pg):
+    df = pg.execute("SELECT unnest(ARRAY[1, 2])")
+    assert df.columns == ["unnest"]
+    assert [r[0] for r in df.collect()] == [1, 2]
+
+
+def test_nested_array_literal(pg):
+    rows = pg.execute("SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]] AS m").collect()
+    assert rows[0][0] == [[1, 2], [3, 4]]
