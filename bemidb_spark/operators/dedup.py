@@ -338,3 +338,68 @@ def _embedding_sql(spark: bool) -> str:
 
 
 _register("dedup_embedding_cosine", _embedding_sql(True), _embedding_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style: chunk, hash, keep first occurrence)
+# ---------------------------------------------------------------------------
+SEG_WORDS = 10
+
+
+def _paragraph_sql(spark: bool) -> str:
+    """Corpus-wide segment dedup: chunk each doc into fixed 10-word segments
+    (the corpus is single-line, so segments stand in for lines/paragraphs),
+    keep only each segment's globally-first occurrence (min doc_id, idx), and
+    emit per-doc stats + an md5 of the deduped reassembled text.
+
+    Scale shape: ONE shuffle — segments are windowed by md5(segment), so
+    first-occurrence ranking and occurrence counting share the same hash
+    partitioning; no join, no all-pairs. Reassembly is a per-doc groupBy
+    (second shuffle, keyed by doc_id) over already-deduped rows.
+    """
+    n = SEG_WORDS
+    w = words("text", spark=spark)
+    if spark:
+        segs = (
+            f"transform(sequence(0, CAST(ceil(size(w) / {n}.0) AS INT) - 1), "
+            f"i -> struct(i AS idx, array_join(slice(w, i * {n} + 1, {n}), ' ') AS seg))"
+        )
+        explode = (
+            f"SELECT doc_id, s.idx AS idx, s.seg AS seg FROM "
+            f"(SELECT doc_id, {segs} AS ss FROM (SELECT doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(ss) t AS s"
+        )
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN rk = 1 THEN struct(idx, seg) END)), s -> s.seg), ' ')"
+        )
+    else:
+        segs = (
+            f"[{{'idx': i - 1, 'seg': array_to_string(w[(i - 1) * {n} + 1:(i - 1) * {n} + {n}], ' ')}} "
+            f"for i in generate_series(1, CAST(ceil(len(w) / {n}.0) AS INT))]"
+        )
+        explode = (
+            f"SELECT doc_id, s['idx'] AS idx, s['seg'] AS seg FROM "
+            f"(SELECT doc_id, unnest({segs}) AS s FROM (SELECT doc_id, {w} AS w FROM documents))"
+        )
+        rebuild = "string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE rk = 1)"
+    return f"""
+    WITH segs AS ({explode}),
+    marked AS (
+      SELECT doc_id, idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) AS rk,
+             COUNT(*) OVER (PARTITION BY md5(seg)) AS n_occ
+      FROM segs
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
+           md5(coalesce({rebuild}, '')) AS dedup_text_hash
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_register("dedup_paragraphs", _paragraph_sql(True), _paragraph_sql(False))

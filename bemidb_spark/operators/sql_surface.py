@@ -473,3 +473,37 @@ def _regex_sql(spark: bool) -> str:
 
 
 _register_sql("regex_funcs_battery", _regex_sql(True), _regex_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# set-returning series fill: calendar LEFT JOIN (gaps become zero rows)
+# ---------------------------------------------------------------------------
+def _series_fill_sql(spark: bool) -> str:
+    """Generated date dimension joined against fact rows — the pg
+    `generate_series` idiom (also served over the wire via the transpiler's
+    SRF rewrite). The series side is tiny and broadcast; the per-day agg is
+    one shuffle on o_orderdate."""
+    if spark:
+        days = "SELECT explode(sequence(DATE'1995-01-01', DATE'1995-03-31')) AS d"
+    else:
+        days = ("SELECT CAST(unnest(generate_series(DATE '1995-01-01', "
+                "DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS d")
+    return f"""
+    WITH days AS ({days}),
+    per_day AS (
+      SELECT o_orderdate AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      GROUP BY o_orderdate
+    )
+    SELECT days.d AS day,
+           COALESCE(n, CAST(0 AS BIGINT)) AS n_orders,
+           CAST(COALESCE(rev, 0) AS DOUBLE) AS revenue
+    FROM days LEFT JOIN per_day ON days.d = per_day.d
+    ORDER BY day
+    """
+
+
+_register_sql("series_calendar_fill", _series_fill_sql(True), _series_fill_sql(False))

@@ -176,3 +176,51 @@ def _fingerprint_sql(spark: bool) -> str:
 
 
 _register("text_fingerprint", _fingerprint_sql(True), _fingerprint_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (emails / phone numbers / IPv4)
+# ---------------------------------------------------------------------------
+def _rx(pat: str, spark: bool) -> str:
+    """Regex literal per engine: Spark treats backslash as an escape inside
+    string literals (escapedStringLiterals off), DuckDB/pg does not."""
+    return pat.replace("\\", "\\\\") if spark else pat
+
+
+def _pii_sql(spark: bool) -> str:
+    """Detect and redact PII. The synthetic corpus contains none, so each doc
+    is first augmented with deterministic fake PII derived from its key —
+    making the regex pipeline's true-positive path observable to the oracle.
+    Per-row expressions only: no shuffle, runs at any scale."""
+    email = _rx(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", spark)
+    ip = _rx(r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", spark)
+    phone = _rx(r"\b\d{3}-\d{4}\b", spark)
+    extract = "regexp_extract_all"
+    size = "size" if spark else "len"
+    aug = (
+        "concat(text, ' contact user', CAST(doc_id AS STRING), '@mail-', lang, "
+        "'.example.com or admin@test.org call 555-', "
+        "lpad(CAST(doc_id AS STRING), 4, '0'), "
+        "' from 10.0.', CAST(doc_id % 256 AS STRING), '.', "
+        "CAST((doc_id * 7) % 256 AS STRING))"
+    )
+    if not spark:
+        aug = aug.replace("AS STRING", "AS VARCHAR")
+    # Spark regexp_replace is replace-all; DuckDB needs the pg 'g' flag.
+    redact = "aug"
+    for pat, tag in ((email, "<EMAIL>"), (ip, "<IP>"), (phone, "<PHONE>")):
+        redact = (f"regexp_replace({redact}, '{pat}', '{tag}')" if spark
+                  else f"regexp_replace({redact}, '{pat}', '{tag}', 'g')")
+    return f"""
+    WITH d AS (SELECT doc_id, {aug} AS aug FROM documents)
+    SELECT doc_id,
+           CAST({size}({extract}(aug, '{email}', 0)) AS BIGINT) AS n_emails,
+           CAST({size}({extract}(aug, '{phone}', 0)) AS BIGINT) AS n_phones,
+           CAST({size}({extract}(aug, '{ip}', 0)) AS BIGINT) AS n_ips,
+           md5({redact}) AS redacted_hash
+    FROM d
+    ORDER BY doc_id
+    """
+
+
+_register("text_pii_redact", _pii_sql(True), _pii_sql(False))
