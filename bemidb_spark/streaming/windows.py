@@ -214,3 +214,58 @@ ORACLES["streaming_dedup_keys"] = """
     FROM events
     ORDER BY user_id, event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# stream-stream interval join: purchase within 10 minutes of a click
+# ---------------------------------------------------------------------------
+def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on both sides and an event-
+    time-bounded condition — the attribution-join shape. The time bound
+    (`buy_ts` in (click_ts, click_ts + 10 min]) lets Spark expire join state
+    past the watermark horizon, so state is bounded at any scale; the join
+    itself shuffles both streams on user_id only. Bounded input ⇒ result
+    equals the batch interval join (oracle)."""
+    ev = _events_stream(spark, sf_dir)
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .select("user_id", F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        ev.filter("event_type = 'purchase'")
+        .select(F.col("user_id").alias("buy_user"), F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"), "value")
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr("user_id = buy_user AND buy_ts > click_ts "
+               "AND buy_ts <= click_ts + INTERVAL 10 MINUTES"),
+        "inner",
+    )
+    table = _run_to_memory(joined, "stream_join", output_mode="append")
+    return spark.sql(f"""
+        SELECT user_id, click_id, buy_id,
+               CAST(click_ts AS TIMESTAMP_NTZ) AS click_ts,
+               CAST(buy_ts AS TIMESTAMP_NTZ) AS buy_ts,
+               unix_micros(buy_ts) - unix_micros(click_ts) AS lag_us,
+               value
+        FROM {table}
+        ORDER BY user_id, click_id, buy_id
+    """)
+
+
+QUERIES["streaming_click_purchase_join"] = _stream_join
+ORACLES["streaming_click_purchase_join"] = """
+    SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS buy_id,
+           c.ts AS click_ts, p.ts AS buy_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS lag_us,
+           p.value AS value
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY user_id, click_id, buy_id
+"""
