@@ -239,9 +239,54 @@ def _rewrite_functions(sql: str) -> str:
     )
     sql = re.sub(r"\bstring_agg\s*\(", "concat_ws_agg_placeholder(", sql, flags=re.IGNORECASE)
     sql = sql.replace("concat_ws_agg_placeholder(", "string_agg(")  # Spark 4 has string_agg
-    sql = re.sub(r"\barray_upper\s*\(\s*([^,()]+)\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
+    # pg ordered aggregate: array_agg(x ORDER BY y [DESC]) — Spark's
+    # array_agg/collect_list takes no ORDER BY, so sort a (key, value) struct
+    # array and project the values back out (array_sort on structs compares
+    # fields left-to-right).
+    def array_agg_ordered(m: re.Match) -> str:
+        val, key, desc = m.group(1).strip(), m.group(2).strip(), m.group(3)
+        sorted_ = f"array_sort(collect_list(struct({key} AS _o, {val} AS _v)))"
+        if desc:
+            sorted_ = f"reverse({sorted_})"
+        return f"transform({sorted_}, s -> s._v)"
+
+    sql = re.sub(
+        r"\barray_agg\s*\(([^,()]+?)\s+ORDER\s+BY\s+([^(),]+?)(\s+DESC)?\s*\)",
+        array_agg_ordered,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    _arg = r"((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
+    sql = re.sub(rf"\barray_upper\s*\(\s*{_arg}\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\barray_to_string\s*\(", "array_join(", sql, flags=re.IGNORECASE)
+    sql = re.sub(rf"\barray_length\s*\(\s*{_arg}\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
+    # pg strpos(str, sub) == Spark instr(str, sub) (both 1-based, 0 = absent)
+    sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bpg_catalog\s*\.\s*", "", sql, flags=re.IGNORECASE)
     return sql
+
+
+def _rewrite_string_to_array(sql: str, literals: list[str]) -> str:
+    """pg string_to_array(s, delim) → Spark split(s, delim) — Spark's split
+    takes a REGEX, so a literal delimiter gets its metacharacters escaped
+    (pg splits on the plain string)."""
+
+    def repl(m: re.Match) -> str:
+        expr, ph = m.group(1), m.group(2)
+        lit = literals[int(ph.strip("\x00"))]
+        delim = lit[1:-1].replace("''", "'")
+        # regex-escape for split(), then double the backslashes because
+        # Spark's string-literal parser itself consumes backslash escapes
+        literals.append(
+            "'" + re.escape(delim).replace("\\", "\\\\").replace("'", "''") + "'")
+        return f"split({expr}, \x00{len(literals) - 1}\x00)"
+
+    return re.sub(
+        r"\bstring_to_array\s*\(\s*((?:[^(),\x00]|\x00\d+\x00)+)\s*,\s*(\x00\d+\x00)\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
 
 
 def _balance_double_open(sql: str, marker: str) -> str:
@@ -569,6 +614,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_srf(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)
+    shielded = _rewrite_string_to_array(shielded, literals)
     shielded = _rewrite_any_string_array(shielded, literals)
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)

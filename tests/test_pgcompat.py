@@ -354,3 +354,26 @@ def test_unnest_select_list_default_name(pg):
 def test_nested_array_literal(pg):
     rows = pg.execute("SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]] AS m").collect()
     assert rows[0][0] == [[1, 2], [3, 4]]
+
+
+def test_array_agg_order_by(pg):
+    rows = pg.execute(
+        "SELECT array_agg(n_name ORDER BY n_name) AS names FROM nation "
+        "WHERE n_regionkey = 0"
+    ).collect()
+    assert rows[0][0] == sorted(rows[0][0]) and len(rows[0][0]) == 5
+    rows_desc = pg.execute(
+        "SELECT array_agg(n_name ORDER BY n_name DESC) AS names FROM nation "
+        "WHERE n_regionkey = 0"
+    ).collect()
+    assert rows_desc[0][0] == list(reversed(rows[0][0]))
+
+
+def test_array_string_roundtrip_funcs(pg):
+    rows = pg.execute(
+        "SELECT array_to_string(ARRAY['a', 'b', 'c'], '|') AS joined, "
+        "string_to_array('x.y.z', '.') AS split_lit, "
+        "strpos('hello', 'll') AS pos, "
+        "array_length(ARRAY[1, 2, 3], 1) AS alen"
+    ).collect()
+    assert tuple(rows[0]) == ("a|b|c", ["x", "y", "z"], 3, 3)
