@@ -188,11 +188,16 @@ class _Conn:
         catalog: Catalog | None,
         password: str | None = None,
         auth_method: str = "cleartext",
+        server: "WireServer | None" = None,
     ):
         self.sock = sock
         self.spark = spark
         self.password = password
         self.auth_method = auth_method
+        self.server = server
+        self.backend_pid, self.backend_secret = (
+            server.register_backend(self) if server else (1, 0))
+        self.job_group = f"pgwire-{self.backend_pid}"
         self.session = PgSession(spark, catalog)
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
@@ -224,6 +229,9 @@ class _Conn:
         ("CAST_INVALID_INPUT", "22P02"),
         ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
         ("AMBIGUOUS_REFERENCE", "42702"),
+        # cancelJobGroup from a CancelRequest surfaces as a SparkException
+        # mentioning the cancelled job group; pg's code for that is 57014.
+        ("cancelled job group", "57014"),
     ]
 
     def _send_error(self, message: str, code: str = "XX000") -> None:
@@ -262,19 +270,11 @@ class _Conn:
 
     # --------------------------------------------------------------- startup
     def handshake(self) -> bool:
-        while True:
-            (length,) = struct.unpack("!I", self._recv_exact(4))
-            body = self._recv_exact(length - 4)
-            (code,) = struct.unpack("!I", body[:4])
-            if code == SSL_REQUEST:
-                self.sock.sendall(b"N")  # no TLS (postgres_server.go:226-232)
-                continue
-            if code == CANCEL_REQUEST:
-                return False
-            if code == PROTOCOL_V3:
-                break
-            self._send_error(f"unsupported protocol: {code}", "0A000")
-            return False
+        # The initial packet (SSLRequest / CancelRequest / StartupMessage)
+        # was already consumed by WireServer._serve_conn — a CancelRequest
+        # connection must be served WITHOUT building a _Conn, because
+        # per-session setup (register_pg_catalog) can submit small Spark
+        # jobs that queue behind the victim query under FIFO scheduling.
         if self.password is not None and self.auth_method == "scram-sha-256":
             if not self._scram_handshake():
                 return False
@@ -295,7 +295,7 @@ class _Conn:
             ("TimeZone", self.session.settings["timezone"]),
         ]:
             self._send(b"S", k.encode() + b"\x00" + v.encode() + b"\x00")
-        self._send(b"K", struct.pack("!II", 1, 0))
+        self._send(b"K", struct.pack("!II", self.backend_pid, self.backend_secret))
         self._send_ready()
         return True
 
@@ -572,6 +572,12 @@ class _Conn:
     def serve(self) -> None:
         if not self.handshake():
             return
+        # Every Spark job this connection submits runs under its own job
+        # group (py4j pinned-thread mode makes this per-Python-thread), so a
+        # CancelRequest for this backend can cancel exactly its jobs.
+        self.spark.sparkContext.setJobGroup(
+            self.job_group, f"pg-wire backend {self.backend_pid}",
+            interruptOnCancel=True)
         in_error = False  # extended-protocol error state: skip until Sync
         while True:
             msg_type = self._recv_exact(1)
@@ -719,6 +725,36 @@ class _Conn:
         raise UnsupportedQueryError(f"unsupported binary parameter length {len(raw)}")
 
 
+def _recv_exact_sock(sock: socket.socket, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionResetError
+        buf += chunk
+    return buf
+
+
+def _initial_packet(sock: socket.socket) -> tuple[str, tuple]:
+    """Consume the untyped initial packet(s): answer SSLRequest with 'N'
+    (postgres_server.go:226-232), classify CancelRequest vs StartupMessage."""
+    while True:
+        (length,) = struct.unpack("!I", _recv_exact_sock(sock, 4))
+        body = _recv_exact_sock(sock, length - 4)
+        (code,) = struct.unpack("!I", body[:4])
+        if code == SSL_REQUEST:
+            sock.sendall(b"N")  # no TLS
+            continue
+        if code == CANCEL_REQUEST:
+            return "cancel", struct.unpack("!II", body[4:12])
+        if code == PROTOCOL_V3:
+            return "startup", (body,)
+        msg = f"unsupported protocol: {code}".encode()
+        fields = b"SERROR\x00C0A000\x00M" + msg + b"\x00\x00"
+        sock.sendall(b"E" + struct.pack("!I", len(fields) + 4) + fields)
+        return "unsupported", (code,)
+
+
 class WireServer:
     """Threaded pg-wire server sharing one SparkSession across connections."""
 
@@ -740,6 +776,34 @@ class WireServer:
         self._threads: list[threading.Thread] = []
         self._accept_thread: threading.Thread | None = None
         self._stopping = False
+        # backend-pid -> (conn, cancel secret), for CancelRequest routing
+        # (the reference delegates this to pgproto's BackendKeyData).
+        self._backends: dict[int, tuple[_Conn, int]] = {}
+        self._backends_lock = threading.Lock()
+        self._next_pid = 0
+
+    # ------------------------------------------------------ cancel registry
+    def register_backend(self, conn: "_Conn") -> tuple[int, int]:
+        import secrets as _secrets
+
+        with self._backends_lock:
+            self._next_pid += 1
+            pid = self._next_pid
+            secret = _secrets.randbits(31)
+            self._backends[pid] = (conn, secret)
+        return pid, secret
+
+    def unregister_backend(self, pid: int) -> None:
+        with self._backends_lock:
+            self._backends.pop(pid, None)
+
+    def cancel_backend(self, pid: int, secret: int) -> None:
+        with self._backends_lock:
+            entry = self._backends.get(pid)
+        # pg silently ignores cancel requests with a bad key.
+        if entry is None or entry[1] != secret:
+            return
+        self.spark.sparkContext.cancelJobGroup(entry[0].job_group)
 
     def start(self) -> None:
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
@@ -758,11 +822,25 @@ class WireServer:
             self._threads.append(t)
 
     def _serve_conn(self, sock: socket.socket) -> None:
+        conn = None
         try:
-            _Conn(sock, self.spark, self.catalog, self.password, self.auth_method).serve()
+            kind, payload = _initial_packet(sock)
+            if kind == "cancel":
+                # CancelRequest(pid, secret): out-of-band — cancel the
+                # victim backend's Spark jobs and drop this connection
+                # without building a session (pg sends no reply).
+                self.cancel_backend(*payload)
+                return
+            if kind != "startup":
+                return  # unsupported protocol; error frame already sent
+            conn = _Conn(sock, self.spark, self.catalog, self.password,
+                         self.auth_method, server=self)
+            conn.serve()
         except (ConnectionResetError, BrokenPipeError):
             pass
         finally:
+            if conn is not None:
+                self.unregister_backend(conn.backend_pid)
             sock.close()
 
     def stop(self) -> None:

@@ -345,3 +345,42 @@ def test_copy_from_stdin_errors(copy_server):
         assert c.query("SELECT COUNT(*) AS n FROM scores")["errors"] == []
     finally:
         c.close()
+
+
+def test_cancel_request_aborts_running_query(server):
+    """CancelRequest(pid, secret) on a fresh socket cancels the backend's
+    running Spark jobs; the victim gets SQLSTATE 57014 and stays usable."""
+    import time
+
+    c = MiniPgClient(server.host, server.port)
+    try:
+        key = next(body for t, body in c.startup_messages if t == b"K")
+        pid, secret = struct.unpack("!II", key)
+        slow = ("SELECT max(sha2(cast(a.id * b.id AS string), 256)) AS h "
+                "FROM range(100000000) a, range(64) b")
+        c._send(b"Q", slow.encode() + b"\x00")
+        time.sleep(1.0)  # let the job start
+        cancel = socket.create_connection((server.host, server.port))
+        cancel.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
+        cancel.close()
+        t0 = time.time()
+        r = c._collect(c._read_until_ready())
+        assert time.time() - t0 < 30  # cancelled, not run to completion
+        assert r["errors"] and r["errors"][0]["C"] == "57014"
+        # connection survives and later queries run outside the cancel
+        assert c.query("SELECT 1 AS x")["rows"] == [["1"]]
+    finally:
+        c.close()
+
+
+def test_cancel_request_bad_secret_ignored(server):
+    c = MiniPgClient(server.host, server.port)
+    try:
+        key = next(body for t, body in c.startup_messages if t == b"K")
+        pid, secret = struct.unpack("!II", key)
+        cancel = socket.create_connection((server.host, server.port))
+        cancel.sendall(struct.pack("!IIII", 16, 80877102, pid, secret ^ 0x5A5A))
+        cancel.close()
+        assert c.query("SELECT 2 AS x")["rows"] == [["2"]]
+    finally:
+        c.close()
