@@ -126,6 +126,107 @@ def _array_elem(s: str | None) -> str:
     return s
 
 
+# ------------------------------------------------------------ binary format
+# Result-format code 1 from Bind (documented pg binary encodings: network
+# byte order, pg epoch 2000-01-01, base-10000 numeric). The reference's
+# pgproto layer provides these for free; clients like psycopg request binary
+# per column, so the server must honor the Bind format codes.
+_PG_EPOCH_DATE = None  # initialised lazily to avoid importing datetime at top
+
+
+def _pg_numeric_bin(v) -> bytes:
+    """pg `numeric` binary: ndigits, weight, sign, dscale, base-10000 digits."""
+    from decimal import Decimal
+
+    d = Decimal(v)
+    sign = 0x4000 if d < 0 else 0x0000
+    s = format(abs(d), "f")
+    ip, _, fp = s.partition(".")
+    dscale = len(fp)
+    ip = ip.lstrip("0")
+    ip = "0" * ((-len(ip)) % 4) + ip
+    fp = fp + "0" * ((-len(fp)) % 4)
+    groups = [int(ip[i:i + 4]) for i in range(0, len(ip), 4)]
+    weight = len(groups) - 1
+    groups += [int(fp[i:i + 4]) for i in range(0, len(fp), 4)]
+    while groups and groups[0] == 0:
+        groups.pop(0)
+        weight -= 1
+    while groups and groups[-1] == 0:
+        groups.pop()
+    if not groups:
+        weight, sign = 0, 0
+    return struct.pack("!HhHH", len(groups), weight, sign, dscale) + struct.pack(
+        f"!{len(groups)}H", *groups
+    )
+
+
+def _pg_array_bin(v, elem_dt: T.DataType) -> bytes:
+    """1-D array binary with text-typed elements (matches _OID_TEXT_ARRAY)."""
+    if not v:
+        return struct.pack("!iii", 0, 0, _OID_TEXT)
+    elems = [_encode_value(x, elem_dt) for x in v]
+    hasnull = 1 if any(e is None for e in elems) else 0
+    out = struct.pack("!iiiii", 1, hasnull, _OID_TEXT, len(elems), 1)
+    for e in elems:
+        if e is None:
+            out += struct.pack("!i", -1)
+        else:
+            b = e.encode()
+            out += struct.pack("!i", len(b)) + b
+    return out
+
+
+def _encode_binary(v, dt: T.DataType, field: T.StructField | None = None) -> bytes | None:
+    """Binary-format cell encoding (format code 1)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    pg = _pg_type_of(field)
+    if pg:
+        if pg.startswith(("timetz", "time")) and not pg.startswith("timestamp"):
+            return struct.pack("!q", int(v))  # micros since midnight
+        if pg == "interval":
+            return struct.pack("!qii", int(v), 0, 0)  # micros, days, months
+        if pg in ("json", "jsonb"):
+            return str(v).encode()
+    if isinstance(dt, T.BooleanType):
+        return b"\x01" if v else b"\x00"
+    if isinstance(dt, T.BinaryType):
+        return bytes(v)
+    if isinstance(dt, T.LongType):
+        return struct.pack("!q", int(v))
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return struct.pack("!i", int(v))
+    if isinstance(dt, T.FloatType):
+        return struct.pack("!f", float(v))
+    if isinstance(dt, T.DoubleType):
+        return struct.pack("!d", float(v))
+    if isinstance(dt, T.DecimalType):
+        return _pg_numeric_bin(v)
+    if isinstance(dt, T.DateType):
+        return struct.pack("!i", (v - _dt.date(2000, 1, 1)).days)
+    if isinstance(dt, T.TimestampNTZType | T.TimestampType):
+        naive = v.replace(tzinfo=None)
+        delta = naive - _dt.datetime(2000, 1, 1)
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("!q", micros)
+    if isinstance(dt, T.ArrayType):
+        return _pg_array_bin(v, dt.elementType)
+    return str(v).encode()
+
+
+def _resolve_formats(codes: list[int], ncols: int) -> list[int]:
+    """Bind result-format semantics: [] = all text, [c] = c for every
+    column, else one code per column."""
+    if not codes:
+        return [0] * ncols
+    if len(codes) == 1:
+        return codes * ncols
+    return (codes + [0] * ncols)[:ncols]
+
+
 _COPY_OUT_RE = re.compile(
     r"^\s*COPY\s+(\(.*\)|[A-Za-z_][\w.\"]*(?:\s*\([^)]*\))?)\s+TO\s+STDOUT\s*(.*?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -178,6 +279,7 @@ class _Prepared:
     params: list[str | None] = field(default_factory=list)
     result: tuple[DataFrame, list] | None = None  # (df, collected rows)
     sent: int = 0  # rows already streamed (portal suspension cursor)
+    result_formats: list[int] = field(default_factory=list)  # Bind codes
 
 
 class _Conn:
@@ -243,27 +345,32 @@ class _Conn:
         fields = b"SERROR\x00" + f"C{code}".encode() + b"\x00" + f"M{message}".encode() + b"\x00\x00"
         self._send(b"E", fields)
 
-    def _send_row_description(self, df: DataFrame) -> None:
+    def _send_row_description(self, df: DataFrame, formats: list[int] | None = None) -> None:
         fields = df.schema.fields
+        fmts = _resolve_formats(formats or [], len(fields))
         payload = struct.pack("!H", len(fields))
-        for f in fields:
+        for f, fmt in zip(fields, fmts):
             oid, typlen = pg_oid(f.dataType, f)
             payload += (
                 f.name.encode() + b"\x00"
-                + struct.pack("!IhIhih", 0, 0, oid, typlen, -1, 0)
+                + struct.pack("!IhIhih", 0, 0, oid, typlen, -1, fmt)
             )
         self._send(b"T", payload)
 
-    def _send_rows(self, df: DataFrame, rows: list) -> int:
+    def _send_rows(self, df: DataFrame, rows: list, formats: list[int] | None = None) -> int:
         fields = df.schema.fields
+        fmts = _resolve_formats(formats or [], len(fields))
         for row in rows:
             payload = struct.pack("!H", len(fields))
-            for v, f in zip(row, fields):
-                s = _encode_value(v, f.dataType, f)
-                if s is None:
+            for v, f, fmt in zip(row, fields, fmts):
+                if fmt == 1:
+                    b = _encode_binary(v, f.dataType, f)
+                else:
+                    s = _encode_value(v, f.dataType, f)
+                    b = None if s is None else s.encode()
+                if b is None:
                     payload += struct.pack("!i", -1)
                 else:
-                    b = s.encode()
                     payload += struct.pack("!i", len(b)) + b
             self._send(b"D", payload)
         return len(rows)
@@ -639,6 +746,8 @@ class _Conn:
                 off += plen
                 fmt = fmts[i] if i < len(fmts) else (fmts[0] if len(fmts) == 1 else 0)
                 params.append(self._decode_param(raw, fmt))
+            (n_rfmt,) = struct.unpack_from("!H", body, off)
+            rfmts = list(struct.unpack_from(f"!{n_rfmt}H", body, off + 2))
             prep = self.prepared.get(stmt_name)
             if prep is None:
                 err = UnsupportedQueryError(
@@ -647,7 +756,8 @@ class _Conn:
                 err.sqlstate = "26000"
                 raise err
             self.portals[portal] = _Prepared(
-                sql=self._substitute_params(prep.sql, params)
+                sql=self._substitute_params(prep.sql, params),
+                result_formats=rfmts,
             )
             self._send(b"2", b"")  # BindComplete
         elif msg_type == b"D":  # Describe ('S' stmt | 'P' portal)
@@ -673,7 +783,7 @@ class _Conn:
             # Describe executes and caches — reference query_handler.go:205-209
             df = self.session.execute(target.sql)
             target.result = (df, df.collect())
-            self._send_row_description(df)
+            self._send_row_description(df, target.result_formats)
         elif msg_type == b"E":  # Execute [portal name] [max rows]
             name_end = body.index(b"\x00")
             name = body[:name_end].decode()
@@ -693,7 +803,7 @@ class _Conn:
             # query_handler.go:218-238); 0 = no limit.
             remaining = rows[portal.sent:]
             batch = remaining[:max_rows] if max_rows > 0 else remaining
-            self._send_rows(df, batch)
+            self._send_rows(df, batch, portal.result_formats)
             portal.sent += len(batch)
             if portal.sent < len(rows):
                 self._send(b"s", b"")  # PortalSuspended
@@ -703,7 +813,12 @@ class _Conn:
                 portal.sent = 0
         elif msg_type == b"S":  # Sync
             self._send_ready()
-        elif msg_type == b"C":  # Close
+        elif msg_type == b"C":  # Close ('S' statement | 'P' portal)
+            kind, name = body[:1], body[1:].rstrip(b"\x00").decode()
+            if kind == b"S":
+                self.prepared.pop(name, None)
+            else:
+                self.portals.pop(name, None)
             self._send(b"3", b"")  # CloseComplete
         elif msg_type == b"H":  # Flush — ignored (postgres_server.go:178)
             pass

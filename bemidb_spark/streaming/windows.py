@@ -52,17 +52,35 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> str:
-    """Run a bounded streaming aggregation into a memory sink; return table name."""
+    """Run a bounded streaming aggregation into a memory sink; return table name.
+
+    The number of state-store partitions binds to spark.sql.shuffle.partitions
+    at query start, and each one pays a per-micro-batch state store + worker
+    cost — at gate scale (bounded sf0.01 input) 32 stores is pure overhead
+    (measured 10 s -> 2.3 s for the stateful profile query at 8). Partition
+    count never changes results (hash partitioning; aggregates here are
+    order-independent), and an unbounded production run sizes this to the
+    cluster instead.
+    """
+    spark = df.sparkSession
     table = f"{name}_{next(_counter)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(table)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"),
     )
-    q.processAllAvailable()
-    q.stop()
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(table)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return table
 
 

@@ -131,7 +131,8 @@ class MiniPgClient:
         return self._collect(self._read_until_ready())
 
     # ------------------------------------------------------------- extended
-    def extended_query(self, sql: str, params: list | None = None, binary: bool = False) -> dict:
+    def extended_query(self, sql: str, params: list | None = None, binary: bool = False,
+                       result_formats: list[int] | None = None) -> dict:
         self._send(b"P", b"\x00" + sql.encode() + b"\x00" + struct.pack("!H", 0))
         enc_params = []
         for p in params or []:
@@ -146,7 +147,8 @@ class MiniPgClient:
         bind += struct.pack("!H", len(enc_params))
         for ep in enc_params:
             bind += struct.pack("!i", -1) if ep is None else struct.pack("!i", len(ep)) + ep
-        bind += struct.pack("!H", 0)
+        rfmts = result_formats or []
+        bind += struct.pack("!H", len(rfmts)) + struct.pack(f"!{len(rfmts)}H", *rfmts)
         self._send(b"B", bind)
         self._send(b"D", b"P\x00")
         self._send(b"E", b"\x00" + struct.pack("!I", 0))
@@ -157,7 +159,7 @@ class MiniPgClient:
     @staticmethod
     def _collect(messages: list[tuple[bytes, bytes]]) -> dict:
         out: dict = {"columns": [], "oids": [], "rows": [], "tags": [], "errors": [],
-                     "copy_data": []}
+                     "copy_data": [], "formats": []}
         for t, body in messages:
             if t == b"d":  # CopyData (COPY … TO STDOUT)
                 out["copy_data"].append(body.decode())
@@ -165,7 +167,7 @@ class MiniPgClient:
             if t == b"T":
                 (n,) = struct.unpack_from("!H", body, 0)
                 off = 2
-                cols, oids = [], []
+                cols, oids, fmts = [], [], []
                 for _ in range(n):
                     end = body.index(b"\x00", off)
                     cols.append(body[off:end].decode())
@@ -173,19 +175,22 @@ class MiniPgClient:
                         "!IhIhih", body, end + 1
                     )
                     oids.append(oid)
+                    fmts.append(fmt)
                     off = end + 1 + 18
-                out["columns"], out["oids"] = cols, oids
+                out["columns"], out["oids"], out["formats"] = cols, oids, fmts
             elif t == b"D":
                 (n,) = struct.unpack_from("!H", body, 0)
                 off = 2
                 row = []
-                for _ in range(n):
+                for i in range(n):
                     (ln,) = struct.unpack_from("!i", body, off)
                     off += 4
                     if ln < 0:
                         row.append(None)
                     else:
-                        row.append(body[off:off + ln].decode())
+                        cell = body[off:off + ln]
+                        fmt = out["formats"][i] if i < len(out["formats"]) else 0
+                        row.append(cell if fmt == 1 else cell.decode())
                         off += ln
                 out["rows"].append(row)
             elif t == b"C":

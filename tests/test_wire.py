@@ -384,3 +384,78 @@ def test_cancel_request_bad_secret_ignored(server):
         assert c.query("SELECT 2 AS x")["rows"] == [["2"]]
     finally:
         c.close()
+
+
+def test_binary_result_format(server):
+    """Bind result-format code 1: cells arrive in documented pg binary
+    encodings (network order ints/floats, pg-epoch date/timestamp,
+    base-10000 numeric)."""
+    c = MiniPgClient(server.host, server.port)
+    try:
+        r = c.extended_query(
+            "SELECT CAST(42 AS INT) AS i4, CAST(7 AS BIGINT) AS i8, "
+            "CAST(2.5 AS DOUBLE) AS f8, true AS b, 'hi' AS s, "
+            "CAST(NULL AS INT) AS nil, DATE '2000-01-02' AS d, "
+            "TIMESTAMP_NTZ '2000-01-01 00:00:01' AS ts, "
+            "CAST(-12345.678 AS DECIMAL(10,3)) AS num",
+            result_formats=[1])
+        assert r["errors"] == []
+        assert r["formats"] == [1] * 9
+        row = r["rows"][0]
+        assert struct.unpack("!i", row[0])[0] == 42
+        assert struct.unpack("!q", row[1])[0] == 7
+        assert struct.unpack("!d", row[2])[0] == 2.5
+        assert row[3] == b"\x01"
+        assert row[4] == b"hi"
+        assert row[5] is None
+        assert struct.unpack("!i", row[6])[0] == 1    # days since 2000-01-01
+        assert struct.unpack("!q", row[7])[0] == 1_000_000  # µs since pg epoch
+        nd, weight, sign, dscale = struct.unpack_from("!HhHH", row[8], 0)
+        digits = struct.unpack_from(f"!{nd}H", row[8], 8)
+        assert (sign, dscale) == (0x4000, 3)
+        assert weight == 1 and digits == (1, 2345, 6780)  # -1|2345.6780
+    finally:
+        c.close()
+
+
+def test_binary_per_column_formats_and_array(server):
+    """Per-column format codes mix binary and text in one row; text[] uses
+    the array binary layout (ndim, hasnull, elem oid, dim, lbound)."""
+    c = MiniPgClient(server.host, server.port)
+    try:
+        r = c.extended_query(
+            "SELECT CAST(5 AS INT) AS a, 'x' AS b, array('p', 'q') AS arr",
+            result_formats=[1, 0, 1])
+        assert r["errors"] == []
+        assert r["formats"] == [1, 0, 1]
+        row = r["rows"][0]
+        assert struct.unpack("!i", row[0])[0] == 5
+        assert row[1] == "x"
+        ndim, hasnull, elemoid, dim, lbound = struct.unpack_from("!iiiii", row[2], 0)
+        assert (ndim, hasnull, elemoid, dim, lbound) == (1, 0, 25, 2, 1)
+        off, elems = 20, []
+        for _ in range(dim):
+            (ln,) = struct.unpack_from("!i", row[2], off)
+            elems.append(row[2][off + 4:off + 4 + ln].decode())
+            off += 4 + ln
+        assert elems == ["p", "q"]
+    finally:
+        c.close()
+
+
+def test_close_message_drops_statement(server):
+    """Close('S') removes the prepared statement; a later Bind errors 26000."""
+    c = MiniPgClient(server.host, server.port)
+    try:
+        c._send(b"P", b"st1\x00SELECT 1 AS one\x00" + struct.pack("!H", 0))
+        c._send(b"C", b"Sst1\x00")
+        c._send(b"S", b"")
+        msgs = c._read_until_ready()
+        assert [t for t, _ in msgs] == [b"1", b"3", b"Z"]
+        bind = b"\x00st1\x00" + struct.pack("!HHH", 0, 0, 0)
+        c._send(b"B", bind)
+        c._send(b"S", b"")
+        r = c._collect(c._read_until_ready())
+        assert r["errors"] and r["errors"][0]["C"] == "26000"
+    finally:
+        c.close()
