@@ -261,3 +261,50 @@ _DUP_CLUSTERS_DUCK = f"""
 
 QUERIES["dedup_dup_clusters"] = _dup_clusters_spark
 ORACLES["dedup_dup_clusters"] = _DUP_CLUSTERS_DUCK
+
+
+# ---------------------------------------------------------------------------
+# sequence packing: token-budget contiguous bin-packing for training batches
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+
+def _pack_sql(spark: bool) -> str:
+    """Greedy contiguous packing: docs (per language, in doc_id order) are
+    assigned to sequence bins by exclusive running token count —
+    ``seq_id = floor(prior_tokens / budget)``. One window over one shuffle
+    on (lang); at 100 TB the same plan range-partitions on (lang, doc_id)
+    and the running sum distributes (each partition adds its predecessors'
+    offset — Spark's window already executes it that way). This is the
+    streaming-packer shape every LLM data loader uses; best-fit-decreasing
+    variants buy ~2-3% fill at the cost of a global sort per bin and are
+    not worth the extra shuffle at corpus scale.
+    """
+    ntok = (
+        "CAST(size(split(text, ' ')) AS BIGINT)" if spark
+        else "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {ntok} AS n_tokens FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_tokens
+      FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(prior_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tokens) AS seq_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM cum
+    GROUP BY lang, CAST(FLOOR(prior_tokens / {PACK_BUDGET}) AS BIGINT)
+    ORDER BY lang, seq_id
+    """
+
+
+_register_sql("pack_sequences_budget", _pack_sql(True), _pack_sql(False))

@@ -507,3 +507,43 @@ def _series_fill_sql(spark: bool) -> str:
 
 
 _register_sql("series_calendar_fill", _series_fill_sql(True), _series_fill_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregates: corr / covar / OLS regression (decimal-exact moments)
+# ---------------------------------------------------------------------------
+# Built-in corr()/covar_samp()/regr_*() are single-pass float aggregations
+# whose result depends on partition order (and each engine's own update
+# formula), so they can never hash-match across engines. The classic
+# sufficient-statistics formulation — exact DECIMAL sums of x, y, x², y², xy,
+# then one fixed DOUBLE expression tree — is order-independent, bit-identical
+# on both engines, and is also the form that scales: five map-side-combinable
+# decimal sums in one pass, no second pass over the data.
+_STATS_SQL = """
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                      * CAST(l_quantity AS DECIMAL(8,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))
+                      * CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE) AS sxy
+      FROM lineitem
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_rows,
+           (n * sxy - sx * sy) / n / (n - 1) AS covar_samp_qty_price,
+           (n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
+           sqrt((n * sxx - sx * sx) / n / (n - 1)) AS stddev_samp_qty
+    FROM s
+    ORDER BY l_returnflag
+"""
+
+_register_sql("stats_corr_regression", _STATS_SQL)

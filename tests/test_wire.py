@@ -459,3 +459,56 @@ def test_close_message_drops_statement(server):
         assert r["errors"] and r["errors"][0]["C"] == "26000"
     finally:
         c.close()
+
+
+def test_concurrent_soak(server):
+    """pgbench-style soak: 8 concurrent connections each running a mixed
+    script (simple, extended+param, binary-result, deliberate error +
+    recovery, multi-row agg). Asserts every connection stays in protocol
+    sync for the whole run — the FAIR-scheduler concurrency path the
+    engine's throughput numbers rely on."""
+    import random
+    import threading
+
+    failures: list[tuple[int, str]] = []
+
+    def worker(wid: int) -> None:
+        c = MiniPgClient(server.host, server.port)
+        rng = random.Random(wid)
+        try:
+            for _ in range(12):
+                op = rng.randrange(5)
+                if op == 0:
+                    r = c.query("SELECT count(*) AS n FROM region")
+                    assert r["rows"] == [["5"]], r
+                elif op == 1:
+                    k = rng.randrange(5)
+                    r = c.extended_query(
+                        "SELECT r_name FROM region WHERE r_regionkey = $1", [k])
+                    assert r["errors"] == [] and len(r["rows"]) == 1, r
+                elif op == 2:
+                    r = c.extended_query(
+                        "SELECT CAST($1 AS INT) AS v", [wid], result_formats=[1])
+                    assert struct.unpack("!i", r["rows"][0][0])[0] == wid, r
+                elif op == 3:
+                    r = c.query("SELECT no_such_col FROM region")
+                    assert r["errors"], r
+                    r2 = c.query("SELECT 1 AS x")  # connection recovered
+                    assert r2["rows"] == [["1"]], r2
+                else:
+                    r = c.query(
+                        "SELECT n_regionkey, count(*) AS n FROM nation "
+                        "GROUP BY n_regionkey ORDER BY n_regionkey")
+                    assert len(r["rows"]) == 5 and r["errors"] == [], r
+        except Exception as exc:  # noqa: BLE001
+            failures.append((wid, repr(exc)))
+        finally:
+            c.close()
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not any(t.is_alive() for t in threads), "soak worker hung"
+    assert failures == []
