@@ -516,8 +516,9 @@ _register_sql("series_calendar_fill", _series_fill_sql(True), _series_fill_sql(F
 # whose result depends on partition order (and each engine's own update
 # formula), so they can never hash-match across engines. The classic
 # sufficient-statistics formulation — exact DECIMAL sums of x, y, x², y², xy,
-# then one fixed DOUBLE expression tree — is order-independent, bit-identical
-# on both engines, and is also the form that scales: five map-side-combinable
+# then one fixed DOUBLE expression tree rounded to 10 decimals (JVM vs C++
+# sqrt/divide chains can differ in the final ulp) — is order-independent and
+# engine-agreeing, and is also the form that scales: five map-side-combinable
 # decimal sums in one pass, no second pass over the data.
 _STATS_SQL = """
     WITH s AS (
@@ -536,14 +537,68 @@ _STATS_SQL = """
       GROUP BY l_returnflag
     )
     SELECT l_returnflag, n_rows,
-           (n * sxy - sx * sy) / n / (n - 1) AS covar_samp_qty_price,
-           (n * sxy - sx * sy)
-             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS intercept,
-           sqrt((n * sxx - sx * sx) / n / (n - 1)) AS stddev_samp_qty
+           ROUND((n * sxy - sx * sy) / n / (n - 1), 10) AS covar_samp_qty_price,
+           ROUND((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 10) AS corr_qty_price,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 10) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 10) AS intercept,
+           ROUND(sqrt((n * sxx - sx * sx) / n / (n - 1)), 10) AS stddev_samp_qty
     FROM s
     ORDER BY l_returnflag
 """
 
 _register_sql("stats_corr_regression", _STATS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# time-interval RANGE window frame (trailing 7-day revenue)
+# ---------------------------------------------------------------------------
+def _range_frame_sql(spark: bool) -> str:
+    """RANGE BETWEEN INTERVAL … PRECEDING over an ORDER BY timestamp — the
+    time-based frame (distinct from ROWS frames: it bounds by *value*, so
+    gaps in the calendar shrink the window). Daily revenue first (one
+    shuffle), then the windowed sum runs over the tiny per-day table.
+    """
+    ts = "CAST(d AS TIMESTAMP)"
+    return f"""
+    WITH per_day AS (
+      SELECT o_orderdate AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders
+      WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+      GROUP BY o_orderdate
+    )
+    SELECT d AS day, n_orders,
+           CAST(rev AS DOUBLE) AS day_rev,
+           CAST(SUM(rev) OVER (
+             ORDER BY {ts}
+             RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_7d_rev,
+           CAST(COUNT(*) OVER (
+             ORDER BY {ts}
+             RANGE BETWEEN INTERVAL '6 days' PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_in_window
+    FROM per_day
+    ORDER BY day
+    """
+
+
+_register_sql("win_range_interval_frame", _range_frame_sql(True), _range_frame_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# fixed-width histogram over events.value
+# ---------------------------------------------------------------------------
+_HISTOGRAM_SQL = """
+    SELECT CAST(FLOOR(value / 100.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY CAST(FLOOR(value / 100.0) AS BIGINT)
+    ORDER BY bucket
+"""
+
+_register_sql("histogram_fixed_width", _HISTOGRAM_SQL)

@@ -224,3 +224,47 @@ def _pii_sql(spark: bool) -> str:
 
 
 _register("text_pii_redact", _pii_sql(True), _pii_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: most distinctive term per document
+# ---------------------------------------------------------------------------
+def _tfidf_sql(spark: bool) -> str:
+    """Classic TF-IDF over whitespace tokens; winner per doc ranked by the
+    integer keys (tf DESC, df ASC, term) so the result is deterministic even
+    where the float score ties; the reported score is ROUND(tf·ln(N/df), 10)
+    (both engines' ln agree well past 10 decimals — rounding removes any
+    last-ulp libm divergence). Shape at scale: explode → two
+    map-side-combinable counts (one shuffle each) → broadcast of the scalar N
+    → per-doc window on the tf table, partitioned by doc_id.
+    """
+    if spark:
+        tok = ("SELECT doc_id, token FROM documents "
+               "LATERAL VIEW explode(split(text, ' ')) t AS token")
+    else:
+        tok = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    return f"""
+    WITH tok AS ({tok}),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM tok GROUP BY token
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND(tf.tf * ln(n.n_docs / df.df), 10) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.token) AS rk
+      FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    )
+    SELECT doc_id, token AS top_term, tf, df, tfidf
+    FROM scored WHERE rk = 1
+    ORDER BY doc_id
+    """
+
+
+_register("text_tfidf_top_term", _tfidf_sql(True), _tfidf_sql(False))

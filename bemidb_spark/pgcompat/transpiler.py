@@ -620,6 +620,16 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)
     shielded = _inject_scalar_limit(shielded)
+    # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
+    # this engine is a read-only analytics replica — pg itself allows these
+    # on read-only standbys as no-ops, so stripping preserves semantics.
+    shielded = re.sub(
+        r"\bFOR\s+(?:NO\s+KEY\s+)?(?:UPDATE|KEY\s+SHARE|SHARE)"
+        r"(?:\s+OF\s+[\w.\s,\"]+?)?(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?\s*(?=;|\)|$)",
+        "",
+        shielded,
+        flags=re.IGNORECASE,
+    )
     out = _unshield(shielded, literals)
     # json-op rewrite leaves concat('$.', trim(BOTH '''' FROM 'key')) — fold it
     out = re.sub(

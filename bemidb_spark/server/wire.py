@@ -38,6 +38,7 @@ from bemidb_spark.sources.catalog import Catalog
 
 PROTOCOL_V3 = 196608
 SSL_REQUEST = 80877103
+GSSENC_REQUEST = 80877104
 CANCEL_REQUEST = 80877102
 
 # Spark type -> (pg OID, typlen); mirrors response_handler.go:28-113.
@@ -714,7 +715,10 @@ class _Conn:
     def _dispatch(self, msg_type: bytes, body: bytes) -> None:
         if msg_type == b"Q":  # simple query
             sql = body.rstrip(b"\x00").decode()
-            for stmt in self._split_statements(sql) or [""]:
+            stmts = self._split_statements(sql)
+            if not stmts:  # pg answers "" / ";" with EmptyQueryResponse
+                self._send(b"I", b"")
+            for stmt in stmts:
                 self._run_statement(stmt)
             self._send_ready()
         elif msg_type == b"P":  # Parse
@@ -773,6 +777,11 @@ class _Conn:
                     )
                     err.sqlstate = "26000"
                     raise err
+                # ParameterDescription first (psycopg3 reads it to plan its
+                # Bind); OID 0 = unspecified, as pg sends for un-inferred
+                # params — clients then bind text-format values.
+                n_params = len({int(m) for m in re.findall(r"\$(\d+)", self.prepared[name].sql)})
+                self._send(b"t", struct.pack("!H", n_params) + struct.pack("!I", 0) * n_params)
                 self._send(b"n", b"")  # NoData
                 return
             target = self.portals.get(name)
@@ -793,6 +802,9 @@ class _Conn:
                 err = UnsupportedQueryError(f'portal "{name}" does not exist')
                 err.sqlstate = "34000"
                 raise err
+            if not portal.sql.strip():
+                self._send(b"I", b"")  # EmptyQueryResponse
+                return
             if portal.result is None:
                 df = self.session.execute(portal.sql)
                 portal.result = (df, df.collect())
@@ -857,8 +869,8 @@ def _initial_packet(sock: socket.socket) -> tuple[str, tuple]:
         (length,) = struct.unpack("!I", _recv_exact_sock(sock, 4))
         body = _recv_exact_sock(sock, length - 4)
         (code,) = struct.unpack("!I", body[:4])
-        if code == SSL_REQUEST:
-            sock.sendall(b"N")  # no TLS
+        if code in (SSL_REQUEST, GSSENC_REQUEST):
+            sock.sendall(b"N")  # no TLS / no GSS encryption
             continue
         if code == CANCEL_REQUEST:
             return "cancel", struct.unpack("!II", body[4:12])

@@ -377,3 +377,26 @@ def test_array_string_roundtrip_funcs(pg):
         "array_length(ARRAY[1, 2, 3], 1) AS alen"
     ).collect()
     assert tuple(rows[0]) == ("a|b|c", ["x", "y", "z"], 3, 3)
+
+
+def test_for_update_clause_stripped(pg):
+    """ORM row-locking clauses are no-ops on a read-only replica."""
+    rows = pg.execute(
+        "SELECT n_name FROM nation WHERE n_nationkey = 3 FOR UPDATE"
+    ).collect()
+    assert len(rows) == 1
+    rows = pg.execute(
+        "SELECT n_name FROM nation WHERE n_nationkey = 3 FOR SHARE OF nation NOWAIT"
+    ).collect()
+    assert len(rows) == 1
+    rows = pg.execute(
+        "SELECT n_name FROM nation WHERE n_nationkey = 3 FOR NO KEY UPDATE SKIP LOCKED"
+    ).collect()
+    assert len(rows) == 1
+    # inside a subquery, and never corrupting a string literal
+    rows = pg.execute(
+        "SELECT * FROM (SELECT n_name FROM nation LIMIT 2 FOR UPDATE) t"
+    ).collect()
+    assert len(rows) == 2
+    rows = pg.execute("SELECT 'saved FOR UPDATE later' AS s").collect()
+    assert rows[0][0] == "saved FOR UPDATE later"

@@ -180,6 +180,10 @@ def test_describe_unbound_statement_returns_nodata(client):
     types = [t for t, _ in msgs]
     assert b"n" in types  # NoData
     assert b"E" not in types
+    # ParameterDescription precedes NoData: one $1 param, OID 0 (unspecified)
+    pdesc = next(body for t, body in msgs if t == b"t")
+    assert struct.unpack("!HI", pdesc) == (1, 0)
+    assert types.index(b"t") < types.index(b"n")
 
 
 def test_extended_error_discards_until_sync(client):
@@ -512,3 +516,32 @@ def test_concurrent_soak(server):
         t.join(timeout=300)
     assert not any(t.is_alive() for t in threads), "soak worker hung"
     assert failures == []
+
+
+def test_empty_query_response(server):
+    """'' and ';' get EmptyQueryResponse ('I'), not an error — in both the
+    simple and extended protocols (psycopg sends these during resets)."""
+    c = MiniPgClient(server.host, server.port)
+    try:
+        for q in ("", ";", "  -- just a comment"):
+            c._send(b"Q", q.encode() + b"\x00")
+            msgs = c._read_until_ready()
+            assert [t for t, _ in msgs] == [b"I", b"Z"], (q, msgs)
+        c._send(b"P", b"\x00\x00" + struct.pack("!H", 0))
+        c._send(b"B", b"\x00\x00" + struct.pack("!HHH", 0, 0, 0))
+        c._send(b"E", b"\x00" + struct.pack("!I", 0))
+        c._send(b"S", b"")
+        msgs = c._read_until_ready()
+        assert [t for t, _ in msgs] == [b"1", b"2", b"I", b"Z"], msgs
+        assert c.query("SELECT 1 AS x")["rows"] == [["1"]]
+    finally:
+        c.close()
+
+
+def test_gssenc_request_denied(server):
+    """libpq with gssencmode=prefer sends GSSENCRequest before startup;
+    the server answers 'N' (like SSLRequest) and the client proceeds."""
+    s = socket.create_connection((server.host, server.port))
+    s.sendall(struct.pack("!II", 8, 80877104))
+    assert s.recv(1) == b"N"
+    s.close()
