@@ -242,6 +242,25 @@ class PgSession:
                 # every cached plan may now point at stale files.
                 self.invalidate_plans()
                 return out
+        if upper.startswith(("INSERT", "UPDATE", "DELETE")):
+            from bemidb_spark.pgcompat.dml import DmlError, handle_dml
+
+            try:
+                res = handle_dml(self.spark, self.catalog, stripped)
+            except DmlError as exc:
+                err = UnsupportedQueryError(str(exc))
+                err.sqlstate = exc.sqlstate
+                raise err from exc
+            if res is not None:
+                head, n = res
+                # Table files / locations changed: re-bind the shared views
+                # and drop plans that captured the old file listing.
+                register_pg_catalog(self.spark, self.catalog)
+                self.invalidate_plans()
+                tag = f"INSERT 0 {n}" if head == "INSERT" else f"{head} {n}"
+                df = self._ok(head)
+                df._pg_tag = tag  # wire sends CommandComplete with this
+                return df
         if upper.startswith(("SELECT", "WITH", "VALUES", "TABLE ", "(")):
             if self.catalog is not None:
                 version = self.catalog.version()

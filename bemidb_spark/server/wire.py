@@ -455,6 +455,10 @@ class _Conn:
             self._run_copy_in(sql)
             return
         df = self.session.execute(sql)
+        tag = getattr(df, "_pg_tag", None)
+        if tag is not None:  # DML: CommandComplete only, no result set
+            self._send(b"C", tag.encode() + b"\x00")
+            return
         rows = df.collect()
         self._send_row_description(df)
         n = self._send_rows(df, rows)
@@ -791,6 +795,10 @@ class _Conn:
                 raise err
             # Describe executes and caches — reference query_handler.go:205-209
             df = self.session.execute(target.sql)
+            if getattr(df, "_pg_tag", None) is not None:
+                target.result = (df, [])
+                self._send(b"n", b"")  # DML produces no result set
+                return
             target.result = (df, df.collect())
             self._send_row_description(df, target.result_formats)
         elif msg_type == b"E":  # Execute [portal name] [max rows]
@@ -807,9 +815,17 @@ class _Conn:
                 return
             if portal.result is None:
                 df = self.session.execute(portal.sql)
+                if getattr(df, "_pg_tag", None) is not None:
+                    self._send(b"C", df._pg_tag.encode() + b"\x00")
+                    return
                 portal.result = (df, df.collect())
                 portal.sent = 0
             df, rows = portal.result
+            tag = getattr(df, "_pg_tag", None)
+            if tag is not None:  # DML already ran at Describe time
+                self._send(b"C", tag.encode() + b"\x00")
+                portal.result = None
+                return
             # Execute's max-rows field: stream at most that many rows and
             # suspend the portal if more remain (reference
             # query_handler.go:218-238); 0 = no limit.

@@ -1,0 +1,124 @@
+"""DML over catalog tables: INSERT / ON CONFLICT / UPDATE / DELETE.
+
+Session-level routing plus wire-level tags. The reference server is read-only
+(writes happen in its syncers); this surface maps client DML onto the same
+bucketed-MERGE machinery, so a 1-row upsert touches one partition directory.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bemidb_spark.pgcompat.session import PgSession, UnsupportedQueryError
+from bemidb_spark.sources.catalog import Catalog
+from bemidb_spark.sources.writer import (
+    read_table,
+    replace_table,
+    write_bucketed_table,
+)
+
+
+@pytest.fixture()
+def cat(tmp_path):
+    return Catalog(str(tmp_path / "wh"))
+
+
+def test_insert_values_appends(spark, cat):
+    replace_table(cat, "public", "t", spark.createDataFrame(
+        [(1, "a")], "id bigint, name string"))
+    pg = PgSession(spark, cat)
+    df = pg.execute("INSERT INTO t (id, name) VALUES (2, 'b'), (3, 'c')")
+    assert df._pg_tag == "INSERT 0 2"
+    got = {r.id: r.name for r in read_table(spark, cat, "public", "t").collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    # column subset -> NULL fill; SELECT through the session sees new rows
+    pg.execute("INSERT INTO t (id) VALUES (4)")
+    assert pg.execute("SELECT count(*) AS n FROM t").collect()[0].n == 4
+    assert pg.execute(
+        "SELECT name FROM t WHERE id = 4").collect()[0].name is None
+
+
+def test_insert_on_conflict_do_update_is_upsert(spark, cat):
+    write_bucketed_table(spark, cat, "public", "u", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute(
+        "INSERT INTO u (k, v) VALUES (2, 'B'), (5, 'E') "
+        "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
+    assert df._pg_tag == "INSERT 0 2"
+    got = {r.k: r.v for r in read_table(spark, cat, "public", "u").collect()}
+    assert got == {1: "a", 2: "B", 5: "E"}
+    with pytest.raises(UnsupportedQueryError, match="EXCLUDED"):
+        pg.execute("INSERT INTO u (k, v) VALUES (9, 'x') "
+                   "ON CONFLICT (k) DO UPDATE SET v = 'literal'")
+
+
+def test_insert_on_conflict_do_nothing(spark, cat):
+    replace_table(cat, "public", "n", spark.createDataFrame(
+        [(1, "a")], "k bigint, v string"))
+    pg = PgSession(spark, cat)
+    df = pg.execute(
+        "INSERT INTO n (k, v) VALUES (1, 'DUP'), (2, 'b') "
+        "ON CONFLICT (k) DO NOTHING")
+    assert df._pg_tag == "INSERT 0 1"  # pg counts only inserted rows
+    got = {r.k: r.v for r in read_table(spark, cat, "public", "n").collect()}
+    assert got == {1: "a", 2: "b"}
+
+
+def test_update_where(spark, cat):
+    write_bucketed_table(spark, cat, "public", "w", spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k bigint, v string, x bigint"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute("UPDATE w SET v = upper(v), x = x + 1 WHERE k >= 2")
+    assert df._pg_tag == "UPDATE 2"
+    got = {r.k: (r.v, r.x) for r in read_table(spark, cat, "public", "w").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 21), 3: ("C", 31)}
+    assert pg.execute("UPDATE w SET v = 'z' WHERE k = 99")._pg_tag == "UPDATE 0"
+
+
+def test_delete_where(spark, cat):
+    write_bucketed_table(spark, cat, "public", "d", spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute("DELETE FROM d WHERE k % 2 = 0")
+    assert df._pg_tag == "DELETE 5"
+    assert sorted(r.k for r in read_table(spark, cat, "public", "d").collect()) \
+        == [1, 3, 5, 7, 9]
+    # unbucketed full-rewrite path
+    replace_table(cat, "public", "d2", spark.createDataFrame(
+        [(1,), (2,)], "k bigint"))
+    assert pg.execute("DELETE FROM d2 WHERE k = 1")._pg_tag == "DELETE 1"
+    assert [r.k for r in read_table(spark, cat, "public", "d2").collect()] == [2]
+
+
+def test_returning_rejected(spark, cat):
+    replace_table(cat, "public", "r", spark.createDataFrame([(1,)], "k bigint"))
+    pg = PgSession(spark, cat)
+    with pytest.raises(UnsupportedQueryError, match="RETURNING"):
+        pg.execute("INSERT INTO r (k) VALUES (2) RETURNING k")
+
+
+def test_dml_over_wire(spark, tmp_path):
+    from bemidb_spark.server.wire import WireServer
+    from tests.pg_client import MiniPgClient
+
+    cat = Catalog(str(tmp_path / "wh"))
+    write_bucketed_table(spark, cat, "public", "items", spark.createDataFrame(
+        [(1, "one")], "id bigint, label string"), ["id"], n_buckets=4)
+    srv = WireServer(spark, cat)
+    srv.start()
+    c = MiniPgClient(srv.host, srv.port)
+    try:
+        r = c.query("INSERT INTO items (id, label) VALUES (2, 'two')")
+        assert r["tags"] == ["INSERT 0 1"] and r["columns"] == [], r
+        r = c.query("UPDATE items SET label = 'TWO' WHERE id = 2")
+        assert r["tags"] == ["UPDATE 1"], r
+        # extended protocol with a parameter
+        r = c.extended_query("DELETE FROM items WHERE id = $1", [1])
+        assert r["tags"] == ["DELETE 1"] and r["errors"] == [], r
+        r = c.query("SELECT id, label FROM items")
+        assert r["rows"] == [["2", "TWO"]], r
+    finally:
+        c.close()
+        srv.stop()
