@@ -278,6 +278,19 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         "seq_tup_read bigint, idx_scan bigint, idx_tup_fetch bigint, "
         "n_live_tup bigint, n_dead_tup bigint, n_mod_since_analyze bigint",
     ).createOrReplaceTempView("pg_stat_user_tables")
+    # pg_stat_activity: monitoring clients (psql \watch, dashboards, pgAdmin)
+    # poll it on connect. One synthetic active-backend row for this session;
+    # per-connection detail lives in the wire server, which the shared Spark
+    # views can't see — a static plausible row keeps those tools working.
+    spark.sql(
+        "SELECT CAST(16384 AS BIGINT) AS datid, "
+        f"'{PG_DATABASE}' AS datname, CAST(1 AS INT) AS pid, "
+        f"CAST(10 AS BIGINT) AS usesysid, '{PG_USER}' AS usename, "
+        "'bemidb' AS application_name, CAST(NULL AS STRING) AS client_addr, "
+        "CAST(NULL AS TIMESTAMP) AS backend_start, "
+        "CAST(NULL AS TIMESTAMP) AS query_start, "
+        "'active' AS state, '' AS query, 'client backend' AS backend_type"
+    ).createOrReplaceTempView("pg_stat_activity")
     # pg_get_keywords() is remapped to this view (reference installs it as a
     # table macro, query_remapper_function.go:96-112).
     spark.createDataFrame(

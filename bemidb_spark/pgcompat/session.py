@@ -242,6 +242,20 @@ class PgSession:
                 # every cached plan may now point at stale files.
                 self.invalidate_plans()
                 return out
+        if upper.startswith("EXPLAIN"):
+            # pg clients expect a one-column "QUERY PLAN" result set; the
+            # plan text is Spark's (this IS the engine's plan — showing a
+            # fake pg plan would be lying about execution).
+            inner = re.sub(
+                r"^\s*EXPLAIN\s*(\([^)]*\)\s*|(ANALYZE|VERBOSE|COSTS|BUFFERS|FORMAT\s+\w+)\s+)*",
+                "", stripped, flags=re.IGNORECASE,
+            )
+            folded = self._qualify_catalog_tables(self._fold_session_functions(inner))
+            plan = self.spark.sql(transpile(folded))._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            rows = [(line,) for line in plan.rstrip("\n").split("\n")]
+            return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
         if upper.startswith(("INSERT", "UPDATE", "DELETE")):
             from bemidb_spark.pgcompat.dml import DmlError, handle_dml
 

@@ -400,3 +400,24 @@ def test_for_update_clause_stripped(pg):
     assert len(rows) == 2
     rows = pg.execute("SELECT 'saved FOR UPDATE later' AS s").collect()
     assert rows[0][0] == "saved FOR UPDATE later"
+
+
+def test_explain_returns_query_plan(pg):
+    rows = pg.execute(
+        "EXPLAIN SELECT n_name FROM nation WHERE n_regionkey = 1"
+    ).collect()
+    assert rows[0].__fields__ == ["QUERY PLAN"]
+    text = "\n".join(r[0] for r in rows)
+    assert "Scan parquet" in text or "Scan " in text
+    assert "PushedFilters" in text  # the plan the engine will actually run
+    # EXPLAIN (FORMAT TEXT) / EXPLAIN ANALYZE prefixes also parse
+    assert pg.execute("EXPLAIN (COSTS FALSE) SELECT 1").collect()
+    assert pg.execute("EXPLAIN ANALYZE SELECT 1").collect()
+
+
+def test_pg_stat_activity(pg):
+    rows = pg.execute(
+        "SELECT pid, usename, state, backend_type FROM pg_stat_activity"
+    ).collect()
+    assert rows[0].state == "active"
+    assert rows[0].backend_type == "client backend"
