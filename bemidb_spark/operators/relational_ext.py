@@ -267,3 +267,74 @@ def _range_join(spark: bool) -> str:
 
 
 _register_sql("range_join_close_events", _range_join(True), _range_join(False))
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis: ordered view -> click -> purchase conversion
+# ---------------------------------------------------------------------------
+_FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
+           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_click,
+           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step_purchase,
+           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v) AS view_to_click,
+           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM c) AS click_to_purchase
+"""
+
+# Ordered-funnel shape at scale: each step is one shuffle on user_id against
+# the (shrinking) per-user min table from the previous step; Spark reuses the
+# user_id partitioning across the three joins. No window over the full event
+# stream, no per-user loop. Integer counts ratioed in one double division
+# keep both engines bit-identical.
+_register_sql("funnel_view_click_purchase", _FUNNEL_SQL)
+
+
+# ---------------------------------------------------------------------------
+# retention cohorts: signup week x week offset
+# ---------------------------------------------------------------------------
+def _retention_sql(spark: bool) -> str:
+    day_diff = "datediff(a.wk, s.cohort)" if spark else "date_diff('day', s.cohort, a.wk)"
+    return f"""
+    WITH signup AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events
+    ),
+    sizes AS (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM signup GROUP BY cohort)
+    SELECT s.cohort AS cohort,
+           CAST({day_diff} / 7 AS BIGINT) AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           z.cohort_size,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / z.cohort_size AS retention
+    FROM signup s
+    JOIN activity a ON a.user_id = s.user_id AND a.wk >= s.cohort
+    JOIN sizes z ON z.cohort = s.cohort
+    GROUP BY s.cohort, CAST({day_diff} / 7 AS BIGINT), z.cohort_size
+    ORDER BY s.cohort, week_offset
+    """
+
+
+# The product-analytics rollup over the Amplitude-style events the reference
+# syncs (C10): two shuffles (per-user min, then cohort x offset agg); the
+# distinct-activity table is map-side combinable. Week-truncated DATEs on
+# both sides (DuckDB date_trunc returns DATE natively; Spark is CAST).
+_register_sql("retention_cohorts_weekly", _retention_sql(True), _retention_sql(False))

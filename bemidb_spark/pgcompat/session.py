@@ -183,6 +183,39 @@ class PgSession:
     def _ok(self, tag: str) -> DataFrame:
         return self.spark.range(0).selectExpr(f"CAST(null AS STRING) AS `{tag}`")
 
+    # --------------------------------------------------------------- vacuum
+    def _handle_vacuum(self, sql: str, upper: str) -> DataFrame:
+        """VACUUM → expire old snapshots; VACUUM FULL t → also compact files
+        (Iceberg's expire_snapshots / rewrite_data_files, surfaced through
+        the pg statement clients actually send). ANALYZE is a no-op: Spark
+        computes scan statistics from parquet footers at plan time.
+        """
+        if upper.startswith("ANALYZE"):
+            return self._ok("ANALYZE")
+        if self.catalog is None:
+            return self._ok("VACUUM")
+        from bemidb_spark.sources.writer import compact_table, expire_snapshots
+
+        m = re.match(
+            r"VACUUM\s*(FULL\s+)?(?:\([^)]*\)\s*)?([\w.]+)?\s*$", sql, re.IGNORECASE
+        )
+        full = bool(m and m.group(1))
+        target = m.group(2) if m else None
+        names = (
+            [target] if target
+            else list(self.catalog.tables())
+        )
+        for name in names:
+            schema, _, table = name.rpartition(".")
+            schema = schema or "public"
+            if full:
+                compact_table(self.spark, self.catalog, schema, table)
+            expire_snapshots(self.catalog, schema, table, keep=0)
+        if full:
+            register_pg_catalog(self.spark, self.catalog)
+            self.invalidate_plans()
+        return self._ok("VACUUM")
+
     # ------------------------------------------------- session-value folding
     def _fold_session_functions(self, sql: str) -> str:
         def setting_repl(m: re.Match) -> str:
@@ -242,6 +275,8 @@ class PgSession:
                 # every cached plan may now point at stale files.
                 self.invalidate_plans()
                 return out
+        if upper.startswith(("VACUUM", "ANALYZE")):
+            return self._handle_vacuum(stripped, upper)
         if upper.startswith("EXPLAIN"):
             # pg clients expect a one-column "QUERY PLAN" result set; the
             # plan text is Spark's (this IS the engine's plan — showing a

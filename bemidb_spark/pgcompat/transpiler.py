@@ -266,6 +266,60 @@ def _rewrite_functions(sql: str) -> str:
     return sql
 
 
+# pg to_char date tokens → Java SimpleDateFormat (longest match first).
+_TO_CHAR_TOKENS = [
+    ("HH24", "HH"), ("HH12", "hh"), ("YYYY", "yyyy"), ("Month", "MMMM"),
+    ("MONTH", "MMMM"), ("Mon", "MMM"), ("MON", "MMM"), ("Day", "EEEE"),
+    ("DAY", "EEEE"), ("Dy", "EEE"), ("DY", "EEE"), ("DDD", "DDD"),
+    ("DD", "dd"), ("MM", "MM"), ("YY", "yy"), ("MI", "mm"), ("SS", "ss"),
+    ("MS", "SSS"), ("US", "SSSSSS"), ("AM", "a"), ("PM", "a"),
+    ("am", "a"), ("pm", "a"), ("HH", "hh"), ("TZ", "z"), ("WW", "ww"),
+    ("Q", "Q"),
+]
+
+
+def _to_char_java_pattern(pg_pattern: str) -> str | None:
+    """Translate a pg to_char date/time pattern to a Java pattern; None when
+    the pattern has no date tokens (numeric to_char — not supported)."""
+    src = pg_pattern.replace("FM", "")
+    out, i, n, hit = [], 0, len(src), False
+    while i < n:
+        if src[i] == '"':  # pg literal chunk "text" → Java 'text'
+            j = src.find('"', i + 1)
+            j = n if j < 0 else j
+            out.append("'" + src[i + 1:j] + "'")
+            i = j + 1
+            continue
+        for tok, java in _TO_CHAR_TOKENS:
+            if src.startswith(tok, i):
+                out.append(java)
+                i += len(tok)
+                hit = True
+                break
+        else:
+            out.append(src[i])
+            i += 1
+    return "".join(out) if hit else None
+
+
+def _rewrite_to_char(sql: str, literals: list[str]) -> str:
+    """to_char(expr, 'YYYY-MM-DD…') → date_format(expr, 'yyyy-MM-dd…')."""
+    _arg = r"((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+)"
+
+    def repl(m: re.Match) -> str:
+        pattern = literals[int(m.group(2))].strip("'")
+        java = _to_char_java_pattern(pattern)
+        if java is None:
+            return m.group(0)  # numeric to_char: leave (and fail) as-is
+        literals.append("'" + java + "'")
+        return f"date_format({m.group(1)}, \x00{len(literals) - 1}\x00)"
+
+    return re.sub(
+        rf"\bto_char\s*\(\s*{_arg}\s*,\s*\x00(\d+)\x00\s*\)",
+        repl, sql, flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_string_to_array(sql: str, literals: list[str]) -> str:
     """pg string_to_array(s, delim) → Spark split(s, delim) — Spark's split
     takes a REGEX, so a literal delimiter gets its metacharacters escaped
@@ -614,6 +668,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_srf(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_functions(shielded)
+    shielded = _rewrite_to_char(shielded, literals)
     shielded = _rewrite_string_to_array(shielded, literals)
     shielded = _rewrite_any_string_array(shielded, literals)
     shielded = _rewrite_json_ops(shielded)

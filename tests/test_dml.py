@@ -122,3 +122,21 @@ def test_dml_over_wire(spark, tmp_path):
     finally:
         c.close()
         srv.stop()
+
+
+def test_vacuum_and_analyze(spark, cat):
+    import glob
+
+    replace_table(cat, "public", "vt", spark.range(1000).repartition(8))
+    pg = PgSession(spark, cat)
+    # a rewrite leaves a superseded snapshot behind
+    replace_table(cat, "public", "vt", spark.range(2000).repartition(8))
+    assert len(cat.snapshots("public", "vt")) >= 1
+    assert pg.execute("ANALYZE vt").columns == ["ANALYZE"]
+    pg.execute("VACUUM vt")
+    assert cat.snapshots("public", "vt") == []
+    pg.execute("VACUUM FULL vt")
+    loc = cat.location("public", "vt")
+    files = glob.glob(f"{loc}/*.parquet")
+    assert len(files) == 1  # 2000 rows -> one right-sized file
+    assert pg.execute("SELECT count(*) AS n FROM vt").collect()[0].n == 2000

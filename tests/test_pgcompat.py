@@ -421,3 +421,13 @@ def test_pg_stat_activity(pg):
     ).collect()
     assert rows[0].state == "active"
     assert rows[0].backend_type == "client backend"
+
+
+def test_to_char_date_patterns(pg):
+    rows = pg.execute(
+        "SELECT to_char(DATE '2024-03-07', 'YYYY-MM-DD') AS iso, "
+        "to_char(TIMESTAMP '2024-03-07 14:05:09', 'HH24:MI:SS') AS hms, "
+        "to_char(DATE '2024-03-07', 'Mon DD, YYYY') AS pretty, "
+        "to_char(DATE '2024-03-07', 'Day') AS dayname"
+    ).collect()
+    assert tuple(rows[0]) == ("2024-03-07", "14:05:09", "Mar 07, 2024", "Thursday")
