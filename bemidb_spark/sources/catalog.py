@@ -122,6 +122,16 @@ class Catalog:
         entry = self._read()["tables"].get(self._key(schema, table)) or {}
         return entry.get("props", {})
 
+    def set_table_props(self, schema: str, table: str, props: dict) -> None:
+        """Replace a table's props without moving its data (sync watermarks)."""
+        with _LOCK:
+            state = self._read()
+            entry = state["tables"].get(self._key(schema, table))
+            if entry is None:
+                raise KeyError(f"table not found in catalog: {schema}.{table}")
+            entry["props"] = props
+            self._write(state)
+
     def location(self, schema: str, table: str) -> str:
         entry = self._read()["tables"].get(self._key(schema, table))
         if entry is None:

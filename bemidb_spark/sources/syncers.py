@@ -28,6 +28,7 @@ import json
 from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bemidb_spark.pgcompat.types import parse_pg_literal, parse_timestamp, spark_field
@@ -460,3 +461,68 @@ def _normalize_attio_deal(record: dict) -> tuple:
         parse_timestamp(created) if created else None,
         first_value(v.get("created_by", []), "referenced_actor_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental upsert sync (CDC-shaped: changed rows by cursor, merged by key)
+# ---------------------------------------------------------------------------
+class IncrementalUpsertSyncer:
+    """Pull rows whose ``cursor_col`` advanced past the stored watermark and
+    MERGE them by the table's unique key.
+
+    The reference's live-CDC path is an unimplemented stub (syncer-postgres/
+    lib/syncer.go:37-42 panics on the replication branch); this is the
+    standard pull-based alternative every warehouse sync runs instead:
+    ``WHERE updated_at > :watermark`` batches, merged with upsert semantics —
+    so updates AND inserts both land, unlike the cursor *append* which is
+    insert-only. On key-bucketed tables the merge rewrites only affected
+    bucket partitions (writer.upsert_by_key), so sync cost tracks the change
+    volume, not table size. The watermark persists in the catalog's table
+    props, surviving restarts; re-running a batch is idempotent (same keys
+    merge to the same rows).
+    """
+
+    def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
+        self.spark = spark
+        self.catalog = catalog
+
+    def watermark(self, table: SourceTable) -> str | None:
+        props = self.catalog.table_props(table.schema, table.name) or {}
+        return props.get("sync_watermark")
+
+    def sync_table(
+        self,
+        table: SourceTable,
+        batches: Iterable[list[list[str | None]]],
+        cursor_col: str,
+    ) -> int:
+        """Merge pg-text batches (pre-filtered by the source query's
+        ``cursor > watermark``) and advance the stored watermark."""
+        from bemidb_spark.sources.writer import upsert_by_key
+
+        rows = [
+            tuple(
+                parse_pg_literal(pg, raw)
+                for (_, pg), raw in zip(table.columns, raw_row)
+            )
+            for batch in batches
+            for raw_row in batch
+        ]
+        if not rows:
+            return 0
+        updates = self.spark.createDataFrame(rows, table.spark_schema())
+        wm = self.watermark(table)
+        if wm is not None:  # defense-in-depth: drop rows at/behind watermark
+            updates = updates.filter(F.col(cursor_col) > F.lit(wm))
+        n = updates.count()
+        if n == 0:
+            return 0
+        upsert_by_key(
+            self.spark, self.catalog, table.schema, table.name,
+            updates, [table.unique_key],
+        )
+        new_wm = updates.agg(F.max(cursor_col).alias("m")).collect()[0].m
+        props = dict(self.catalog.table_props(table.schema, table.name) or {})
+        props["sync_watermark"] = str(new_wm)
+        self.catalog.set_table_props(table.schema, table.name, props)
+        return n

@@ -183,3 +183,35 @@ def test_attio_deals_sync(spark, catalog):
     cols = [f.name for f in read_table(spark, catalog, "attio", "deals").schema.fields]
     assert cols == ["id", "name", "stage", "owner", "value", "associated_people",
                     "associated_company", "created_at", "created_by"]
+
+
+def test_incremental_upsert_syncer(spark, catalog):
+    from bemidb_spark.sources.syncers import IncrementalUpsertSyncer
+
+    table = SourceTable(
+        "public", "accounts",
+        [("id", "int8"), ("name", "text"), ("updated_at", "timestamp")],
+        unique_key="id",
+    )
+    FullRefreshSyncer(spark, catalog).sync_table(table, [
+        [["1", "ada", "2024-01-01 00:00:00"],
+         ["2", "bob", "2024-01-01 00:00:00"]],
+    ])
+    inc = IncrementalUpsertSyncer(spark, catalog)
+    assert inc.watermark(table) is None
+    # one update (id=2 renamed) + one insert (id=3), cursor advanced
+    n = inc.sync_table(table, [
+        [["2", "bobby", "2024-01-02 08:00:00"],
+         ["3", "cyd", "2024-01-02 09:00:00"]],
+    ], cursor_col="updated_at")
+    assert n == 2
+    got = {r.id: r.name for r in read_table(spark, catalog, "public", "accounts").collect()}
+    assert got == {1: "ada", 2: "bobby", 3: "cyd"}
+    assert inc.watermark(table) == "2024-01-02 09:00:00"
+    # replaying the same batch is a no-op (watermark filter) and idempotent
+    n = inc.sync_table(table, [
+        [["2", "bobby", "2024-01-02 08:00:00"],
+         ["3", "cyd", "2024-01-02 09:00:00"]],
+    ], cursor_col="updated_at")
+    assert n == 0
+    assert read_table(spark, catalog, "public", "accounts").count() == 3
