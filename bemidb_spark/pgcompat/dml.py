@@ -103,6 +103,17 @@ def _bucket_keys(catalog: Catalog, schema: str, table: str) -> list[str] | None:
     return props.get("bucket_keys") or None
 
 
+def _read_target(
+    spark: SparkSession, catalog: Catalog, schema: str, table: str
+) -> DataFrame:
+    try:
+        return read_table(spark, catalog, schema, table)
+    except KeyError:
+        err = DmlError(f'relation "{schema}.{table}" does not exist')
+        err.sqlstate = "42P01"
+        raise err from None
+
+
 def _append(
     spark: SparkSession, catalog: Catalog, schema: str, table: str, typed: DataFrame
 ) -> None:
@@ -169,7 +180,7 @@ def handle_dml(
         if not m:
             raise DmlError("unsupported INSERT form (expected INSERT … VALUES …)")
         schema, table = _split_name(m.group(1))
-        target = read_table(spark, catalog, schema, table)
+        target = _read_target(spark, catalog, schema, table)
         cols = (
             [c.strip().strip('"') for c in m.group(2).split(",")]
             if m.group(2)
@@ -211,7 +222,7 @@ def handle_dml(
         if not m:
             raise DmlError("unsupported DELETE form")
         schema, table = _split_name(m.group(1))
-        current = read_table(spark, catalog, schema, table)
+        current = _read_target(spark, catalog, schema, table)
         if m.group(2) is None:
             n = current.count()
             replace_table(catalog, schema, table, current.limit(0))
@@ -232,7 +243,7 @@ def handle_dml(
     if not m:
         raise DmlError("unsupported UPDATE form")
     schema, table = _split_name(m.group(1))
-    current = read_table(spark, catalog, schema, table)
+    current = _read_target(spark, catalog, schema, table)
     fields = {f.name: f for f in current.schema.fields}
     set_map: dict[str, str] = {}
     for item in _split_top_level(m.group(2)):

@@ -84,6 +84,7 @@ class PgSession:
         # pg server's prepared-statement cache buys — at SF0.1 that fixed
         # per-query planning cost dominates the suite (see bench.py).
         self._plan_cache: dict[str, DataFrame] = {}
+        self._sql_prepared: dict[str, str] = {}  # SQL-level PREPARE bodies
         self._catalog_version = catalog.version() if catalog is not None else 0
         self._qualify_re: re.Pattern | None = None
         self._qualify_re_version: int | None = None
@@ -183,6 +184,51 @@ class PgSession:
     def _ok(self, tag: str) -> DataFrame:
         return self.spark.range(0).selectExpr(f"CAST(null AS STRING) AS `{tag}`")
 
+    # ------------------------------------------------- SQL-level PREPARE
+    def _handle_sql_prepare(self, sql: str, upper: str) -> DataFrame | None:
+        """PREPARE name AS … / EXECUTE name(args) / DEALLOCATE — the SQL-level
+        prepared-statement surface (psql scripts and pgbench use it; the
+        protocol-level Parse/Bind path in the wire server is separate)."""
+        if upper.startswith("PREPARE "):
+            m = re.match(
+                r"PREPARE\s+([\w]+)\s*(?:\([^)]*\))?\s+AS\s+(.+)$",
+                sql, re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                return None
+            self._sql_prepared[m.group(1).lower()] = m.group(2).strip()
+            return self._ok("PREPARE")
+        if upper.startswith("EXECUTE "):
+            m = re.match(
+                r"EXECUTE\s+([\w]+)\s*(?:\((.*)\))?\s*$", sql,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                return None
+            name = m.group(1).lower()
+            body = self._sql_prepared.get(name)
+            if body is None:
+                err = UnsupportedQueryError(
+                    f'prepared statement "{name}" does not exist')
+                err.sqlstate = "26000"
+                raise err
+            if m.group(2):
+                from bemidb_spark.pgcompat.dml import _split_top_level
+
+                args = _split_top_level(m.group(2))
+                for i in range(len(args), 0, -1):  # $10 before $1
+                    body = body.replace(f"${i}", f"({args[i - 1]})")
+            return self.execute(body)
+        # DEALLOCATE [PREPARE] name | ALL
+        m = re.match(r"DEALLOCATE\s+(?:PREPARE\s+)?([\w]+|ALL)\s*$", sql, re.IGNORECASE)
+        if m:
+            if m.group(1).upper() == "ALL":
+                self._sql_prepared.clear()
+            else:
+                self._sql_prepared.pop(m.group(1).lower(), None)
+            return self._ok("DEALLOCATE")
+        return None
+
     # --------------------------------------------------------------- vacuum
     def _handle_vacuum(self, sql: str, upper: str) -> DataFrame:
         """VACUUM → expire old snapshots; VACUUM FULL t → also compact files
@@ -268,6 +314,14 @@ class PgSession:
             ("BEGIN ", "START TRANSACTION")
         ):
             return self._ok(upper.split()[0])
+        if upper.startswith(("LISTEN", "UNLISTEN", "NOTIFY")):
+            # Async notification channels: accepted as no-ops (an analytics
+            # replica has no writers to notify; pg allows LISTEN on standbys).
+            return self._ok(upper.split()[0])
+        if upper.startswith(("PREPARE ", "EXECUTE ", "DEALLOCATE")):
+            out = self._handle_sql_prepare(stripped, upper)
+            if out is not None:
+                return out
         if "MATERIALIZED VIEW" in upper:
             out = self._handle_matview(sql)
             if out is not None:

@@ -149,3 +149,65 @@ def write_partitioned_events(spark: SparkSession, sf_dir: str, out_dir: str) -> 
         .parquet(path)
     )
     return path
+
+
+def zorder_key(col_a, col_b, bits: int = 16) -> "F.Column":
+    """Interleaved-bit (Morton / Z-order) sort key over two rank-normalized
+    int columns — pure Spark expressions, codegen'd per row.
+
+    Sorting files by this key gives every file a *narrow min/max range on
+    BOTH columns*, so parquet footer stats can skip files for predicates on
+    either one — the property a single-column sort only provides for its
+    leading column. This is the same layout Iceberg/Delta expose as
+    ``zorder by (a, b)``; at 100 TB it is the difference between pruning on
+    one dimension and pruning on all of them.
+    """
+    expr = F.lit(0).cast("bigint")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("bigint"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("bigint"), i).bitwiseAND(F.lit(1))
+        expr = expr.bitwiseOR(
+            F.shiftleft(bit_a, 2 * i + 1).bitwiseOR(F.shiftleft(bit_b, 2 * i))
+        )
+    return expr
+
+
+def write_zordered(
+    spark: SparkSession,
+    df,
+    out_path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> str:
+    """Write df as n_files parquet files clustered by Z-order over (a, b).
+
+    Values are min/max-normalized into the bit budget with one tiny
+    aggregate (broadcast back as literals — no global window, nothing
+    single-partition), then interleaved and range-sorted: one shuffle total,
+    exactly what a production OPTIMIZE ... ZORDER rewrite costs. Quantile
+    binning (approxQuantile boundaries) is the drop-in refinement when a
+    column is heavily skewed.
+    """
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    scale = (1 << bits) - 1
+
+    def norm(col: str, lo, hi) -> "F.Column":
+        span = max(int(hi) - int(lo), 1)
+        return ((F.col(col) - F.lit(int(lo))) * scale / F.lit(span)).cast("bigint")
+
+    keyed = df.withColumn("_za", norm(col_a, lo_a, hi_a)).withColumn(
+        "_zb", norm(col_b, lo_b, hi_b)
+    )
+    keyed = keyed.withColumn("_zkey", zorder_key(F.col("_za"), F.col("_zb"), bits))
+    (
+        keyed.repartitionByRange(n_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_za", "_zb", "_zkey")
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return out_path

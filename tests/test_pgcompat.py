@@ -97,7 +97,10 @@ def test_begin_discard_noop(pg):
 
 def test_unsupported_statement(pg):
     with pytest.raises(UnsupportedQueryError):
-        pg.execute("INSERT INTO t VALUES (1)")
+        pg.execute("GRANT SELECT ON t TO someone")
+    # DML is routed now — an unknown relation errors cleanly (42P01)
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("INSERT INTO no_such_table VALUES (1)")
 
 
 # -- PG system tables (B5) ---------------------------------------------------
@@ -431,3 +434,27 @@ def test_to_char_date_patterns(pg):
         "to_char(DATE '2024-03-07', 'Day') AS dayname"
     ).collect()
     assert tuple(rows[0]) == ("2024-03-07", "14:05:09", "Mar 07, 2024", "Thursday")
+
+
+def test_sql_level_prepare_execute_deallocate(pg):
+    assert pg.execute(
+        "PREPARE natq (int) AS SELECT n_name FROM nation WHERE n_regionkey = $1 "
+        "ORDER BY n_name"
+    ).columns == ["PREPARE"]
+    rows = pg.execute("EXECUTE natq(0)").collect()
+    assert len(rows) == 5
+    rows2 = pg.execute("EXECUTE natq(0 + 1)").collect()  # args are expressions
+    assert len(rows2) == 5 and rows2 != rows
+    assert pg.execute("DEALLOCATE natq").columns == ["DEALLOCATE"]
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("EXECUTE natq(0)")
+    pg.execute("PREPARE p2 AS SELECT 1 AS x")
+    pg.execute("DEALLOCATE ALL")
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("EXECUTE p2")
+
+
+def test_listen_notify_noops(pg):
+    assert pg.execute("LISTEN chan").columns == ["LISTEN"]
+    assert pg.execute("NOTIFY chan, 'hello'").columns == ["NOTIFY"]
+    assert pg.execute("UNLISTEN *").columns == ["UNLISTEN"]

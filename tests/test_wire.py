@@ -95,7 +95,10 @@ def test_set_show_through_wire(client):
 
 
 def test_error_response_and_recovery(client):
+    # this server has no table catalog, so DML errors cleanly
     r = client.query("INSERT INTO region VALUES (1)")
+    assert r["errors"] and "requires a table catalog" in r["errors"][0]["M"]
+    r = client.query("GRANT SELECT ON region TO someone")
     assert r["errors"] and "unsupported query type" in r["errors"][0]["M"]
     # connection still usable
     r = client.query("SELECT 1 AS ok")
