@@ -20,6 +20,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from bemidb_spark.pgcompat.catalog_views import PG_DATABASE, PG_USER, register_pg_catalog
 from bemidb_spark.pgcompat.permissions import apply_permissions, extract_permissions
@@ -184,6 +185,87 @@ class PgSession:
     def _ok(self, tag: str) -> DataFrame:
         return self.spark.range(0).selectExpr(f"CAST(null AS STRING) AS `{tag}`")
 
+    # ------------------------------------------------------------ table DDL
+    def _handle_table_ddl(self, sql: str, upper: str) -> DataFrame | None:
+        """CREATE TABLE [(cols)] / CREATE TABLE AS <query> / DROP TABLE —
+        wire-level DDL onto the same catalog the syncers commit to (the
+        reference only creates tables from its sync paths; clients expect
+        CTAS for scratch tables)."""
+        if self.catalog is None:
+            err = UnsupportedQueryError("table DDL requires a table catalog")
+            err.sqlstate = "42601"
+            raise err
+        from bemidb_spark.pgcompat.types import spark_field
+        from bemidb_spark.sources.writer import drop_table_files, replace_table
+
+        m = re.match(
+            r"CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.\"]+)\s+AS\s+(.+)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            schema, _, table = m.group(1).replace('"', "").rpartition(".")
+            df = self.execute(m.group(2))
+            n = df.count()
+            replace_table(self.catalog, schema or "public", table, df)
+            out = self._ok("CREATE TABLE")
+            out._pg_tag = f"SELECT {n}"  # pg's CTAS tag is the row count
+            return out
+        m = re.match(
+            r"CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.\"]+)\s*\((.+)\)\s*$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            from bemidb_spark.pgcompat.dml import _split_top_level
+
+            schema, _, table = m.group(1).replace('"', "").rpartition(".")
+            fields = []
+            for item in _split_top_level(m.group(2)):
+                cm = re.match(r'^"?([\w]+)"?\s+(.+?)(\s+NOT\s+NULL|\s+PRIMARY\s+KEY|\s+UNIQUE)*\s*$',
+                              item, re.IGNORECASE)
+                if not cm or cm.group(1).upper() in ("PRIMARY", "FOREIGN", "CONSTRAINT", "CHECK"):
+                    continue  # table-level constraints: ignored (no enforcement)
+                pg_type = re.sub(r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$", "",
+                                 cm.group(2), flags=re.IGNORECASE).strip().lower()
+                # SQL spellings -> the internal pg type names types.py maps
+                pg_type = re.sub(r"(?:character\s+varying|varchar|character|char)(\(\d+\))?",
+                                 "text", pg_type)
+                pg_type = re.sub(r"^decimal", "numeric", pg_type)
+                pg_type = re.sub(r"^double\s+precision$", "float8", pg_type)
+                pg_type = {
+                    "bigint": "int8", "integer": "int4", "int": "int4",
+                    "smallint": "int2", "real": "float4", "serial": "int4",
+                    "bigserial": "int8", "boolean": "bool",
+                    "timestamp with time zone": "timestamptz",
+                    "timestamp without time zone": "timestamp",
+                }.get(pg_type, pg_type)
+                fields.append(spark_field(cm.group(1), pg_type))
+            df = self.spark.createDataFrame([], T.StructType(fields))
+            replace_table(self.catalog, schema or "public", table, df)
+            out = self._ok("CREATE TABLE")
+            out._pg_tag = "CREATE TABLE"
+            return out
+        m = re.match(
+            r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*(?:CASCADE|RESTRICT)?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            schema, _, table = m.group(2).replace('"', "").rpartition(".")
+            schema = schema or "public"
+            if f"{schema}.{table}" not in self.catalog.tables():
+                if not m.group(1):  # no IF EXISTS
+                    err = UnsupportedQueryError(
+                        f'table "{schema}.{table}" does not exist')
+                    err.sqlstate = "42P01"
+                    raise err
+            else:
+                drop_table_files(self.catalog, schema, table)
+            out = self._ok("DROP TABLE")
+            out._pg_tag = "DROP TABLE"
+            return out
+        return None
+
     # ------------------------------------------------- SQL-level PREPARE
     def _handle_sql_prepare(self, sql: str, upper: str) -> DataFrame | None:
         """PREPARE name AS … / EXECUTE name(args) / DEALLOCATE — the SQL-level
@@ -345,6 +427,12 @@ class PgSession:
             )
             rows = [(line,) for line in plan.rstrip("\n").split("\n")]
             return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
+        if upper.startswith(("CREATE TABLE", "DROP TABLE")):
+            out = self._handle_table_ddl(stripped, upper)
+            if out is not None:
+                register_pg_catalog(self.spark, self.catalog)
+                self.invalidate_plans()
+                return out
         if upper.startswith(("INSERT", "UPDATE", "DELETE")):
             from bemidb_spark.pgcompat.dml import DmlError, handle_dml
 

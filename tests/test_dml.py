@@ -140,3 +140,22 @@ def test_vacuum_and_analyze(spark, cat):
     files = glob.glob(f"{loc}/*.parquet")
     assert len(files) == 1  # 2000 rows -> one right-sized file
     assert pg.execute("SELECT count(*) AS n FROM vt").collect()[0].n == 2000
+
+
+def test_create_table_as_and_drop(spark, cat):
+    replace_table(cat, "public", "src", spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"))
+    pg = PgSession(spark, cat)
+    df = pg.execute("CREATE TABLE derived AS SELECT k, upper(v) AS vv FROM src WHERE k > 1")
+    assert df._pg_tag == "SELECT 2"
+    assert pg.execute("SELECT count(*) AS n FROM derived").collect()[0].n == 2
+    # typed empty table + insert into it
+    pg.execute("CREATE TABLE fresh (id bigint NOT NULL, label text, due date)")
+    assert pg.execute("SELECT count(*) AS n FROM fresh").collect()[0].n == 0
+    pg.execute("INSERT INTO fresh (id, label, due) VALUES (1, 'x', '2024-06-01'::date)")
+    row = pg.execute("SELECT id, label, due FROM fresh").collect()[0]
+    assert (row.id, row.label, str(row.due)) == (1, "x", "2024-06-01")
+    pg.execute("DROP TABLE derived")
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("DROP TABLE derived")
+    pg.execute("DROP TABLE IF EXISTS derived")  # no error
