@@ -22,6 +22,11 @@ pruning applies to the matched-row scan as well.
 
 All SET right-hand sides see the OLD row (pg semantics): the new row is built
 in a single ``select`` so one SET cannot observe another's result.
+
+``RETURNING`` works on every form: the projection is materialized BEFORE the
+table mutates (a lazy plan would re-read the swapped/overwritten location)
+and is streamed back as a result set with the DML CommandComplete tag —
+the `INSERT … RETURNING id` shape every ORM emits.
 """
 
 from __future__ import annotations
@@ -162,18 +167,38 @@ def _values_df(
     return typed.select(*[f.name for f in target.schema.fields])
 
 
+def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Pin a RETURNING projection's rows BEFORE the table mutates — the lazy
+    plan would otherwise re-read the (swapped/overwritten) table location."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def _project_returning(
+    spark: SparkSession, df: DataFrame, clause: str | None
+) -> DataFrame | None:
+    if clause is None:
+        return None
+    if clause.strip() == "*":
+        return _materialize(spark, df)
+    items = [transpile(i) for i in _split_top_level(clause)]
+    return _materialize(spark, df.selectExpr(*items))
+
+
 def handle_dml(
     spark: SparkSession, catalog: Catalog | None, sql: str
-) -> tuple[str, int] | None:
-    """Execute one DML statement; returns (tag_head, n_affected) or None if
-    the statement is not DML. Raises DmlError for unsupported forms."""
+) -> tuple[str, int, DataFrame | None] | None:
+    """Execute one DML statement; returns (tag_head, n_affected,
+    returning_df | None) or None if the statement is not DML."""
     head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
     if head not in ("INSERT", "UPDATE", "DELETE"):
         return None
     if catalog is None:
         raise DmlError("DML requires a table catalog")
-    if re.search(r"\bRETURNING\b", sql, re.IGNORECASE):
-        raise DmlError("RETURNING is not supported")
+    rm = re.search(r"\bRETURNING\b\s+(.+?)\s*;?\s*$", sql,
+                   re.IGNORECASE | re.DOTALL)
+    returning = rm.group(1) if rm else None
+    if rm:
+        sql = sql[:rm.start()]
 
     if head == "INSERT":
         m = _INSERT_RE.match(sql)
@@ -193,16 +218,18 @@ def handle_dml(
         action = (m.group(5) or "").strip()
         if conflict_keys is None:
             n = typed.count()
+            ret = _project_returning(spark, typed, returning)
             _append(spark, catalog, schema, table, typed)
-            return "INSERT", n
+            return "INSERT", n, ret
         if action.upper() == "NOTHING":
             fresh = typed.join(
                 target.select(*conflict_keys), on=conflict_keys, how="left_anti"
             )
             n = fresh.count()
+            ret = _project_returning(spark, fresh, returning)
             if n:
                 _append(spark, catalog, schema, table, fresh)
-            return "INSERT", n
+            return "INSERT", n, ret
         # DO UPDATE SET … — exact for the idiomatic full-row upsert where
         # every SET is `col = EXCLUDED.col` (the new row replaces the old);
         # anything else would need old-row column merge, refuse loudly.
@@ -214,8 +241,9 @@ def handle_dml(
                     "ON CONFLICT DO UPDATE supports only SET col = EXCLUDED.col"
                 )
         n = typed.count()
+        ret = _project_returning(spark, typed, returning)
         upsert_by_key(spark, catalog, schema, table, typed, conflict_keys)
-        return "INSERT", n
+        return "INSERT", n, ret
 
     if head == "DELETE":
         m = _DELETE_RE.match(sql)
@@ -225,19 +253,21 @@ def handle_dml(
         current = _read_target(spark, catalog, schema, table)
         if m.group(2) is None:
             n = current.count()
+            ret = _project_returning(spark, current, returning)
             replace_table(catalog, schema, table, current.limit(0))
-            return "DELETE", n
+            return "DELETE", n, ret
         cond = F.expr(transpile(m.group(2)))
         keys = _bucket_keys(catalog, schema, table)
         matched = current.filter(cond)
         n = matched.count()
+        ret = _project_returning(spark, matched, returning)
         if n == 0:
-            return "DELETE", 0
+            return "DELETE", 0, ret
         if keys:
             delete_by_key(spark, catalog, schema, table, matched.select(*keys), keys)
         else:
             replace_table(catalog, schema, table, current.filter(_not_matching(cond)))
-        return "DELETE", n
+        return "DELETE", n, ret
 
     m = _UPDATE_RE.match(sql)
     if not m:
@@ -259,8 +289,6 @@ def handle_dml(
     cond = F.expr(transpile(m.group(3))) if m.group(3) else F.lit(True)
     matched = current.filter(cond)
     n = matched.count()
-    if n == 0:
-        return "UPDATE", 0
     updated = matched.select(
         *[
             F.expr(set_map[c]).cast(fields[c].dataType).alias(c)
@@ -269,10 +297,13 @@ def handle_dml(
             for c in fields
         ]
     )
+    ret = _project_returning(spark, updated, returning)
+    if n == 0:
+        return "UPDATE", 0, ret
     keys = _bucket_keys(catalog, schema, table)
     if keys and not any(k in set_map for k in keys):
         upsert_by_key(spark, catalog, schema, table, updated, keys)
     else:
         kept = current.filter(_not_matching(cond))
         replace_table(catalog, schema, table, kept.unionByName(updated))
-    return "UPDATE", n
+    return "UPDATE", n, ret

@@ -443,12 +443,16 @@ class PgSession:
                 err.sqlstate = exc.sqlstate
                 raise err from exc
             if res is not None:
-                head, n = res
+                head, n, returning = res
                 # Table files / locations changed: re-bind the shared views
                 # and drop plans that captured the old file listing.
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
                 tag = f"INSERT 0 {n}" if head == "INSERT" else f"{head} {n}"
+                if returning is not None:
+                    returning._pg_tag = tag
+                    returning._pg_returning = True  # wire sends rows + tag
+                    return returning
                 df = self._ok(head)
                 df._pg_tag = tag  # wire sends CommandComplete with this
                 return df

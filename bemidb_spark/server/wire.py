@@ -456,13 +456,13 @@ class _Conn:
             return
         df = self.session.execute(sql)
         tag = getattr(df, "_pg_tag", None)
-        if tag is not None:  # DML: CommandComplete only, no result set
-            self._send(b"C", tag.encode() + b"\x00")
+        if tag is not None and not getattr(df, "_pg_returning", False):
+            self._send(b"C", tag.encode() + b"\x00")  # DML: no result set
             return
         rows = df.collect()
         self._send_row_description(df)
         n = self._send_rows(df, rows)
-        self._send(b"C", _tag_for(sql, n).encode() + b"\x00")
+        self._send(b"C", (tag or _tag_for(sql, n)).encode() + b"\x00")
 
     # ------------------------------------------------------------- COPY OUT
     # Beyond-reference: the reference server has no COPY support at all, but
@@ -795,9 +795,11 @@ class _Conn:
                 raise err
             # Describe executes and caches — reference query_handler.go:205-209
             df = self.session.execute(target.sql)
-            if getattr(df, "_pg_tag", None) is not None:
+            if getattr(df, "_pg_tag", None) is not None and not getattr(
+                df, "_pg_returning", False
+            ):
                 target.result = (df, [])
-                self._send(b"n", b"")  # DML produces no result set
+                self._send(b"n", b"")  # DML without RETURNING: no result set
                 return
             target.result = (df, df.collect())
             self._send_row_description(df, target.result_formats)
@@ -815,15 +817,17 @@ class _Conn:
                 return
             if portal.result is None:
                 df = self.session.execute(portal.sql)
-                if getattr(df, "_pg_tag", None) is not None:
+                if getattr(df, "_pg_tag", None) is not None and not getattr(
+                    df, "_pg_returning", False
+                ):
                     self._send(b"C", df._pg_tag.encode() + b"\x00")
                     return
                 portal.result = (df, df.collect())
                 portal.sent = 0
             df, rows = portal.result
             tag = getattr(df, "_pg_tag", None)
-            if tag is not None:  # DML already ran at Describe time
-                self._send(b"C", tag.encode() + b"\x00")
+            if tag is not None and not getattr(df, "_pg_returning", False):
+                self._send(b"C", tag.encode() + b"\x00")  # DML ran at Describe
                 portal.result = None
                 return
             # Execute's max-rows field: stream at most that many rows and
@@ -836,7 +840,8 @@ class _Conn:
             if portal.sent < len(rows):
                 self._send(b"s", b"")  # PortalSuspended
             else:
-                self._send(b"C", _tag_for(portal.sql, portal.sent).encode() + b"\x00")
+                done_tag = tag or _tag_for(portal.sql, portal.sent)
+                self._send(b"C", done_tag.encode() + b"\x00")
                 portal.result = None
                 portal.sent = 0
         elif msg_type == b"S":  # Sync

@@ -92,11 +92,22 @@ def test_delete_where(spark, cat):
     assert [r.k for r in read_table(spark, cat, "public", "d2").collect()] == [2]
 
 
-def test_returning_rejected(spark, cat):
-    replace_table(cat, "public", "r", spark.createDataFrame([(1,)], "k bigint"))
+def test_returning_clause(spark, cat):
+    """RETURNING rows are pinned BEFORE the mutation (a lazy plan would
+    re-read the rewritten table) and carry the DML tag for the wire."""
+    write_bucketed_table(spark, cat, "public", "r", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"), ["k"], n_buckets=4)
     pg = PgSession(spark, cat)
-    with pytest.raises(UnsupportedQueryError, match="RETURNING"):
-        pg.execute("INSERT INTO r (k) VALUES (2) RETURNING k")
+    df = pg.execute("INSERT INTO r (k, v) VALUES (3, 'c') RETURNING k, upper(v) AS vv")
+    assert df._pg_tag == "INSERT 0 1" and df._pg_returning
+    assert [(r.k, r.vv) for r in df.collect()] == [(3, "C")]
+    df = pg.execute("UPDATE r SET v = v || '!' WHERE k <= 2 RETURNING *")
+    assert df._pg_tag == "UPDATE 2"
+    assert sorted((r.k, r.v) for r in df.collect()) == [(1, "a!"), (2, "b!")]
+    df = pg.execute("DELETE FROM r WHERE k = 1 RETURNING k")
+    assert df._pg_tag == "DELETE 1"
+    assert [r.k for r in df.collect()] == [1]
+    assert sorted(r.k for r in read_table(spark, cat, "public", "r").collect()) == [2, 3]
 
 
 def test_dml_over_wire(spark, tmp_path):
@@ -119,6 +130,11 @@ def test_dml_over_wire(spark, tmp_path):
         assert r["tags"] == ["DELETE 1"] and r["errors"] == [], r
         r = c.query("SELECT id, label FROM items")
         assert r["rows"] == [["2", "TWO"]], r
+        # RETURNING over the wire: result set + DML tag
+        r = c.query("INSERT INTO items (id, label) VALUES (9, 'nine') RETURNING id")
+        assert r["rows"] == [["9"]] and r["tags"] == ["INSERT 0 1"], r
+        r = c.extended_query("DELETE FROM items WHERE id = $1 RETURNING label", [9])
+        assert r["rows"] == [["nine"]] and r["tags"] == ["DELETE 1"], r
     finally:
         c.close()
         srv.stop()
