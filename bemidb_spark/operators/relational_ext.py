@@ -338,3 +338,48 @@ def _retention_sql(spark: bool) -> str:
 # distinct-activity table is map-side combinable. Week-truncated DATEs on
 # both sides (DuckDB date_trunc returns DATE natively; Spark is CAST).
 _register_sql("retention_cohorts_weekly", _retention_sql(True), _retention_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization: gap-based session assignment (30-minute timeout)
+# ---------------------------------------------------------------------------
+def _sessionize_sql(spark: bool) -> str:
+    """The batch twin of streaming/windows session_window: a new session
+    starts when the gap to the user's previous event exceeds 30 minutes;
+    session ids are the running count of session-starts. One shuffle on
+    user_id serves both windows (same partitioning), then the session agg
+    is map-side combinable — the canonical sessionization plan at any scale.
+    Gaps compare exact epoch-µs (cross-engine date_diff counts boundary
+    crossings, not elapsed time)."""
+    us = "unix_micros(CAST(ts AS TIMESTAMP))" if spark else "epoch_us(ts)"
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, {us} AS t_us,
+             LAG({us}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, ts, t_us,
+             CASE WHEN prev_us IS NULL OR t_us - prev_us > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ordered
+    ),
+    assigned AS (
+      SELECT user_id, event_id, ts, t_us,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(session_seq AS BIGINT) AS session_seq,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(t_us) - MIN(t_us) AS BIGINT) AS duration_micros
+    FROM assigned
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """
+
+
+_register_sql("sessionize_events_30m", _sessionize_sql(True), _sessionize_sql(False))
