@@ -291,6 +291,21 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         "CAST(NULL AS TIMESTAMP) AS query_start, "
         "'active' AS state, '' AS query, 'client backend' AS backend_type"
     ).createOrReplaceTempView("pg_stat_activity")
+    # pg_locks: always empty (no lock manager — reads are snapshot-isolated
+    # by the catalog pointer swap); monitoring dashboards poll it.
+    spark.sql(
+        "SELECT CAST(NULL AS STRING) AS locktype, CAST(NULL AS BIGINT) AS datid, "
+        "CAST(NULL AS BIGINT) AS relation, CAST(NULL AS INT) AS pid, "
+        "CAST(NULL AS STRING) AS mode, CAST(NULL AS BOOLEAN) AS granted "
+        "WHERE 1 = 0"
+    ).createOrReplaceTempView("pg_locks")
+    spark.sql(
+        f"SELECT CAST(16384 AS BIGINT) AS datid, '{PG_DATABASE}' AS datname, "
+        "CAST(1 AS INT) AS numbackends, CAST(0 AS BIGINT) AS xact_commit, "
+        "CAST(0 AS BIGINT) AS xact_rollback, CAST(0 AS BIGINT) AS blks_read, "
+        "CAST(0 AS BIGINT) AS blks_hit, CAST(0 AS BIGINT) AS tup_returned, "
+        "CAST(0 AS BIGINT) AS tup_fetched, CAST(0 AS BIGINT) AS tup_inserted"
+    ).createOrReplaceTempView("pg_stat_database")
     # pg_get_keywords() is remapped to this view (reference installs it as a
     # table macro, query_remapper_function.go:96-112).
     spark.createDataFrame(

@@ -458,3 +458,10 @@ def test_listen_notify_noops(pg):
     assert pg.execute("LISTEN chan").columns == ["LISTEN"]
     assert pg.execute("NOTIFY chan, 'hello'").columns == ["NOTIFY"]
     assert pg.execute("UNLISTEN *").columns == ["UNLISTEN"]
+
+
+def test_pg_locks_and_stat_database(pg):
+    assert pg.execute("SELECT * FROM pg_locks").collect() == []
+    rows = pg.execute(
+        "SELECT datname, numbackends FROM pg_stat_database").collect()
+    assert rows[0].numbackends == 1
