@@ -602,3 +602,38 @@ _HISTOGRAM_SQL = """
 """
 
 _register_sql("histogram_fixed_width", _HISTOGRAM_SQL)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: daily event-type cross-tab
+# ---------------------------------------------------------------------------
+def _pivot_sql(spark: bool) -> str:
+    """Spark exercises its native PIVOT clause; the oracle states the same
+    cross-tab as FILTERed conditional aggregation (their relational meaning
+    is identical — pivot is planned as one hash aggregate either way, so it
+    scales exactly like any groupBy). Spark leaves empty COUNT cells NULL
+    where FILTER yields 0, hence the COALESCE on the Spark side only.
+    """
+    types = ["view", "click", "purchase", "signup", "error"]
+    if spark:
+        in_list = ", ".join(f"'{t}' AS {t}" for t in types)
+        sel = ", ".join(f"CAST(COALESCE({t}, 0) AS BIGINT) AS n_{t}" for t in types)
+        return f"""
+        SELECT d, {sel} FROM (
+          SELECT CAST(ts AS DATE) AS d, event_type FROM events
+        ) PIVOT (COUNT(*) FOR event_type IN ({in_list}))
+        ORDER BY d
+        """
+    cols = ", ".join(
+        f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""
+    SELECT CAST(ts AS DATE) AS d, {cols}
+    FROM events
+    GROUP BY CAST(ts AS DATE)
+    ORDER BY d
+    """
+
+
+_register_sql("pivot_event_type_daily", _pivot_sql(True), _pivot_sql(False))

@@ -184,6 +184,54 @@ def _project_returning(
     return _materialize(spark, df.selectExpr(*items))
 
 
+def _merge_conflict_updates(
+    spark: SparkSession,
+    target: DataFrame,
+    typed: DataFrame,
+    keys: list[str],
+    sets: list[str],
+) -> DataFrame:
+    """Evaluate ON CONFLICT SET expressions with pg scoping: for rows whose
+    key already exists, bare columns bind to the OLD row and ``EXCLUDED.col``
+    to the proposed row; unmatched rows insert as proposed. One join on the
+    conflict key (the proposed side is client-literal-sized, so Catalyst
+    broadcasts it); the result feeds the partition-pruned upsert."""
+    from bemidb_spark.pgcompat.transpiler import _shield_strings, _unshield
+
+    fields = {f.name: f for f in target.schema.fields}
+    set_map: dict[str, str] = {}
+    for item in sets:
+        sm = re.match(r'^\s*"?([\w]+)"?\s*=\s*(.+)$', item, re.DOTALL)
+        if not sm or sm.group(1) not in fields:
+            raise DmlError(f"unsupported SET clause: {item}")
+        shielded, lits = _shield_strings(transpile(sm.group(2).strip()))
+        shielded = re.sub(
+            r"\bEXCLUDED\s*\.\s*\"?(\w+)\"?", r"__new_\1", shielded,
+            flags=re.IGNORECASE,
+        )
+        for c in fields:  # bare refs -> the old (target) row
+            shielded = re.sub(
+                rf'(?<![\w."])({re.escape(c)})\b(?!\s*\()', f"__old_{c}",
+                shielded, flags=re.IGNORECASE,
+            )
+        set_map[sm.group(1)] = _unshield(shielded, lits)
+    old = target.select(*[F.col(c).alias(f"__old_{c}") for c in fields])
+    new = typed.select(*[F.col(c).alias(f"__new_{c}") for c in fields])
+    cond = None
+    for k in keys:
+        eq = new[f"__new_{k}"] == old[f"__old_{k}"]
+        cond = eq if cond is None else (cond & eq)
+    joined = new.join(old, on=cond, how="left")
+    matched = F.col(f"__old_{keys[0]}").isNotNull()
+    return joined.select(*[
+        F.when(
+            matched,
+            F.expr(set_map[c]) if c in set_map else F.col(f"__old_{c}"),
+        ).otherwise(F.col(f"__new_{c}")).cast(fields[c].dataType).alias(c)
+        for c in fields
+    ])
+
+
 def handle_dml(
     spark: SparkSession, catalog: Catalog | None, sql: str
 ) -> tuple[str, int, DataFrame | None] | None:
@@ -230,19 +278,23 @@ def handle_dml(
             if n:
                 _append(spark, catalog, schema, table, fresh)
             return "INSERT", n, ret
-        # DO UPDATE SET … — exact for the idiomatic full-row upsert where
-        # every SET is `col = EXCLUDED.col` (the new row replaces the old);
-        # anything else would need old-row column merge, refuse loudly.
+        # DO UPDATE SET …: the idiomatic full-row case (every SET is
+        # `col = EXCLUDED.col`) merges the new rows directly; arbitrary SET
+        # expressions get a real old-row merge — bare column refs mean the
+        # TARGET row, EXCLUDED.col the proposed row, exactly pg's scoping.
+        if re.search(r"\bWHERE\b", action, re.IGNORECASE):
+            raise DmlError("ON CONFLICT DO UPDATE ... WHERE is not supported")
         sets = _split_top_level(action[len("UPDATE"):].strip()[len("SET"):].strip())
-        for item in sets:
-            sm = _EXCLUDED_SET_RE.match(item)
-            if not sm or sm.group(1) != sm.group(2):
-                raise DmlError(
-                    "ON CONFLICT DO UPDATE supports only SET col = EXCLUDED.col"
-                )
+        full_row = all(
+            (sm := _EXCLUDED_SET_RE.match(item)) and sm.group(1) == sm.group(2)
+            for item in sets
+        )
         n = typed.count()
-        ret = _project_returning(spark, typed, returning)
-        upsert_by_key(spark, catalog, schema, table, typed, conflict_keys)
+        effective = typed if full_row else _merge_conflict_updates(
+            spark, target, typed, conflict_keys, sets
+        )
+        ret = _project_returning(spark, effective, returning)
+        upsert_by_key(spark, catalog, schema, table, effective, conflict_keys)
         return "INSERT", n, ret
 
     if head == "DELETE":

@@ -48,9 +48,24 @@ def test_insert_on_conflict_do_update_is_upsert(spark, cat):
     assert df._pg_tag == "INSERT 0 2"
     got = {r.k: r.v for r in read_table(spark, cat, "public", "u").collect()}
     assert got == {1: "a", 2: "B", 5: "E"}
-    with pytest.raises(UnsupportedQueryError, match="EXCLUDED"):
-        pg.execute("INSERT INTO u (k, v) VALUES (9, 'x') "
-                   "ON CONFLICT (k) DO UPDATE SET v = 'literal'")
+
+
+def test_insert_on_conflict_arbitrary_set_merges_old_row(spark, cat):
+    """Arbitrary SET expressions: bare columns bind to the OLD row,
+    EXCLUDED.col to the proposed row (pg scoping), unmatched rows insert."""
+    write_bucketed_table(spark, cat, "public", "m", spark.createDataFrame(
+        [(1, "a", 10)], "k bigint, v string, cnt bigint"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute(
+        "INSERT INTO m (k, v, cnt) VALUES (1, 'A', 1), (2, 'b', 1) "
+        "ON CONFLICT (k) DO UPDATE SET v = v || '+' || EXCLUDED.v, "
+        "cnt = cnt + EXCLUDED.cnt RETURNING k, v, cnt")
+    assert df._pg_tag == "INSERT 0 2"
+    got = {(r.k): (r.v, r.cnt) for r in df.collect()}
+    assert got == {1: ("a+A", 11), 2: ("b", 1)}  # merged vs fresh insert
+    stored = {r.k: (r.v, r.cnt)
+              for r in read_table(spark, cat, "public", "m").collect()}
+    assert stored == got
 
 
 def test_insert_on_conflict_do_nothing(spark, cat):
