@@ -69,6 +69,52 @@ def _pg_default_names(df: DataFrame) -> DataFrame:
     return df.toDF(*names) if names != df.columns else df
 
 
+def _normalize_pg_type(pg_type: str) -> str:
+    """SQL type spellings -> the internal pg type names types.py maps."""
+    pg_type = pg_type.strip().lower()
+    pg_type = re.sub(r"(?:character\s+varying|varchar|character|char)(\(\d+\))?",
+                     "text", pg_type)
+    pg_type = re.sub(r"^decimal", "numeric", pg_type)
+    pg_type = re.sub(r"^double\s+precision$", "float8", pg_type)
+    return {
+        "bigint": "int8", "integer": "int4", "int": "int4",
+        "smallint": "int2", "real": "float4", "serial": "int4",
+        "bigserial": "int8", "boolean": "bool",
+        "timestamp with time zone": "timestamptz",
+        "timestamp without time zone": "timestamp",
+    }.get(pg_type, pg_type)
+
+
+class _Cursor:
+    """Server-side cursor: a lazily-opened forward stream over a DataFrame.
+
+    ``toLocalIterator`` pulls one partition at a time to the driver, so a
+    cursor over a 100 TB result holds at most one partition in driver memory
+    — the same bounded-buffer contract a pg portal gives (the reference's
+    DuckDB engine streams chunks the same way). Forward-only (NO SCROLL);
+    pg's default cursor is also forward-only unless SCROLL is requested.
+    """
+
+    def __init__(self, df: DataFrame) -> None:
+        self.df = df
+        self._iter = None
+
+    def fetch(self, n: int | None, discard: bool = False) -> tuple[list, int]:
+        """Next ``n`` rows (None = all remaining); (rows, count). MOVE passes
+        ``discard`` so skipping a huge prefix never buffers it."""
+        if self._iter is None:
+            self._iter = self.df.toLocalIterator(prefetchPartitions=True)
+        out: list = []
+        count = 0
+        for row in self._iter:
+            count += 1
+            if not discard:
+                out.append(row)
+            if n is not None and count >= n:
+                break
+        return out, count
+
+
 class PgSession:
     """One client session: settings dict + router over a shared SparkSession."""
 
@@ -86,6 +132,7 @@ class PgSession:
         # per-query planning cost dominates the suite (see bench.py).
         self._plan_cache: dict[str, DataFrame] = {}
         self._sql_prepared: dict[str, str] = {}  # SQL-level PREPARE bodies
+        self._cursors: dict[str, _Cursor] = {}  # DECLARE'd server-side cursors
         self._catalog_version = catalog.version() if catalog is not None else 0
         self._qualify_re: re.Pattern | None = None
         self._qualify_re_version: int | None = None
@@ -227,20 +274,8 @@ class PgSession:
                 if not cm or cm.group(1).upper() in ("PRIMARY", "FOREIGN", "CONSTRAINT", "CHECK"):
                     continue  # table-level constraints: ignored (no enforcement)
                 pg_type = re.sub(r"\s+(NOT\s+NULL|PRIMARY\s+KEY|UNIQUE|DEFAULT\s+.*)$", "",
-                                 cm.group(2), flags=re.IGNORECASE).strip().lower()
-                # SQL spellings -> the internal pg type names types.py maps
-                pg_type = re.sub(r"(?:character\s+varying|varchar|character|char)(\(\d+\))?",
-                                 "text", pg_type)
-                pg_type = re.sub(r"^decimal", "numeric", pg_type)
-                pg_type = re.sub(r"^double\s+precision$", "float8", pg_type)
-                pg_type = {
-                    "bigint": "int8", "integer": "int4", "int": "int4",
-                    "smallint": "int2", "real": "float4", "serial": "int4",
-                    "bigserial": "int8", "boolean": "bool",
-                    "timestamp with time zone": "timestamptz",
-                    "timestamp without time zone": "timestamp",
-                }.get(pg_type, pg_type)
-                fields.append(spark_field(cm.group(1), pg_type))
+                                 cm.group(2), flags=re.IGNORECASE).strip()
+                fields.append(spark_field(cm.group(1), _normalize_pg_type(pg_type)))
             df = self.spark.createDataFrame([], T.StructType(fields))
             replace_table(self.catalog, schema or "public", table, df)
             out = self._ok("CREATE TABLE")
@@ -310,6 +345,166 @@ class PgSession:
                 self._sql_prepared.pop(m.group(1).lower(), None)
             return self._ok("DEALLOCATE")
         return None
+
+    # -------------------------------------------------------------- cursors
+    def _handle_cursor(self, sql: str, upper: str) -> DataFrame | None:
+        """DECLARE … CURSOR FOR / FETCH / MOVE / CLOSE — pg server-side
+        cursors (psycopg2 named cursors, psql FETCH loops, JDBC setFetchSize
+        all speak this surface to page large results without buffering them
+        client-side)."""
+        if upper.startswith("DECLARE "):
+            m = re.match(
+                r"DECLARE\s+([\w]+)\s+(?:BINARY\s+|INSENSITIVE\s+|ASENSITIVE\s+|"
+                r"(?:NO\s+)?SCROLL\s+)*CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+(.+)$",
+                sql, re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                return None
+            self._cursors[m.group(1).lower()] = _Cursor(self.execute(m.group(2)))
+            out = self._ok("DECLARE CURSOR")
+            out._pg_tag = "DECLARE CURSOR"
+            return out
+        m = re.match(
+            r"(FETCH|MOVE)\s+(?:(FORWARD|NEXT|ALL|\d+)\s+)?(?:(ALL|\d+)\s+)?"
+            r"(?:FROM\s+|IN\s+)?([\w]+)\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            verb = m.group(1).upper()
+            cur = self._cursors.get(m.group(4).lower())
+            if cur is None:
+                err = UnsupportedQueryError(
+                    f'cursor "{m.group(4)}" does not exist')
+                err.sqlstate = "34000"
+                raise err
+            words = [w for w in (m.group(2), m.group(3)) if w]
+            n: int | None = 1
+            for w in words:
+                if w.upper() == "ALL":
+                    n = None
+                elif w.isdigit():
+                    n = int(w)
+            rows, count = cur.fetch(n, discard=verb == "MOVE")
+            if verb == "MOVE":
+                df = self._ok("MOVE")
+                df._pg_tag = f"MOVE {count}"
+                return df
+            df = self.spark.createDataFrame(rows, cur.df.schema) if rows else (
+                self.spark.createDataFrame([], cur.df.schema))
+            df._pg_tag = f"FETCH {count}"
+            df._pg_returning = True  # wire sends the rows AND the FETCH tag
+            return df
+        m = re.match(r"CLOSE\s+([\w]+|ALL)\s*$", sql, re.IGNORECASE)
+        if m:
+            if m.group(1).upper() == "ALL":
+                self._cursors.clear()
+            elif self._cursors.pop(m.group(1).lower(), None) is None:
+                err = UnsupportedQueryError(
+                    f'cursor "{m.group(1)}" does not exist')
+                err.sqlstate = "34000"
+                raise err
+            out = self._ok("CLOSE CURSOR")
+            out._pg_tag = "CLOSE CURSOR"
+            return out
+        return None
+
+    # ----------------------------------------------------- ALTER TABLE etc.
+    def _handle_alter_table(self, sql: str, upper: str) -> DataFrame | None:
+        """ALTER TABLE RENAME / RENAME COLUMN / ADD / DROP COLUMN / ALTER TYPE
+        and TRUNCATE. On a cluster these are Iceberg metadata-only schema
+        evolution; this catalog stores schema in parquet files, so column
+        changes rewrite the table's files once (the snapshot log keeps the old
+        files for in-flight readers). RENAME and TRUNCATE are metadata-only
+        here too."""
+        if self.catalog is None:
+            err = UnsupportedQueryError("table DDL requires a table catalog")
+            err.sqlstate = "42601"
+            raise err
+        from bemidb_spark.pgcompat.types import spark_field
+        from bemidb_spark.sources.writer import read_table, replace_table
+
+        def _target(name: str) -> tuple[str, str]:
+            schema, _, table = name.replace('"', "").rpartition(".")
+            return schema or "public", table
+
+        m = re.match(r"TRUNCATE\s+(?:TABLE\s+)?(?:ONLY\s+)?([\w.\"]+)"
+                     r"(?:\s+RESTART\s+IDENTITY|\s+CONTINUE\s+IDENTITY)?"
+                     r"(?:\s+CASCADE|\s+RESTRICT)?\s*$", sql, re.IGNORECASE)
+        if m:
+            schema, table = _target(m.group(1))
+            df = read_table(self.spark, self.catalog, schema, table)
+            replace_table(self.catalog, schema, table, df.limit(0), n_files=1)
+            out = self._ok("TRUNCATE TABLE")
+            out._pg_tag = "TRUNCATE TABLE"
+            return out
+        m = re.match(r"ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.\"]+)\s+(.+)$",
+                     sql, re.IGNORECASE | re.DOTALL)
+        if not m:
+            return None
+        schema, table = _target(m.group(1))
+        action = m.group(2).strip()
+        am = re.match(r"RENAME\s+TO\s+([\w\"]+)\s*$", action, re.IGNORECASE)
+        if am:
+            self.catalog.rename_table(schema, table, am.group(1).replace('"', ""))
+            out = self._ok("ALTER TABLE")
+            out._pg_tag = "ALTER TABLE"
+            return out
+        am = re.match(r"RENAME\s+(?:COLUMN\s+)?([\w\"]+)\s+TO\s+([\w\"]+)\s*$",
+                      action, re.IGNORECASE)
+        if am:
+            df = read_table(self.spark, self.catalog, schema, table)
+            df = df.withColumnRenamed(am.group(1).replace('"', ""),
+                                      am.group(2).replace('"', ""))
+            replace_table(self.catalog, schema, table, df)
+            out = self._ok("ALTER TABLE")
+            out._pg_tag = "ALTER TABLE"
+            return out
+        am = re.match(r"ADD\s+(?:COLUMN\s+)?(?:IF\s+NOT\s+EXISTS\s+)?([\w\"]+)\s+"
+                      r"([\w\s()]+?)(?:\s+DEFAULT\s+(.+?))?(?:\s+NOT\s+NULL)?\s*$",
+                      action, re.IGNORECASE | re.DOTALL)
+        if am:
+            col = am.group(1).replace('"', "")
+            df = read_table(self.spark, self.catalog, schema, table)
+            if col not in df.columns:
+                field = spark_field(col, _normalize_pg_type(am.group(2)))
+                from pyspark.sql import functions as F
+
+                default = transpile(am.group(3)) if am.group(3) else "NULL"
+                df = df.withColumn(col, F.expr(default).cast(field.dataType))
+                replace_table(self.catalog, schema, table, df)
+            out = self._ok("ALTER TABLE")
+            out._pg_tag = "ALTER TABLE"
+            return out
+        am = re.match(r"DROP\s+(?:COLUMN\s+)?(?:IF\s+EXISTS\s+)?([\w\"]+)"
+                      r"(?:\s+CASCADE|\s+RESTRICT)?\s*$", action, re.IGNORECASE)
+        if am:
+            col = am.group(1).replace('"', "")
+            df = read_table(self.spark, self.catalog, schema, table)
+            if col in df.columns:
+                replace_table(self.catalog, schema, table, df.drop(col))
+            out = self._ok("ALTER TABLE")
+            out._pg_tag = "ALTER TABLE"
+            return out
+        am = re.match(r"ALTER\s+(?:COLUMN\s+)?([\w\"]+)\s+(?:SET\s+DATA\s+)?TYPE\s+"
+                      r"([\w\s()]+?)(?:\s+USING\s+(.+?))?\s*$",
+                      action, re.IGNORECASE | re.DOTALL)
+        if am:
+            from pyspark.sql import functions as F
+
+            col = am.group(1).replace('"', "")
+            field = spark_field(col, _normalize_pg_type(am.group(2)))
+            df = read_table(self.spark, self.catalog, schema, table)
+            src = F.expr(transpile(am.group(3))) if am.group(3) else F.col(col)
+            df = df.withColumn(col, src.cast(field.dataType))
+            replace_table(self.catalog, schema, table, df)
+            out = self._ok("ALTER TABLE")
+            out._pg_tag = "ALTER TABLE"
+            return out
+        # SET/DROP NOT NULL, SET DEFAULT, OWNER TO, SET STATISTICS …: metadata
+        # pg tracks but this engine doesn't enforce — accepted as no-ops.
+        out = self._ok("ALTER TABLE")
+        out._pg_tag = "ALTER TABLE"
+        return out
 
     # --------------------------------------------------------------- vacuum
     def _handle_vacuum(self, sql: str, upper: str) -> DataFrame:
@@ -404,6 +599,10 @@ class PgSession:
             out = self._handle_sql_prepare(stripped, upper)
             if out is not None:
                 return out
+        if upper.startswith(("DECLARE ", "FETCH", "MOVE", "CLOSE ")):
+            out = self._handle_cursor(stripped, upper)
+            if out is not None:
+                return out
         if "MATERIALIZED VIEW" in upper:
             out = self._handle_matview(sql)
             if out is not None:
@@ -433,6 +632,18 @@ class PgSession:
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
                 return out
+        if upper.startswith(("ALTER TABLE", "TRUNCATE")):
+            out = self._handle_alter_table(stripped, upper)
+            if out is not None:
+                register_pg_catalog(self.spark, self.catalog)
+                self.invalidate_plans()
+                return out
+        if upper.startswith(("COMMENT ON ", "CREATE INDEX", "CREATE UNIQUE INDEX",
+                             "DROP INDEX", "REINDEX")):
+            # Comments and indexes: pg metadata with no analytical effect here
+            # (Spark plans from parquet footer stats, not btree indexes — the
+            # reference's DuckDB engine likewise ignores them).
+            return self._ok(stripped.split()[0])
         if upper.startswith(("INSERT", "UPDATE", "DELETE")):
             from bemidb_spark.pgcompat.dml import DmlError, handle_dml
 

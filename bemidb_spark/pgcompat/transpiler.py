@@ -647,6 +647,71 @@ def _alias_bare_literals(sql: str) -> str:
     return sql
 
 
+def _find_top_level(sql: str, word: str, start: int = 0) -> int:
+    """Index of the first depth-0 occurrence of keyword ``word`` in ``sql``
+    (shielded text — parens in string literals are already gone); -1 if none."""
+    pat = re.compile(r"\b" + word.replace(" ", r"\s+") + r"\b", re.IGNORECASE)
+    depth = 0
+    i = start
+    while i < len(sql):
+        ch = sql[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (k …) list FROM … ORDER BY k, s`` → row_number()
+    window keeping the first row per key (B-class pg-ism; Spark has no
+    DISTINCT ON). Scale note: the window partitions by the ON-keys — one hash
+    shuffle, identical cost to the GROUP BY a user would hand-write; no global
+    sort is introduced (the outer ORDER BY is whatever the query already had).
+
+    Handled at the top level of the statement (the overwhelmingly common
+    form); ON-expressions and the window's ORDER BY resolve against the FROM
+    relation, as pg itself requires (ORDER BY must lead with the ON keys).
+    """
+    m = re.compile(r"\bSELECT\s+DISTINCT\s+ON\s*\(", re.IGNORECASE).search(sql)
+    if not m or _find_top_level(sql, "SELECT") != m.start():
+        return sql
+    # ON (…) extent via paren matching
+    depth, j = 1, m.end()
+    while j < len(sql) and depth:
+        depth += {"(": 1, ")": -1}.get(sql[j], 0)
+        j += 1
+    on_list = sql[m.end():j - 1].strip()
+    from_i = _find_top_level(sql, "FROM", j)
+    if from_i < 0:
+        return sql
+    select_list = sql[j:from_i].strip()
+    rest = sql[from_i:]
+    order_i = _find_top_level(rest, "ORDER BY")
+    tail_i = _find_top_level(rest, "LIMIT")
+    if tail_i < 0:
+        tail_i = _find_top_level(rest, "OFFSET")
+    if order_i >= 0:
+        body = rest[:order_i].rstrip()
+        order_clause = rest[order_i:tail_i] if tail_i > order_i else rest[order_i:]
+        tail = rest[tail_i:] if tail_i > order_i else ""
+        win_order = re.sub(r"^\s*ORDER\s+BY\s+", "", order_clause, flags=re.IGNORECASE)
+    else:
+        body = rest[:tail_i].rstrip() if tail_i >= 0 else rest.rstrip()
+        order_clause, win_order = "", on_list
+        tail = rest[tail_i:] if tail_i >= 0 else ""
+    return (
+        f"SELECT {select_list} FROM (SELECT *, row_number() OVER "
+        f"(PARTITION BY {on_list} ORDER BY {win_order}) AS __pg_don_rn {body}"
+        f") __pg_don WHERE __pg_don_rn = 1 {order_clause} {tail}".rstrip()
+    )
+
+
 def _rewrite_quoted_idents(sql: str) -> str:
     """pg double-quoted identifiers -> Spark backticks (runs on shielded text,
     so double quotes inside string literals are untouched)."""
@@ -663,6 +728,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_quoted_idents(shielded)
     shielded = _alias_bare_literals(shielded)
     shielded = _rewrite_tables(shielded)
+    shielded = _rewrite_distinct_on(shielded)
     shielded = _rewrite_array_sublink(shielded)
     shielded = _rewrite_array_literal(shielded)
     shielded = _rewrite_srf(shielded)

@@ -465,3 +465,77 @@ def test_pg_locks_and_stat_database(pg):
     rows = pg.execute(
         "SELECT datname, numbackends FROM pg_stat_database").collect()
     assert rows[0].numbackends == 1
+
+
+# -- server-side cursors (DECLARE/FETCH/MOVE/CLOSE) --------------------------
+def test_cursor_lifecycle(pg):
+    pg.execute("BEGIN")
+    assert pg.execute(
+        "DECLARE cur1 CURSOR FOR SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+    ).columns == ["DECLARE CURSOR"]
+    d = pg.execute("FETCH 3 FROM cur1")
+    assert d._pg_tag == "FETCH 3"
+    assert [r[0] for r in d.collect()] == [0, 1, 2]
+    d = pg.execute("MOVE 2 FROM cur1")
+    assert d._pg_tag == "MOVE 2"
+    d = pg.execute("FETCH FORWARD 2 IN cur1")
+    assert [r[0] for r in d.collect()] == [5, 6]
+    d = pg.execute("FETCH ALL FROM cur1")
+    assert d._pg_tag == "FETCH 18" and len(d.collect()) == 18
+    d = pg.execute("FETCH cur1")  # exhausted: pg answers FETCH 0
+    assert d._pg_tag == "FETCH 0" and d.collect() == []
+    assert pg.execute("CLOSE cur1").columns == ["CLOSE CURSOR"]
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("FETCH 1 FROM cur1")
+    pg.execute("DECLARE c2 NO SCROLL CURSOR WITH HOLD FOR SELECT 1 AS x")
+    pg.execute("CLOSE ALL")
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("CLOSE c2")
+    pg.execute("COMMIT")
+
+
+# -- DISTINCT ON -------------------------------------------------------------
+def test_distinct_on_matches_window_emulation(pg):
+    rows = pg.execute(
+        "SELECT DISTINCT ON (user_id) user_id, ts, event_type FROM events "
+        "ORDER BY user_id, ts DESC, event_id"
+    ).collect()
+    expect = pg.execute(
+        "SELECT user_id, ts, event_type FROM ("
+        " SELECT user_id, ts, event_type, event_id,"
+        "  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id) rn"
+        " FROM events) t WHERE rn = 1 ORDER BY user_id"
+    ).collect()
+    assert rows == expect and len(rows) > 0
+
+
+def test_distinct_on_no_order_by(pg):
+    rows = pg.execute(
+        "SELECT DISTINCT ON (n_regionkey) n_regionkey FROM nation"
+    ).collect()
+    assert sorted(r[0] for r in rows) == [0, 1, 2, 3, 4]
+
+
+# -- ALTER TABLE / TRUNCATE / index-comment no-ops ---------------------------
+def test_alter_table_truncate_roundtrip(pg):
+    pg.execute("CREATE TABLE public.alt1 (id int, name text)")
+    pg.execute("INSERT INTO public.alt1 VALUES (1, 'a'), (2, 'b')")
+    pg.execute("ALTER TABLE public.alt1 ADD COLUMN score double precision DEFAULT 1.5")
+    rows = pg.execute("SELECT * FROM public.alt1 ORDER BY id").collect()
+    assert [tuple(r) for r in rows] == [(1, "a", 1.5), (2, "b", 1.5)]
+    pg.execute("ALTER TABLE public.alt1 RENAME COLUMN name TO label")
+    pg.execute("ALTER TABLE public.alt1 ALTER COLUMN id TYPE bigint")
+    df = pg.execute("SELECT * FROM public.alt1 ORDER BY id")
+    assert df.columns == ["id", "label", "score"]
+    assert dict(df.dtypes)["id"] == "bigint"
+    pg.execute("ALTER TABLE public.alt1 DROP COLUMN score")
+    pg.execute("ALTER TABLE public.alt1 RENAME TO alt2")
+    assert [tuple(r) for r in pg.execute(
+        "SELECT * FROM public.alt2 ORDER BY id").collect()] == [(1, "a"), (2, "b")]
+    d = pg.execute("TRUNCATE TABLE public.alt2")
+    assert d._pg_tag == "TRUNCATE TABLE"
+    assert pg.execute("SELECT count(*) AS n FROM public.alt2").collect()[0].n == 0
+    # indexes and comments: accepted, metadata-only elsewhere, no-op here
+    assert pg.execute("CREATE INDEX i1 ON public.alt2(id)").columns == ["CREATE"]
+    assert pg.execute("COMMENT ON TABLE public.alt2 IS 'scratch'").columns == ["COMMENT"]
+    pg.execute("DROP TABLE public.alt2")
