@@ -26,6 +26,7 @@ _MODULES = [
     "bemidb_spark.operators.text",
     "bemidb_spark.operators.sql_surface",
     "bemidb_spark.operators.curation",
+    "bemidb_spark.operators.mixture",
     "bemidb_spark.operators.multimodal",
     "bemidb_spark.operators.relational_ext",
     "bemidb_spark.streaming.windows",

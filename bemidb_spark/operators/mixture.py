@@ -1,0 +1,308 @@
+"""Dataset-assembly operators: split, mixture balancing, LM scoring,
+boilerplate stripping, tokenizer-merge mining, and embedding outliers.
+
+The reference engine has no dataset-assembly surface; these extend the
+training-data-pipeline family (`operators/dedup.py`, `operators/curation.py`)
+with the steps that turn a filtered corpus into an actual training mixture.
+All are pure relational pipelines whose plan shape survives 100 TB:
+
+- **split_train_valid_test**: deterministic md5-hash split — the assignment is
+  a per-row expression (no shuffle, partition-invariant, stable under
+  re-partitioning and engine choice), which is the property a reproducible
+  train/held-out split actually needs. `df.sample()` would not give it.
+- **mixture_resample_weights**: per-(source, lang) token shares → capped
+  uniform-target resampling weights. One map-side-combinable aggregate over
+  the corpus + a tiny weights table out; at scale the weights table is what a
+  sampler broadcasts back onto the corpus.
+- **unigram_logprob_score**: a corpus-trained unigram LM scores every doc
+  (mean negative log-probability ≈ per-token surprisal, the cheap fluency /
+  gibberish filter). Counts shuffle once on word; per-word ln() is quantized
+  to integer micro-nats so the per-doc aggregation is an exact BIGINT sum —
+  order-independent, hence bit-identical across engines (see the decimal-sum
+  determinism rule in `_xengine`). ln() itself is correctly-rounded libm on
+  both engines (asserted by the oracle gate on real corpus counts).
+- **boilerplate_line_strip**: CCNet/RefinedWeb-style boilerplate removal —
+  a segment occurring in ≥ BOILER_MIN_DOCS *distinct* docs is boilerplate
+  everywhere (distinct from `dedup_paragraphs`, which keeps first
+  occurrences). One shuffle on md5(segment) for the distinct-doc counts, one
+  broadcast-size join back, one per-doc regroup.
+- **bpe_merge_candidates**: the first BPE merge table — corpus-wide counts of
+  adjacent character pairs inside words, top-20. Explode → count → global
+  top-k; the final ORDER BY…LIMIT plans as TakeOrderedAndProject (per-
+  partition top-k + k-row driver merge), never a single-partition sort.
+- **embedding_centroid_outliers**: per-label exact centroids via fixed-point
+  integer sums (FLOOR(x·2⁵⁰) of an exactly-scaled double — order-independent
+  and engine-identical where decimal casts are not; see the half-way-case
+  note in `_outlier_sql`), squared L2 of every vector to its label centroid
+  via sequential folds, outlier = top OUTLIER_PCT of dist² within the label
+  (a rank cut, because dist² concentrates around its mean in high dimension
+  and fixed multiples of the mean flag nothing). The shape of an
+  embedding-space quality filter: centroids broadcast, one scan, one
+  per-label window.
+
+Every entry has a DuckDB oracle producing bit-identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.operators._xengine import dot_fold, hash_int, words
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+TRAIN_PCT = 80  # hash buckets 0-79 train, 80-89 valid, 90-99 test
+VALID_PCT = 10
+WEIGHT_CAP = 5.0
+SEG_WORDS = 10
+BOILER_MIN_DOCS = 3
+BPE_TOP_K = 20
+OUTLIER_PCT = 0.05
+EMB_DIM = 64
+
+
+def _register(name: str, spark_sql: str, duck_sql: str) -> None:
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/valid/test split
+# ---------------------------------------------------------------------------
+def _split_sql(spark: bool) -> str:
+    h = hash_int("CAST(doc_id AS STRING)" if spark else "CAST(doc_id AS VARCHAR)",
+                 spark=spark, salt="split")
+    ntok = ("size(split(text, ' '))" if spark else "len(string_split(text, ' '))")
+    return f"""
+    SELECT doc_id, lang,
+           CAST({ntok} AS BIGINT) AS n_tokens,
+           CASE WHEN {h} % 100 < {TRAIN_PCT} THEN 'train'
+                WHEN {h} % 100 < {TRAIN_PCT + VALID_PCT} THEN 'valid'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+_register("split_train_valid_test", _split_sql(True), _split_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# mixture balancing: capped uniform-target resampling weights
+# ---------------------------------------------------------------------------
+def _mixture_sql(spark: bool) -> str:
+    ntok = ("size(split(text, ' '))" if spark else "len(string_split(text, ' '))")
+    # weight = target_share / actual_share = tot / (n_groups * grp_tokens):
+    # one division of exact integers -> the same double on both engines.
+    return f"""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tot_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_groups FROM g)
+    SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+           CAST(g.n_tokens AS DOUBLE) / t.tot_tokens AS actual_share,
+           LEAST(CAST(t.tot_tokens AS DOUBLE) / (t.n_groups * g.n_tokens),
+                 {WEIGHT_CAP}) AS weight,
+           CAST(ROUND(LEAST(CAST(t.tot_tokens AS DOUBLE) / (t.n_groups * g.n_tokens),
+                            {WEIGHT_CAP}) * g.n_tokens) AS BIGINT) AS resampled_tokens
+    FROM g CROSS JOIN tot t
+    ORDER BY g.source, g.lang
+    """
+
+
+_register("mixture_resample_weights", _mixture_sql(True), _mixture_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# unigram LM surprisal score (integer micro-nat aggregation)
+# ---------------------------------------------------------------------------
+def _unigram_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    if spark:
+        toks = (f"SELECT doc_id, w FROM (SELECT doc_id, {w} AS ws FROM documents) "
+                f"LATERAL VIEW explode(ws) t AS w")
+    else:
+        toks = f"SELECT doc_id, unnest({w}) AS w FROM documents"
+    # ln(count) in integer micro-nats: the per-doc SUM is over BIGINTs, so it
+    # is order-independent (exact) on both engines; the only float steps are
+    # one ln() per distinct count value and two final fixed-order divisions.
+    return f"""
+    WITH toks AS ({toks}),
+    cnts AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+    tot AS (SELECT SUM(c) AS n_corpus FROM cnts),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN(CAST(c.c AS DOUBLE)) * 1000000) AS BIGINT) AS ln_c_micro
+      FROM toks t JOIN cnts c ON t.w = c.w
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           LN(CAST(t.n_corpus AS DOUBLE))
+             - CAST(SUM(s.ln_c_micro) AS DOUBLE) / COUNT(*) / 1000000.0
+             AS avg_neg_logprob
+    FROM scored s CROSS JOIN tot t
+    GROUP BY s.doc_id, t.n_corpus
+    ORDER BY s.doc_id
+    """
+
+
+_register("unigram_logprob_score", _unigram_sql(True), _unigram_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping: segments common to many distinct docs removed
+# ---------------------------------------------------------------------------
+def _boiler_sql(spark: bool) -> str:
+    n = SEG_WORDS
+    w = words("text", spark=spark)
+    if spark:
+        segs = (
+            f"transform(sequence(0, CAST(ceil(size(w) / {n}.0) AS INT) - 1), "
+            f"i -> struct(i AS idx, array_join(slice(w, i * {n} + 1, {n}), ' ') AS seg))"
+        )
+        explode = (
+            f"SELECT doc_id, s.idx AS idx, s.seg AS seg FROM "
+            f"(SELECT doc_id, {segs} AS ss FROM (SELECT doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(ss) t AS s"
+        )
+        rebuild = (
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN nd < " + str(BOILER_MIN_DOCS) + " THEN struct(idx, seg) END)), "
+            "s -> s.seg), ' ')"
+        )
+    else:
+        segs = (
+            f"[{{'idx': i - 1, 'seg': array_to_string(w[(i - 1) * {n} + 1:(i - 1) * {n} + {n}], ' ')}} "
+            f"for i in generate_series(1, CAST(ceil(len(w) / {n}.0) AS INT))]"
+        )
+        explode = (
+            f"SELECT doc_id, s['idx'] AS idx, s['seg'] AS seg FROM "
+            f"(SELECT doc_id, unnest({segs}) AS s FROM (SELECT doc_id, {w} AS w FROM documents))"
+        )
+        rebuild = (
+            f"string_agg(seg, ' ' ORDER BY idx) FILTER (WHERE nd < {BOILER_MIN_DOCS})"
+        )
+    return f"""
+    WITH segs AS ({explode}),
+    seg_docs AS (
+      SELECT md5(seg) AS h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+      FROM segs GROUP BY md5(seg)
+    ),
+    marked AS (
+      SELECT s.doc_id, s.idx, s.seg, d.nd
+      FROM segs s JOIN seg_docs d ON md5(s.seg) = d.h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN nd >= {BOILER_MIN_DOCS} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boilerplate,
+           CAST(SUM(CASE WHEN nd < {BOILER_MIN_DOCS} THEN LENGTH(seg) ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           md5(coalesce({rebuild}, '')) AS stripped_text_hash
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """
+
+
+_register("boilerplate_line_strip", _boiler_sql(True), _boiler_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# tokenizer induction: top adjacent character-pair merge candidates
+# ---------------------------------------------------------------------------
+def _bpe_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    if spark:
+        word_rows = (f"SELECT word FROM (SELECT {w} AS ws FROM documents) "
+                     f"LATERAL VIEW explode(ws) t AS word")
+        pair_rows = (
+            "SELECT pair FROM (SELECT transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2)) AS ps FROM words_t WHERE length(word) >= 2) "
+            "LATERAL VIEW explode(ps) t AS pair"
+        )
+    else:
+        word_rows = f"SELECT unnest({w}) AS word FROM documents"
+        pair_rows = (
+            "SELECT unnest([substr(word, i, 2) for i in generate_series(1, length(word) - 1)]) AS pair "
+            "FROM words_t WHERE length(word) >= 2"
+        )
+    return f"""
+    WITH words_t AS ({word_rows}),
+    pairs AS ({pair_rows})
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs
+    GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_K}
+    """
+
+
+_register("bpe_merge_candidates", _bpe_sql(True), _bpe_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# embedding-space outliers vs per-label decimal-exact centroid
+# ---------------------------------------------------------------------------
+def _outlier_sql(spark: bool) -> str:
+    # Exact fixed-point mean: FLOOR(x · 2⁵⁰) is computed on an EXACT double
+    # (power-of-two scaling never rounds), so each term is the identical
+    # BIGINT on both engines and the SUM is order-independent integer math.
+    # Decimal-cast means are NOT safe here: a float32 whose binary expansion
+    # terminates exactly one digit past the decimal scale is a half-way case,
+    # and Spark (HALF_UP) vs DuckDB (HALF_EVEN) round it apart — observed on
+    # real data at DECIMAL(20,10).
+    two50 = "1125899906842624.0"  # 2^50; |x|≲4 → terms ≤2^52, sums fit BIGINT
+
+    def mean_comp(idx_expr: str) -> str:
+        return (f"CAST(SUM(CAST(FLOOR(CAST({idx_expr} AS DOUBLE) * {two50}) AS BIGINT)) "
+                f"AS DOUBLE) / {two50} / COUNT(*)")
+
+    if spark:
+        centroid = "array(" + ", ".join(
+            mean_comp(f"embedding[{i}]") for i in range(EMB_DIM)) + ")"
+    else:
+        centroid = "[" + ", ".join(
+            mean_comp(f"embedding[{i + 1}]") for i in range(EMB_DIM)) + "]"
+    ee = dot_fold("v.embedding", "v.embedding", spark=spark)
+    ec = dot_fold("v.embedding", "c.centroid", spark=spark)
+    cc = dot_fold("c.centroid", "c.centroid", spark=spark)
+    dist2 = f"({ee} - 2 * {ec} + {cc})"
+    # Outlier = top OUTLIER_PCT by dist² within the label. A fixed multiple
+    # of the mean is useless in high dimension (concentration of measure:
+    # observed max/mean ≈ 1.1 at 64 dims), and a rank cut is pure integer
+    # logic — deterministic on both engines, no float-threshold edge cases.
+    return f"""
+    WITH cents AS (
+      SELECT label, {centroid} AS centroid FROM embeddings GROUP BY label
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label, {dist2} AS dist2
+      FROM embeddings v JOIN cents c ON v.label = c.label
+    ),
+    ranked AS (
+      SELECT vec_id, label, dist2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist2 DESC, vec_id) AS rk,
+             COUNT(*) OVER (PARTITION BY label) AS n
+      FROM dists
+    )
+    SELECT vec_id, label, dist2,
+           CASE WHEN rk <= CAST(CEIL(n * {OUTLIER_PCT}) AS BIGINT)
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM ranked
+    ORDER BY vec_id
+    """
+
+
+_register("embedding_centroid_outliers", _outlier_sql(True), _outlier_sql(False))

@@ -1,0 +1,68 @@
+"""Dataset-assembly operators (operators/mixture.py) vs the DuckDB oracle,
+plus property checks the oracle can't express (split stability, weight caps,
+boilerplate monotonicity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from bemidb_spark.operators import mixture as mx
+from bemidb_spark.oracle import compare
+
+ALL = sorted(mx.QUERIES)
+
+
+@pytest.mark.parametrize("name", ALL)
+def test_oracle_parity(spark, sf_dir, name):
+    compare(mx.QUERIES[name](spark, sf_dir), mx.ORACLES[name], sf_dir)
+
+
+def test_split_is_partition_invariant(spark, sf_dir):
+    df = mx.QUERIES["split_train_valid_test"](spark, sf_dir)
+    a = sorted(tuple(r) for r in df.collect())
+    b = sorted(tuple(r) for r in df.repartition(7).collect())
+    assert a == b
+    splits = {r["split"] for r in df.collect()}
+    assert splits == {"train", "valid", "test"}
+    n = df.count()
+    n_train = df.where("split = 'train'").count()
+    assert 0.6 * n < n_train < 0.95 * n  # ~80% expected
+
+
+def test_mixture_weights_capped_and_normalizing(spark, sf_dir):
+    rows = mx.QUERIES["mixture_resample_weights"](spark, sf_dir).collect()
+    assert all(0 < r["weight"] <= mx.WEIGHT_CAP for r in rows)
+    # uncapped groups resample to ~uniform token share
+    tot = sum(r["n_tokens"] for r in rows)
+    uniform = tot / len(rows)
+    for r in rows:
+        if r["weight"] < mx.WEIGHT_CAP:
+            assert abs(r["resampled_tokens"] - uniform) < 2
+
+def test_unigram_score_orders_by_rarity(spark, sf_dir):
+    rows = mx.QUERIES["unigram_logprob_score"](spark, sf_dir).collect()
+    assert all(r["avg_neg_logprob"] > 0 for r in rows)
+    assert len(rows) == 500 if "0.01" in sf_dir else len(rows) > 0
+
+
+def test_boilerplate_counts_consistent(spark, sf_dir):
+    rows = mx.QUERIES["boilerplate_line_strip"](spark, sf_dir).collect()
+    assert all(r["n_boilerplate"] <= r["n_segments"] for r in rows)
+    assert any(r["n_boilerplate"] > 0 for r in rows)  # corpus has planted dups
+
+
+def test_bpe_candidates_shape(spark, sf_dir):
+    rows = mx.QUERIES["bpe_merge_candidates"](spark, sf_dir).collect()
+    assert len(rows) == mx.BPE_TOP_K
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    assert all(len(r["pair"]) == 2 for r in rows)
+
+
+def test_outlier_rate_tracks_pct(spark, sf_dir):
+    df = mx.QUERIES["embedding_centroid_outliers"](spark, sf_dir)
+    n = df.count()
+    n_out = df.where("is_outlier = 1").count()
+    # rank cut flags ceil(n_label * pct) per label: within a label of rounding
+    n_labels = df.select("label").distinct().count()
+    assert mx.OUTLIER_PCT * n <= n_out <= mx.OUTLIER_PCT * n + n_labels
