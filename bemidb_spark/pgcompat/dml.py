@@ -64,6 +64,22 @@ _DELETE_RE = re.compile(
 _EXCLUDED_SET_RE = re.compile(
     r'^\s*"?([\w]+)"?\s*=\s*EXCLUDED\s*\.\s*"?([\w]+)"?\s*$', re.IGNORECASE
 )
+_INSERT_SELECT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][\w.\"]*)\s*(?:\(([^)]*)\))?\s*"
+    r"((?:SELECT|WITH|TABLE)\b.+?)\s*"
+    r"(?:ON\s+CONFLICT\s*\(([^)]*)\)\s*DO\s+(NOTHING|UPDATE\s+SET\s+.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_HEAD_RE = re.compile(
+    r"^\s*UPDATE\s+([A-Za-z_][\w.\"]*)(?:\s+(?:AS\s+)?(?!SET\b)([A-Za-z_]\w*))?"
+    r"\s+SET\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DELETE_USING_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+([A-Za-z_][\w.\"]*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?"
+    r"\s+USING\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 
 
 def _split_name(name: str) -> tuple[str, str]:
@@ -134,6 +150,50 @@ def _append(
         typed.write.mode("append").parquet(loc)
     spark.catalog.refreshByPath(loc)
     catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
+
+
+def _qualify(catalog: Catalog, sql: str) -> str:
+    """schema.table -> schema_table view names for catalog tables (the same
+    binding the session router applies before Spark sees a query)."""
+    keys = [k for k in catalog.tables() if "." in k]
+    if not keys or "." not in sql:
+        return sql
+    pat = re.compile(r"\b(" + "|".join(re.escape(k) for k in sorted(keys)) + r")\b")
+    return pat.sub(lambda m: m.group(1).replace(".", "_"), sql)
+
+
+def _conform(raw: DataFrame, target: DataFrame, cols: list[str]) -> DataFrame:
+    """Conform a source DataFrame positionally onto the listed target columns
+    (pg INSERT semantics): cast to table types, NULL-fill absent columns."""
+    fields = {f.name: f for f in target.schema.fields}
+    unknown = [c for c in cols if c not in fields]
+    if unknown:
+        err = DmlError(f'column "{unknown[0]}" does not exist')
+        err.sqlstate = "42703"
+        raise err
+    if len(raw.columns) != len(cols):
+        err = DmlError(
+            f"INSERT has {len(raw.columns)} expressions but {len(cols)} target columns"
+        )
+        err.sqlstate = "42601"
+        raise err
+    typed = raw.select(
+        *[raw[raw.columns[i]].cast(fields[c].dataType).alias(c)
+          for i, c in enumerate(cols)]
+    )
+    for f in target.schema.fields:
+        if f.name not in cols:
+            typed = typed.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return typed.select(*[f.name for f in target.schema.fields])
+
+
+def has_toplevel_insert(sql: str) -> bool:
+    """True for CTE-prefixed INSERT (``WITH … INSERT INTO …``) — a depth-0
+    scan, so INSERTs inside CTE bodies don't count."""
+    from bemidb_spark.pgcompat.transpiler import _find_top_level, _shield_strings
+
+    shielded, _ = _shield_strings(sql)
+    return _find_top_level(shielded, "INSERT") >= 0
 
 
 def _values_df(
@@ -232,13 +292,213 @@ def _merge_conflict_updates(
     ])
 
 
+def _run_insert(
+    spark: SparkSession,
+    catalog: Catalog,
+    m: re.Match,
+    returning: str | None,
+    values_sql: str | None = None,
+    source_sql: str | None = None,
+) -> tuple[str, int, DataFrame | None]:
+    """Shared INSERT executor for VALUES and SELECT sources, with the full ON
+    CONFLICT surface on either. An ``INSERT … SELECT`` source is an arbitrary
+    (transpiled, catalog-qualified) query — at scale it is the materialize-a-
+    transform path, and the write stays append-only / key-merged exactly like
+    the VALUES path."""
+    schema, table = _split_name(m.group(1))
+    target = _read_target(spark, catalog, schema, table)
+    cols = (
+        [c.strip().strip('"') for c in m.group(2).split(",")]
+        if m.group(2)
+        else [f.name for f in target.schema.fields]
+    )
+    if source_sql is not None:
+        raw = spark.sql(transpile(_qualify(catalog, source_sql)))
+        typed = _conform(raw, target, cols)
+    else:
+        typed = _values_df(spark, target, cols, values_sql)
+    conflict_keys = (
+        [c.strip().strip('"') for c in m.group(4).split(",")] if m.group(4) else None
+    )
+    action = (m.group(5) or "").strip()
+    if conflict_keys is None:
+        n = typed.count()
+        ret = _project_returning(spark, typed, returning)
+        _append(spark, catalog, schema, table, typed)
+        return "INSERT", n, ret
+    if action.upper() == "NOTHING":
+        fresh = typed.join(
+            target.select(*conflict_keys), on=conflict_keys, how="left_anti"
+        )
+        n = fresh.count()
+        ret = _project_returning(spark, fresh, returning)
+        if n:
+            _append(spark, catalog, schema, table, fresh)
+        return "INSERT", n, ret
+    # DO UPDATE SET …: the idiomatic full-row case (every SET is
+    # `col = EXCLUDED.col`) merges the new rows directly; arbitrary SET
+    # expressions get a real old-row merge — bare column refs mean the
+    # TARGET row, EXCLUDED.col the proposed row, exactly pg's scoping.
+    if re.search(r"\bWHERE\b", action, re.IGNORECASE):
+        raise DmlError("ON CONFLICT DO UPDATE ... WHERE is not supported")
+    sets = _split_top_level(action[len("UPDATE"):].strip()[len("SET"):].strip())
+    full_row = all(
+        (sm := _EXCLUDED_SET_RE.match(item)) and sm.group(1) == sm.group(2)
+        for item in sets
+    )
+    n = typed.count()
+    effective = typed if full_row else _merge_conflict_updates(
+        spark, target, typed, conflict_keys, sets
+    )
+    ret = _project_returning(spark, effective, returning)
+    upsert_by_key(spark, catalog, schema, table, effective, conflict_keys)
+    return "INSERT", n, ret
+
+
+def _null_safe_anti(current: DataFrame, matched_keys: DataFrame) -> DataFrame:
+    """Rows of ``current`` not present in ``matched_keys`` (all columns,
+    null-safe — a plain anti-join would keep AND re-add rows with NULLs)."""
+    cond = None
+    for c in current.columns:
+        eq = current[c].eqNullSafe(matched_keys[c])
+        cond = eq if cond is None else (cond & eq)
+    return current.join(matched_keys, on=cond, how="left_anti")
+
+
+def _joined_scope(
+    spark: SparkSession,
+    catalog: Catalog,
+    current: DataFrame,
+    schema: str,
+    table: str,
+    tname: str,
+    select_list: str,
+    from_clause: str,
+    where: str | None,
+) -> DataFrame:
+    """Evaluate ``SELECT <list> FROM <target> <tname>, <from_clause> WHERE …``
+    with the live target rows bound under a collision-free temp view. pg lets
+    the WHERE/SET reference the target as ``schema.table`` — those are
+    rewritten onto the join alias before catalog qualification."""
+    import uuid
+
+    def retarget(frag: str) -> str:
+        return re.sub(
+            rf"\b(?:{re.escape(schema)}\.)?{re.escape(table)}\s*\.",
+            f"{tname}.", frag,
+        )
+
+    view = f"__dml_target_{uuid.uuid4().hex[:8]}"
+    current.createOrReplaceTempView(view)
+    try:
+        return spark.sql(
+            f"SELECT {retarget(select_list)} FROM {view} {tname}, "
+            f"{transpile(_qualify(catalog, from_clause))} "
+            f"WHERE {transpile(_qualify(catalog, retarget(where))) if where else 'true'}"
+        ).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(view)
+
+
+def _update_from(
+    spark: SparkSession, catalog: Catalog, m: re.Match, returning: str | None
+) -> tuple[str, int, DataFrame | None]:
+    """``UPDATE t [AS a] SET … FROM src WHERE …`` — pg's join-update. SET and
+    WHERE see both scopes; each matched target row takes ONE source match
+    (pg: unspecified which; here: ``first()`` per target row). Requires n of
+    the same shuffle joins a hand-written MERGE would."""
+    from bemidb_spark.pgcompat.transpiler import _find_top_level, _shield_strings
+
+    schema, table = _split_name(m.group(1))
+    tname = m.group(2) or table
+    rest = m.group(3)
+    # slice on the SHIELDED text (string literals collapse to markers, so
+    # depth-0 indices are only valid there), then unshield each fragment
+    from bemidb_spark.pgcompat.transpiler import _unshield
+
+    shielded, lits = _shield_strings(rest)
+    from_i = _find_top_level(shielded, "FROM")
+    where_i = _find_top_level(shielded, "WHERE", from_i)
+    set_list = _unshield(shielded[:from_i], lits).strip()
+    from_clause = _unshield(
+        shielded[from_i + 4:where_i] if where_i > from_i else shielded[from_i + 4:],
+        lits,
+    ).strip()
+    where = _unshield(shielded[where_i + 5:], lits).strip() if where_i > from_i else None
+
+    current = _read_target(spark, catalog, schema, table)
+    fields = {f.name: f for f in current.schema.fields}
+    set_map: dict[str, int] = {}
+    proj = [f"{tname}.{c} AS {c}" for c in fields]
+    for i, item in enumerate(_split_top_level(set_list)):
+        sm = re.match(r'^\s*"?([\w]+)"?\s*=\s*(.+)$', item, re.DOTALL)
+        if not sm:
+            raise DmlError(f"unsupported SET clause: {item}")
+        col = sm.group(1)
+        if col not in fields:
+            err = DmlError(f'column "{col}" does not exist')
+            err.sqlstate = "42703"
+            raise err
+        set_map[col] = i
+        proj.append(f"({transpile(sm.group(2).strip())}) AS __set_{i}")
+    joined = _joined_scope(
+        spark, catalog, current, schema, table, tname,
+        ", ".join(proj), from_clause, where,
+    )
+    tcols = list(fields)
+    grouped = joined.groupBy(*tcols).agg(
+        *[F.first(f"__set_{i}").alias(f"__set_{i}") for i in set_map.values()]
+    )
+    n = grouped.count()
+    updated = grouped.select(
+        *[
+            (F.col(f"__set_{set_map[c]}") if c in set_map else F.col(c))
+            .cast(fields[c].dataType).alias(c)
+            for c in tcols
+        ]
+    )
+    ret = _project_returning(spark, updated, returning)
+    if n == 0:
+        return "UPDATE", 0, ret
+    keys = _bucket_keys(catalog, schema, table)
+    if keys and not any(k in set_map for k in keys):
+        upsert_by_key(spark, catalog, schema, table, updated, keys)
+    else:
+        kept = _null_safe_anti(current, grouped.select(*tcols))
+        replace_table(catalog, schema, table, kept.unionByName(updated))
+    return "UPDATE", n, ret
+
+
+def _delete_using(
+    spark: SparkSession, catalog: Catalog, m: re.Match, returning: str | None
+) -> tuple[str, int, DataFrame | None]:
+    """``DELETE FROM t [AS a] USING src WHERE …`` — pg's join-delete."""
+    schema, table = _split_name(m.group(1))
+    tname = m.group(2) or table
+    current = _read_target(spark, catalog, schema, table)
+    matched = _joined_scope(
+        spark, catalog, current, schema, table, tname,
+        f"DISTINCT {tname}.*", m.group(3), m.group(4),
+    )
+    n = matched.count()
+    ret = _project_returning(spark, matched, returning)
+    if n == 0:
+        return "DELETE", 0, ret
+    keys = _bucket_keys(catalog, schema, table)
+    if keys:
+        delete_by_key(spark, catalog, schema, table, matched.select(*keys), keys)
+    else:
+        replace_table(catalog, schema, table, _null_safe_anti(current, matched))
+    return "DELETE", n, ret
+
+
 def handle_dml(
     spark: SparkSession, catalog: Catalog | None, sql: str
 ) -> tuple[str, int, DataFrame | None] | None:
     """Execute one DML statement; returns (tag_head, n_affected,
     returning_df | None) or None if the statement is not DML."""
     head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    if head not in ("INSERT", "UPDATE", "DELETE"):
+    if head not in ("INSERT", "UPDATE", "DELETE", "WITH"):
         return None
     if catalog is None:
         raise DmlError("DML requires a table catalog")
@@ -248,56 +508,40 @@ def handle_dml(
     if rm:
         sql = sql[:rm.start()]
 
+    if head == "WITH":
+        # CTE-prefixed INSERT: `WITH ctes INSERT INTO t SELECT …` — pg scopes
+        # the CTEs over the source query, so fold them into it.
+        from bemidb_spark.pgcompat.transpiler import (
+            _find_top_level,
+            _shield_strings,
+            _unshield,
+        )
+
+        shielded, lits = _shield_strings(sql)
+        ins = _find_top_level(shielded, "INSERT")
+        if ins < 0:
+            return None
+        ctes = _unshield(shielded[:ins], lits).strip()
+        m = _INSERT_SELECT_RE.match(_unshield(shielded[ins:], lits))
+        if not m:
+            raise DmlError("unsupported WITH … INSERT form (expected a SELECT source)")
+        source = ctes + " " + m.group(3)
+        return _run_insert(spark, catalog, m, returning, source_sql=source)
+
     if head == "INSERT":
         m = _INSERT_RE.match(sql)
+        if m:
+            return _run_insert(spark, catalog, m, returning, values_sql=m.group(3))
+        m = _INSERT_SELECT_RE.match(sql)
         if not m:
-            raise DmlError("unsupported INSERT form (expected INSERT … VALUES …)")
-        schema, table = _split_name(m.group(1))
-        target = _read_target(spark, catalog, schema, table)
-        cols = (
-            [c.strip().strip('"') for c in m.group(2).split(",")]
-            if m.group(2)
-            else [f.name for f in target.schema.fields]
-        )
-        typed = _values_df(spark, target, cols, m.group(3))
-        conflict_keys = (
-            [c.strip().strip('"') for c in m.group(4).split(",")] if m.group(4) else None
-        )
-        action = (m.group(5) or "").strip()
-        if conflict_keys is None:
-            n = typed.count()
-            ret = _project_returning(spark, typed, returning)
-            _append(spark, catalog, schema, table, typed)
-            return "INSERT", n, ret
-        if action.upper() == "NOTHING":
-            fresh = typed.join(
-                target.select(*conflict_keys), on=conflict_keys, how="left_anti"
-            )
-            n = fresh.count()
-            ret = _project_returning(spark, fresh, returning)
-            if n:
-                _append(spark, catalog, schema, table, fresh)
-            return "INSERT", n, ret
-        # DO UPDATE SET …: the idiomatic full-row case (every SET is
-        # `col = EXCLUDED.col`) merges the new rows directly; arbitrary SET
-        # expressions get a real old-row merge — bare column refs mean the
-        # TARGET row, EXCLUDED.col the proposed row, exactly pg's scoping.
-        if re.search(r"\bWHERE\b", action, re.IGNORECASE):
-            raise DmlError("ON CONFLICT DO UPDATE ... WHERE is not supported")
-        sets = _split_top_level(action[len("UPDATE"):].strip()[len("SET"):].strip())
-        full_row = all(
-            (sm := _EXCLUDED_SET_RE.match(item)) and sm.group(1) == sm.group(2)
-            for item in sets
-        )
-        n = typed.count()
-        effective = typed if full_row else _merge_conflict_updates(
-            spark, target, typed, conflict_keys, sets
-        )
-        ret = _project_returning(spark, effective, returning)
-        upsert_by_key(spark, catalog, schema, table, effective, conflict_keys)
-        return "INSERT", n, ret
+            raise DmlError(
+                "unsupported INSERT form (expected INSERT … VALUES / SELECT …)")
+        return _run_insert(spark, catalog, m, returning, source_sql=m.group(3))
 
     if head == "DELETE":
+        m = _DELETE_USING_RE.match(sql)
+        if m:
+            return _delete_using(spark, catalog, m, returning)
         m = _DELETE_RE.match(sql)
         if not m:
             raise DmlError("unsupported DELETE form")
@@ -321,6 +565,13 @@ def handle_dml(
             replace_table(catalog, schema, table, current.filter(_not_matching(cond)))
         return "DELETE", n, ret
 
+    fm = _UPDATE_HEAD_RE.match(sql)
+    if fm is not None:
+        from bemidb_spark.pgcompat.transpiler import _find_top_level, _shield_strings
+
+        shielded, _ = _shield_strings(fm.group(3))
+        if _find_top_level(shielded, "FROM") >= 0:
+            return _update_from(spark, catalog, fm, returning)
     m = _UPDATE_RE.match(sql)
     if not m:
         raise DmlError("unsupported UPDATE form")

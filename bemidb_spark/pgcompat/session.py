@@ -644,7 +644,12 @@ class PgSession:
             # (Spark plans from parquet footer stats, not btree indexes — the
             # reference's DuckDB engine likewise ignores them).
             return self._ok(stripped.split()[0])
-        if upper.startswith(("INSERT", "UPDATE", "DELETE")):
+        is_dml = upper.startswith(("INSERT", "UPDATE", "DELETE"))
+        if not is_dml and upper.startswith("WITH"):
+            from bemidb_spark.pgcompat.dml import has_toplevel_insert
+
+            is_dml = has_toplevel_insert(stripped)
+        if is_dml:
             from bemidb_spark.pgcompat.dml import DmlError, handle_dml
 
             try:

@@ -190,3 +190,62 @@ def test_create_table_as_and_drop(spark, cat):
     with pytest.raises(UnsupportedQueryError, match="does not exist"):
         pg.execute("DROP TABLE derived")
     pg.execute("DROP TABLE IF EXISTS derived")  # no error
+
+
+def test_insert_select_and_cte_insert(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE src (id bigint, v text)")
+    pg.execute("INSERT INTO src VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    pg.execute("CREATE TABLE dst (id bigint, v text, extra int)")
+    d = pg.execute("INSERT INTO dst (id, v) SELECT id, upper(v) FROM src WHERE id <= 2")
+    assert d._pg_tag == "INSERT 0 2"
+    got = {r.id: r.v for r in pg.execute("SELECT * FROM dst").collect()}
+    assert got == {1: "A", 2: "B"}
+    # CTE-prefixed INSERT with RETURNING
+    d = pg.execute(
+        "WITH big AS (SELECT id + 10 AS id, v FROM src WHERE id = 3) "
+        "INSERT INTO dst (id, v) SELECT id, v FROM big RETURNING id"
+    )
+    assert d._pg_tag == "INSERT 0 1"
+    assert [r.id for r in d.collect()] == [13]
+    # INSERT ... SELECT ... ON CONFLICT upserts
+    pg.execute("INSERT INTO src VALUES (1, 'conflict')")
+    d = pg.execute(
+        "INSERT INTO dst (id, v) SELECT id, v FROM src WHERE id = 1 AND v = 'conflict' "
+        "ON CONFLICT (id) DO UPDATE SET v = EXCLUDED.v"
+    )
+    assert d._pg_tag == "INSERT 0 1"
+    assert pg.execute("SELECT v FROM dst WHERE id = 1").collect()[0].v == "conflict"
+
+
+def test_update_from_join(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE accounts (id bigint, balance bigint, flag text)")
+    pg.execute("INSERT INTO accounts VALUES (1, 100, 'x'), (2, 200, 'x'), (3, 300, 'x')")
+    pg.execute("CREATE TABLE adjustments (id bigint, delta bigint)")
+    pg.execute("INSERT INTO adjustments VALUES (1, 5), (3, -7)")
+    d = pg.execute(
+        "UPDATE accounts SET balance = accounts.balance + a.delta "
+        "FROM adjustments a WHERE accounts.id = a.id"
+    )
+    assert d._pg_tag == "UPDATE 2"
+    got = {r.id: r.balance for r in pg.execute("SELECT * FROM accounts").collect()}
+    assert got == {1: 105, 2: 200, 3: 293}
+    # alias form + RETURNING projects the updated target row
+    d = pg.execute(
+        "UPDATE accounts AS t SET flag = a.delta || '!' "
+        "FROM adjustments a WHERE t.id = a.id AND a.delta > 0 RETURNING flag"
+    )
+    assert d._pg_tag == "UPDATE 1"
+    assert [r.flag for r in d.collect()] == ["5!"]
+
+
+def test_delete_using_join(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE evts (id bigint, kind text)")
+    pg.execute("INSERT INTO evts VALUES (1, 'keep'), (2, 'drop'), (3, 'drop'), (4, 'keep')")
+    pg.execute("CREATE TABLE kill (id bigint)")
+    pg.execute("INSERT INTO kill VALUES (2), (3), (99)")
+    d = pg.execute("DELETE FROM evts USING kill WHERE evts.id = kill.id")
+    assert d._pg_tag == "DELETE 2"
+    assert sorted(r.id for r in pg.execute("SELECT id FROM evts").collect()) == [1, 4]
