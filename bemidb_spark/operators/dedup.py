@@ -403,3 +403,37 @@ def _paragraph_sql(spark: bool) -> str:
 
 
 _register("dedup_paragraphs", _paragraph_sql(True), _paragraph_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# edit-distance verification of LSH candidates (the high-precision pass)
+# ---------------------------------------------------------------------------
+EDIT_REL_MAX = 0.2  # near-dup iff levenshtein / max(len) <= 20%
+
+
+def _edit_distance_sql(spark: bool) -> str:
+    """Levenshtein verification over the MinHash-LSH candidate pairs: the
+    classic two-stage near-dup pipeline (cheap recall stage -> exact edit
+    distance only on candidates). Never all-pairs: the quadratic-cost
+    levenshtein runs on the LSH-bucketed pair list, which is linear-ish in
+    corpus size by construction. Integer edit distance + one division keep
+    both engines bit-identical."""
+    return f"""
+    WITH cands AS (SELECT doc_a, doc_b FROM ({_minhash_sql(spark)})),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+             CAST(levenshtein(a.text, b.text) AS DOUBLE)
+               / GREATEST(LENGTH(a.text), LENGTH(b.text)) AS rel_dist
+      FROM cands c
+      JOIN documents a ON a.doc_id = c.doc_a
+      JOIN documents b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, edit_dist, rel_dist,
+           CASE WHEN rel_dist <= {EDIT_REL_MAX} THEN 1 ELSE 0 END AS is_dup
+    FROM verified
+    ORDER BY doc_a, doc_b
+    """
+
+
+_register("dedup_edit_distance", _edit_distance_sql(True), _edit_distance_sql(False))

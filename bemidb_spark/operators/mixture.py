@@ -306,3 +306,54 @@ def _outlier_sql(spark: bool) -> str:
 
 
 _register("embedding_centroid_outliers", _outlier_sql(True), _outlier_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# quality-threshold calibration against a token budget (histogram method)
+# ---------------------------------------------------------------------------
+BUDGET_FRAC = 0.4  # keep the best-quality ~40% of corpus tokens
+N_QBINS = 100
+
+
+def _budget_sql(spark: bool) -> str:
+    """Find the quality cutoff that fills a token budget with the BEST docs.
+
+    The scale-right shape: instead of globally sorting every doc by quality
+    (a full-corpus sort), bucket quality into N_QBINS fixed-width bins, sum
+    tokens per bin (one map-side-combinable aggregate), then cumulative-sum
+    the tiny bin table from the top down. At 100 TB the bin table is 100 rows
+    regardless of corpus size; the sort the naive version needs never
+    happens. Quality = distinct-word ratio (one exact INT/INT division).
+    """
+    w = words("text", spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST({size}(w) AS BIGINT) AS n_tokens,
+             CAST({size}({distinct}(w)) AS DOUBLE) / {size}(w) AS q
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    binned AS (
+      SELECT LEAST({N_QBINS - 1}, CAST(FLOOR(q * {N_QBINS}) AS INT)) AS qbin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             SUM(n_tokens) AS bin_tokens
+      FROM scored GROUP BY LEAST({N_QBINS - 1}, CAST(FLOOR(q * {N_QBINS}) AS INT))
+    ),
+    tot AS (SELECT SUM(bin_tokens) AS total_tokens FROM binned),
+    cum AS (
+      SELECT qbin, n_docs, bin_tokens,
+             SUM(bin_tokens) OVER (ORDER BY qbin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM binned
+    )
+    SELECT c.qbin, c.n_docs, c.bin_tokens, c.cum_tokens,
+           CASE WHEN c.cum_tokens <= {BUDGET_FRAC} * t.total_tokens
+                THEN 1 ELSE 0 END AS in_budget
+    FROM cum c CROSS JOIN tot t
+    ORDER BY c.qbin DESC
+    """
+
+
+_register("quality_budget_threshold", _budget_sql(True), _budget_sql(False))

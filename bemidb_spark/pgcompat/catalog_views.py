@@ -112,20 +112,27 @@ def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple
 
 # Bare view names bound by bind_catalog_tables (vs user/session temp views):
 # these must be RE-replaced on re-registration so a table swap (REFRESH
-# MATERIALIZED VIEW, replace_table) re-points them at the new location.
+# MATERIALIZED VIEW, replace_table) re-points them at the new location —
+# and DROPPED when their table leaves the catalog (DROP TABLE, ROLLBACK),
+# otherwise the stale view keeps serving the deleted table's cached listing.
 _BOUND_BARE_NAMES: set[str] = set()
+_BOUND_QUALIFIED: set[str] = set()
 
 
 def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
     """Make every catalog table resolvable by name (the reference's B3 role:
     schema.table -> engine-readable relation, query_remapper_table.go:93-110).
     Registers `<schema>_<table>` always, and bare `<table>` when free or
-    previously bound by us."""
+    previously bound by us; unbinds views for tables no longer present."""
     if catalog is None:
         return
     existing = {t.name for t in spark.catalog.listTables() if t.tableType == "TEMPORARY"}
+    live_qualified: set[str] = set()
+    live_bare: set[str] = set()
     for key, entry in catalog.tables().items():
         schema, table = key.split(".", 1)
+        live_qualified.add(f"{schema}_{table}")
+        live_bare.add(table)
         try:
             df = spark.read.parquet(entry["location"])
         except Exception:  # location vanished (dropped mid-flight)
@@ -134,6 +141,13 @@ def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
         if table not in existing or table in _BOUND_BARE_NAMES:
             df.createOrReplaceTempView(table)
             _BOUND_BARE_NAMES.add(table)
+    for name in _BOUND_QUALIFIED - live_qualified:
+        spark.catalog.dropTempView(name)
+    for name in _BOUND_BARE_NAMES - live_bare:
+        spark.catalog.dropTempView(name)
+    _BOUND_QUALIFIED.clear()
+    _BOUND_QUALIFIED.update(live_qualified)
+    _BOUND_BARE_NAMES.intersection_update(live_bare)
 
 
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:

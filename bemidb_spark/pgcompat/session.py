@@ -133,6 +133,8 @@ class PgSession:
         self._plan_cache: dict[str, DataFrame] = {}
         self._sql_prepared: dict[str, str] = {}  # SQL-level PREPARE bodies
         self._cursors: dict[str, _Cursor] = {}  # DECLARE'd server-side cursors
+        self._txn: dict | None = None  # BEGIN-pinned catalog state + file sets
+        self._savepoints: dict[str, dict] = {}  # insertion-ordered pins
         self._catalog_version = catalog.version() if catalog is not None else 0
         self._qualify_re: re.Pattern | None = None
         self._qualify_re_version: int | None = None
@@ -344,6 +346,120 @@ class PgSession:
             else:
                 self._sql_prepared.pop(m.group(1).lower(), None)
             return self._ok("DEALLOCATE")
+        return None
+
+    # --------------------------------------------------------- transactions
+    def _begin_txn(self) -> None:
+        """Pin the catalog state and every live table location's file set.
+
+        ROLLBACK = restore the state pointer (metadata-only, like an Iceberg
+        snapshot rollback) + prune files appended into still-live locations
+        (the append fast-path writes into the current directory, so the state
+        pointer alone wouldn't undo it). Nested BEGIN keeps the outer pin,
+        matching pg's 'there is already a transaction in progress' warning.
+        """
+        if self.catalog is None or self._txn is not None:
+            return
+        self._txn = self._pin_catalog()
+
+    def _pin_catalog(self) -> dict:
+        import os
+
+        state = self.catalog.snapshot_state()
+        files: dict[str, set[str]] = {}
+        for entry in state.get("tables", {}).values():
+            loc = entry.get("location")
+            if loc and os.path.isdir(loc):
+                files[loc] = {
+                    os.path.relpath(os.path.join(r, f), loc)
+                    for r, _, fs in os.walk(loc) for f in fs
+                }
+        return {"state": state, "files": files}
+
+    def _restore_pin(self, pinned: dict) -> None:
+        import os
+        import shutil
+
+        aborted = self.catalog.snapshot_state()
+        self.catalog.restore_state(pinned["state"])
+
+        def _locs(state: dict) -> set[str]:
+            out = set()
+            for entry in state.get("tables", {}).values():
+                if entry.get("location"):
+                    out.add(entry["location"])
+                out.update(s["location"] for s in entry.get("snapshots", []))
+            return out
+
+        # directories created after the pin (new tables, rewrites)
+        for loc in _locs(aborted) - _locs(pinned["state"]):
+            shutil.rmtree(loc, ignore_errors=True)
+        # files appended into still-live locations after the pin
+        for loc, keep in pinned["files"].items():
+            if not os.path.isdir(loc):
+                continue
+            changed = False
+            for root, _, fs in os.walk(loc, topdown=False):
+                for f in fs:
+                    p = os.path.join(root, f)
+                    if os.path.relpath(p, loc) not in keep:
+                        os.remove(p)
+                        changed = True
+                if root != loc and not os.listdir(root):
+                    os.rmdir(root)
+            if changed:
+                self.spark.catalog.refreshByPath(loc)
+        register_pg_catalog(self.spark, self.catalog)
+        self.invalidate_plans()
+
+    def _rollback_txn(self) -> None:
+        if self.catalog is None or self._txn is None:
+            self._txn = None
+            return  # pg: 'no transaction in progress' warning, then no-op
+        self._restore_pin(self._txn)
+        self._txn = None
+        self._savepoints = {}
+
+    def _handle_savepoint(self, sql: str, upper: str) -> DataFrame | None:
+        """SAVEPOINT / ROLLBACK TO [SAVEPOINT] / RELEASE — nested pins inside
+        an open transaction, same metadata-restore machinery as ROLLBACK.
+        pg keeps a savepoint alive across ROLLBACK TO (repeatable) and drops
+        later savepoints on both ROLLBACK TO and RELEASE."""
+        m = re.match(r"SAVEPOINT\s+([\w]+)\s*$", sql, re.IGNORECASE)
+        if m:
+            if self.catalog is None or self._txn is None:
+                err = UnsupportedQueryError("SAVEPOINT can only be used in transaction blocks")
+                err.sqlstate = "25P01"
+                raise err
+            self._savepoints.pop(m.group(1).lower(), None)
+            self._savepoints[m.group(1).lower()] = self._pin_catalog()
+            return self._ok("SAVEPOINT")
+
+        def _drop_later(name: str, inclusive: bool) -> None:
+            names = list(self._savepoints)
+            keep = names[: names.index(name) + (0 if inclusive else 1)]
+            self._savepoints = {k: self._savepoints[k] for k in keep}
+
+        m = re.match(r"ROLLBACK\s+TO\s+(?:SAVEPOINT\s+)?([\w]+)\s*$", sql, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower()
+            pin = self._savepoints.get(name)
+            if pin is None:
+                err = UnsupportedQueryError(f'savepoint "{m.group(1)}" does not exist')
+                err.sqlstate = "3B001"
+                raise err
+            self._restore_pin(pin)
+            _drop_later(name, inclusive=False)
+            return self._ok("ROLLBACK")
+        m = re.match(r"RELEASE\s+(?:SAVEPOINT\s+)?([\w]+)\s*$", sql, re.IGNORECASE)
+        if m:
+            name = m.group(1).lower()
+            if name not in self._savepoints:
+                err = UnsupportedQueryError(f'savepoint "{m.group(1)}" does not exist')
+                err.sqlstate = "3B001"
+                raise err
+            _drop_later(name, inclusive=True)
+            return self._ok("RELEASE")
         return None
 
     # -------------------------------------------------------------- cursors
@@ -590,7 +706,20 @@ class PgSession:
         if upper in ("BEGIN", "COMMIT", "ROLLBACK", "END", "DISCARD ALL") or upper.startswith(
             ("BEGIN ", "START TRANSACTION")
         ):
-            return self._ok(upper.split()[0])
+            word = upper.split()[0]
+            if word in ("BEGIN", "START"):
+                self._begin_txn()
+                return self._ok("BEGIN")
+            if word == "ROLLBACK":
+                self._rollback_txn()
+                return self._ok("ROLLBACK")
+            self._txn = None  # COMMIT / END / DISCARD ALL: writes are durable
+            self._savepoints = {}
+            return self._ok(word)
+        if upper.startswith(("SAVEPOINT ", "RELEASE ", "ROLLBACK TO ")):
+            out = self._handle_savepoint(stripped, upper)
+            if out is not None:
+                return out
         if upper.startswith(("LISTEN", "UNLISTEN", "NOTIFY")):
             # Async notification channels: accepted as no-ops (an analytics
             # replica has no writers to notify; pg allows LISTEN on standbys).

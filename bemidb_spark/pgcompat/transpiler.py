@@ -647,6 +647,85 @@ def _alias_bare_literals(sql: str) -> str:
     return sql
 
 
+def _rewrite_tablesample(sql: str) -> str:
+    """pg ``TABLESAMPLE BERNOULLI(p) / SYSTEM(p) [REPEATABLE(seed)]`` →
+    Spark ``TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]``. BERNOULLI's
+    per-row semantics match Spark's row-level sample; SYSTEM (page-level in
+    pg) has no page analogue — the row-level sample is the closest fit."""
+    sql = re.sub(
+        r"TABLESAMPLE\s+(?:BERNOULLI|SYSTEM)\s*\(\s*([\d.]+)\s*\)",
+        r"TABLESAMPLE (\1 PERCENT)", sql, flags=re.IGNORECASE,
+    )
+    return re.sub(
+        r"(TABLESAMPLE\s*\([^)]*\))\s*REPEATABLE\s*\(\s*(\d+)\s*\)",
+        r"\1 REPEATABLE (\2)", sql, flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_array_slice(sql: str) -> str:
+    """pg 1-based inclusive array slices ``expr[lo:hi]`` → Spark
+    ``slice(expr, lo, hi-lo+1)`` (literal bounds — the form clients write).
+    The sliced primary expression is an identifier chain or a balanced
+    ``(...)``, found by scanning backward from the bracket."""
+    while True:
+        m = re.search(r"\[\s*(\d+)\s*:\s*(\d+)\s*\]", sql)
+        if not m:
+            return sql
+        lo, hi = int(m.group(1)), int(m.group(2))
+        end = m.start()
+        i = end - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i >= 0 and sql[i] == ")":
+            depth = 0
+            while i >= 0:
+                depth += {"(": -1, ")": 1}.get(sql[i], 0)
+                i -= 1
+                if depth == 0:
+                    break
+            start = i + 1
+        else:
+            while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+                i -= 1
+            start = i + 1
+        expr = sql[start:end].rstrip()
+        if not expr:  # stray bracket (shouldn't happen): leave untouched
+            return sql
+        sql = (sql[:start] + f"slice({expr}, {lo}, {hi - lo + 1})"
+               + sql[m.end():])
+
+
+def _rewrite_similar_to(sql: str, literals: list[str]) -> str:
+    """``x [NOT] SIMILAR TO 'pat'`` → RLIKE with the pattern converted from
+    pg's SQL-regex dialect (``%``→``.*``, ``_``→``.``, POSIX subset kept,
+    implicitly anchored). Runs on shielded text; the converted pattern is
+    appended as a fresh literal."""
+    def conv(pat: str) -> str:
+        out, i = [], 0
+        while i < len(pat):
+            ch = pat[i]
+            if ch == "\\" and i + 1 < len(pat):
+                out.append(pat[i:i + 2])
+                i += 2
+                continue
+            out.append({"%": ".*", "_": "."}.get(ch, ch))
+            i += 1
+        return "^(?:" + "".join(out) + ")$"
+
+    def repl(m: re.Match) -> str:
+        idx = int(m.group(3))
+        lit = literals[idx]
+        converted = "'" + conv(lit[1:-1]).replace("'", "''") + "'"
+        literals.append(converted)
+        neg = "NOT " if m.group(2) else ""
+        return f"{m.group(1)} {neg}RLIKE \x00{len(literals) - 1}\x00"
+
+    return re.sub(
+        r"(\S+)\s+(NOT\s+)?SIMILAR\s+TO\s+\x00(\d+)\x00",
+        repl, sql, flags=re.IGNORECASE,
+    )
+
+
 def _find_top_level(sql: str, word: str, start: int = 0) -> int:
     """Index of the first depth-0 occurrence of keyword ``word`` in ``sql``
     (shielded text — parens in string literals are already gone); -1 if none."""
@@ -740,6 +819,9 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)
+    shielded = _rewrite_similar_to(shielded, literals)
+    shielded = _rewrite_tablesample(shielded)
+    shielded = _rewrite_array_slice(shielded)
     shielded = _inject_scalar_limit(shielded)
     # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
     # this engine is a read-only analytics replica — pg itself allows these

@@ -59,6 +59,19 @@ class Catalog:
             json.dump(state, fh, indent=1)
         os.replace(tmp, self._path)
 
+    # -- transactions --------------------------------------------------------
+    def snapshot_state(self) -> dict:
+        """The full catalog state (tables + matviews), for BEGIN to pin."""
+        with _LOCK:
+            return self._read()
+
+    def restore_state(self, state: dict) -> None:
+        """Atomically restore a previously-pinned state (ROLLBACK). The write
+        is the same atomic rename as any commit, so the catalog version bumps
+        and sessions drop their cached plans."""
+        with _LOCK:
+            self._write(state)
+
     # -- tables -------------------------------------------------------------
     @staticmethod
     def _key(schema: str, table: str) -> str:

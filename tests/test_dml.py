@@ -249,3 +249,64 @@ def test_delete_using_join(spark, cat):
     d = pg.execute("DELETE FROM evts USING kill WHERE evts.id = kill.id")
     assert d._pg_tag == "DELETE 2"
     assert sorted(r.id for r in pg.execute("SELECT id FROM evts").collect()) == [1, 4]
+
+
+def test_transaction_rollback_restores_all(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE txt (id bigint, v text)")
+    pg.execute("INSERT INTO txt VALUES (1, 'keep')")
+    pg.execute("BEGIN")
+    pg.execute("INSERT INTO txt VALUES (2, 'gone')")  # append path
+    pg.execute("UPDATE txt SET v = 'mutated' WHERE id = 1")  # rewrite path
+    pg.execute("CREATE TABLE tx_scratch (x int)")  # DDL
+    assert pg.execute("SELECT count(*) AS n FROM txt").collect()[0].n == 2
+    pg.execute("ROLLBACK")
+    rows = pg.execute("SELECT * FROM txt").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, "keep")]
+    with pytest.raises(Exception):
+        pg.execute("SELECT * FROM tx_scratch").collect()
+
+
+def test_transaction_commit_is_durable_and_stray_rollback_noop(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE txc (id bigint)")
+    pg.execute("BEGIN")
+    pg.execute("INSERT INTO txc VALUES (1)")
+    pg.execute("COMMIT")
+    pg.execute("ROLLBACK")  # no open txn: pg warns + no-op
+    assert pg.execute("SELECT count(*) AS n FROM txc").collect()[0].n == 1
+
+
+def test_drop_table_unbinds_views(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE dropme (id bigint)")
+    pg.execute("INSERT INTO dropme VALUES (1)")
+    assert pg.execute("SELECT count(*) AS n FROM dropme").collect()[0].n == 1
+    pg.execute("DROP TABLE dropme")
+    with pytest.raises(Exception):
+        pg.execute("SELECT * FROM dropme").collect()
+
+
+def test_savepoints_nested_rollback(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE sp (id bigint)")
+    pg.execute("BEGIN")
+    pg.execute("INSERT INTO sp VALUES (1)")
+    pg.execute("SAVEPOINT s1")
+    pg.execute("INSERT INTO sp VALUES (2)")
+    pg.execute("SAVEPOINT s2")
+    pg.execute("INSERT INTO sp VALUES (3)")
+    pg.execute("ROLLBACK TO SAVEPOINT s2")
+    assert pg.execute("SELECT count(*) AS n FROM sp").collect()[0].n == 2
+    pg.execute("ROLLBACK TO s1")  # drops s2
+    assert pg.execute("SELECT count(*) AS n FROM sp").collect()[0].n == 1
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("ROLLBACK TO s2")
+    pg.execute("SAVEPOINT s3")
+    pg.execute("RELEASE SAVEPOINT s3")
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("ROLLBACK TO s3")
+    pg.execute("COMMIT")
+    assert pg.execute("SELECT count(*) AS n FROM sp").collect()[0].n == 1
+    with pytest.raises(UnsupportedQueryError, match="transaction blocks"):
+        pg.execute("SAVEPOINT outside")

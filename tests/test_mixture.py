@@ -66,3 +66,14 @@ def test_outlier_rate_tracks_pct(spark, sf_dir):
     # rank cut flags ceil(n_label * pct) per label: within a label of rounding
     n_labels = df.select("label").distinct().count()
     assert mx.OUTLIER_PCT * n <= n_out <= mx.OUTLIER_PCT * n + n_labels
+
+
+def test_budget_threshold_monotone(spark, sf_dir):
+    rows = mx.QUERIES["quality_budget_threshold"](spark, sf_dir).collect()
+    # rows come qbin DESC; cum_tokens strictly increases down the list
+    cums = [r["cum_tokens"] for r in rows]
+    assert cums == sorted(cums)
+    flags = [r["in_budget"] for r in rows]
+    # in_budget is a prefix of the quality-descending list
+    assert flags == sorted(flags, reverse=True)
+    assert 0 < sum(flags) < len(flags)

@@ -53,6 +53,10 @@ def one(pg, sql):
      "SELECT c FROM t WHERE c IN ('a', 'b', 'c')"),
     ("SELECT jsonb_agg(x) FROM t", "SELECT to_json(collect_list(x)) FROM t"),
     ("SELECT array_upper(arr, 1) FROM t", "SELECT size(arr) FROM t"),
+    ("SELECT x FROM t WHERE x SIMILAR TO 'ab%'",
+     "SELECT x FROM t WHERE x RLIKE '^(?:ab.*)$'"),
+    ("SELECT x FROM t WHERE x NOT SIMILAR TO 'a_c|d+'",
+     "SELECT x FROM t WHERE x NOT RLIKE '^(?:a.c|d+)$'"),
 ])
 def test_transpile(src, expected):
     assert transpile(src) == expected
@@ -539,3 +543,14 @@ def test_alter_table_truncate_roundtrip(pg):
     assert pg.execute("CREATE INDEX i1 ON public.alt2(id)").columns == ["CREATE"]
     assert pg.execute("COMMENT ON TABLE public.alt2 IS 'scratch'").columns == ["COMMENT"]
     pg.execute("DROP TABLE public.alt2")
+
+
+def test_tablesample_and_array_slice(pg):
+    n = pg.execute(
+        "SELECT count(*) AS n FROM lineitem TABLESAMPLE BERNOULLI(10)"
+    ).collect()[0].n
+    total = pg.execute("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert 0.03 * total < n < 0.25 * total
+    row = pg.execute(
+        "SELECT (string_to_array('a b c d', ' '))[2:3] AS s").collect()[0]
+    assert row.s == ["b", "c"]
