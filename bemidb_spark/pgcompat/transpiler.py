@@ -695,6 +695,54 @@ def _rewrite_array_slice(sql: str) -> str:
                + sql[m.end():])
 
 
+def _rewrite_window_filter(sql: str) -> str:
+    """``agg(x) FILTER (WHERE c) OVER (…)`` → ``agg(CASE WHEN c THEN x END)
+    OVER (…)``. Spark supports FILTER on plain aggregates natively but not on
+    window functions; the CASE rewrite is semantically exact (NULLs are
+    ignored by sum/avg/min/max, and count(*) becomes count(CASE…THEN 1))."""
+    pos = 0
+    while True:
+        m = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.IGNORECASE).search(sql, pos)
+        if not m:
+            return sql
+        # cond extent via paren matching from FILTER's open paren
+        open_i = sql.index("(", m.start())
+        depth, j = 1, open_i + 1
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        cond = sql[open_i + 1:j - 1]
+        cond = re.sub(r"^\s*WHERE\s+", "", cond, flags=re.IGNORECASE)
+        if not re.match(r"\s*OVER\b", sql[j:], re.IGNORECASE):
+            pos = j  # plain aggregate FILTER: Spark handles it natively
+            continue
+        # the agg call immediately before FILTER: name( … ) balanced
+        end = m.start()
+        k = end - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k < 0 or sql[k] != ")":
+            pos = j
+            continue
+        depth = 0
+        while k >= 0:
+            depth += {"(": -1, ")": 1}.get(sql[k], 0)
+            k -= 1
+            if depth == 0:
+                break
+        args_open = k + 1
+        name_start = args_open - 1
+        while name_start >= 0 and (sql[name_start - 1].isalnum() or sql[name_start - 1] == "_"):
+            name_start -= 1
+        name = sql[name_start:args_open]
+        args = sql[args_open + 1:end].rstrip()[:-1].strip()  # inside ( )
+        if args in ("*", "1") and name.strip().upper() == "COUNT":
+            new_call = f"count(CASE WHEN {cond} THEN 1 END)"
+        else:
+            new_call = f"{name}(CASE WHEN {cond} THEN {args} END)"
+        sql = sql[:name_start] + new_call + sql[j:]
+
+
 def _rewrite_similar_to(sql: str, literals: list[str]) -> str:
     """``x [NOT] SIMILAR TO 'pat'`` → RLIKE with the pattern converted from
     pg's SQL-regex dialect (``%``→``.*``, ``_``→``.``, POSIX subset kept,
@@ -822,6 +870,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_similar_to(shielded, literals)
     shielded = _rewrite_tablesample(shielded)
     shielded = _rewrite_array_slice(shielded)
+    shielded = _rewrite_window_filter(shielded)
     shielded = _inject_scalar_limit(shielded)
     # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
     # this engine is a read-only analytics replica — pg itself allows these

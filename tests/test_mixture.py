@@ -77,3 +77,21 @@ def test_budget_threshold_monotone(spark, sf_dir):
     # in_budget is a prefix of the quality-descending list
     assert flags == sorted(flags, reverse=True)
     assert 0 < sum(flags) < len(flags)
+
+
+def test_bpe_topk_plans_without_global_sort(spark, sf_dir):
+    df = mx.QUERIES["bpe_merge_candidates"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_and_mixture_plans_have_no_join(spark, sf_dir):
+    # split is a pure per-row projection: no shuffle at all
+    plan = mx.QUERIES["split_train_valid_test"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan.split("Sort")[0] or "rangepartitioning" in plan
+    # mixture: one aggregate + a 1-row cross join (broadcast), never a
+    # shuffle join of the corpus against itself
+    plan2 = mx.QUERIES["mixture_resample_weights"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "SortMergeJoin" not in plan2

@@ -57,6 +57,10 @@ def one(pg, sql):
      "SELECT x FROM t WHERE x RLIKE '^(?:ab.*)$'"),
     ("SELECT x FROM t WHERE x NOT SIMILAR TO 'a_c|d+'",
      "SELECT x FROM t WHERE x NOT RLIKE '^(?:a.c|d+)$'"),
+    ("SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY k) FROM t",
+     "SELECT count(CASE WHEN x > 0 THEN 1 END) OVER (PARTITION BY k) FROM t"),
+    ("SELECT sum(v) FILTER (WHERE x > 0) OVER (ORDER BY ts) FROM t",
+     "SELECT sum(CASE WHEN x > 0 THEN v END) OVER (ORDER BY ts) FROM t"),
 ])
 def test_transpile(src, expected):
     assert transpile(src) == expected
