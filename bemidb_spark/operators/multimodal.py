@@ -147,6 +147,64 @@ ORACLES["mm_frame_sample"] = f"""
 
 
 # ---------------------------------------------------------------------------
+# audio chunking: overlapping windows (hop < chunk), the spectrogram shape
+# ---------------------------------------------------------------------------
+CHUNK_BYTES = 128  # fake "samples" per analysis window
+HOP_BYTES = 96  # 25% overlap between consecutive windows
+
+_CHUNKS_SCHEMA = "doc_id bigint, chunk_no int, chunk_md5 string, energy bigint"
+
+
+def _audio_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1→N with OVERLAP: unlike frame sampling, consecutive output rows share
+    payload bytes (hop < window), the shape every audio featurizer
+    (spectrogram / fbank) needs. Energy = exact integer byte-sum standing in
+    for the RMS a real decoder would compute."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "chunk_no": [], "chunk_md5": [], "energy": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            chunk_no = 0
+            start = 0
+            while start + CHUNK_BYTES <= len(raw):
+                chunk = raw[start:start + CHUNK_BYTES]
+                out["doc_id"].append(doc_id)
+                out["chunk_no"].append(chunk_no)
+                out["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+                out["energy"].append(sum(chunk))
+                chunk_no += 1
+                start += HOP_BYTES
+        yield pd.DataFrame(out)
+
+
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.mapInPandas(_audio_chunks, schema=_CHUNKS_SCHEMA)
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+QUERIES["mm_audio_chunks"] = mm_audio_chunks
+ORACLES["mm_audio_chunks"] = f"""
+    WITH chunks AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, (length(text) - {CHUNK_BYTES}) // {HOP_BYTES})) AS c
+      FROM documents
+      WHERE length(text) >= {CHUNK_BYTES}
+    )
+    SELECT doc_id,
+           CAST(c AS INT) AS chunk_no,
+           md5(substr(text, c * {HOP_BYTES} + 1, {CHUNK_BYTES})) AS chunk_md5,
+           CAST(list_sum([ord(substr(text, c * {HOP_BYTES} + i, 1))
+                          for i in generate_series(1, {CHUNK_BYTES})])
+                AS BIGINT) AS energy
+    FROM chunks
+    ORDER BY doc_id, chunk_no
+"""
+
+
+# ---------------------------------------------------------------------------
 # resize: gated stub — real decode libs are absent in this container
 # ---------------------------------------------------------------------------
 def mm_resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224):

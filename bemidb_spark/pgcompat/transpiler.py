@@ -695,6 +695,118 @@ def _rewrite_array_slice(sql: str) -> str:
                + sql[m.end():])
 
 
+def _ts_query_to_bool(query: str, arr: str) -> str:
+    """Compile a tsquery expression ('a & b | !c', prefix 'd:*') into a
+    boolean over the tokenized word array ``arr``. Recursive descent over
+    the &/|/!/() grammar; no stemming (documented emulation limit)."""
+    tokens = re.findall(r"[&|!()]|[^\s&|!()]+", query)
+    pos = 0
+
+    def peek() -> str | None:
+        return tokens[pos] if pos < len(tokens) else None
+
+    def eat() -> str:
+        nonlocal pos
+        t = tokens[pos]
+        pos += 1
+        return t
+
+    def atom() -> str:
+        t = eat()
+        if t == "(":
+            e = or_expr()
+            if peek() == ")":
+                eat()
+            return f"({e})"
+        if t == "!":
+            return f"NOT {atom()}"
+        term = t.strip("'\"").lower()
+        if term.endswith(":*"):
+            pre = term[:-2].replace("'", "''")
+            return f"exists({arr}, w -> w LIKE '{pre}%')"
+        return f"array_contains({arr}, '{term.replace(chr(39), chr(39) * 2)}')"
+
+    def and_expr() -> str:
+        parts = [atom()]
+        while peek() == "&":
+            eat()
+            parts.append(atom())
+        return " AND ".join(parts)
+
+    def or_expr() -> str:
+        parts = [and_expr()]
+        while peek() == "|":
+            eat()
+            parts.append(and_expr())
+        return " OR ".join(parts)
+
+    return or_expr()
+
+
+def _rewrite_tsearch(sql: str, literals: list[str]) -> str:
+    """``to_tsvector([cfg,] x) @@ to_tsquery([cfg,] 'q')`` → a boolean over
+    the lowercased word array of ``x``. ``plainto_tsquery`` ANDs its words.
+    Stemming/stop-words are not emulated — terms match surface forms — but
+    the operator shape (per-row, no shuffle, codegen-friendly) is what a
+    corpus-scale keyword filter needs."""
+    out = []
+    i = 0
+    pat = re.compile(r"to_tsvector\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        args = sql[m.end():j - 1]
+        vec = _split_top_level(args)[-1] if args else args
+        m2 = re.match(
+            r"\s*@@\s*(to_tsquery|plainto_tsquery)\s*\(", sql[j:], re.IGNORECASE
+        )
+        if not m2:
+            out.append(sql[i:j])
+            i = j
+            continue
+        depth, k = 1, j + m2.end()
+        while k < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[k], 0)
+            k += 1
+        qargs = _split_top_level(sql[j + m2.end():k - 1])
+        qm = re.match(r"\s*\x00(\d+)\x00\s*$", qargs[-1] if qargs else "")
+        if not qm:
+            out.append(sql[i:k])
+            i = k
+            continue
+        query = literals[int(qm.group(1))][1:-1]
+        arr = f"filter(split(lower({vec}), '[^a-z0-9]+'), w -> w != '')"
+        if m2.group(1).lower() == "plainto_tsquery":
+            cond = " AND ".join(
+                f"array_contains({arr}, '{w.lower()}')" for w in query.split()
+            ) or "true"
+        else:
+            cond = _ts_query_to_bool(query, arr)
+        out.append(sql[i:m.start()] + "(" + cond + ")")
+        i = k
+
+
+def _split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on sep outside parens (shielded text: no string literals)."""
+    parts, depth, start = [], 0, 0
+    for idx, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:idx])
+            start = idx + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
 def _rewrite_window_filter(sql: str) -> str:
     """``agg(x) FILTER (WHERE c) OVER (…)`` → ``agg(CASE WHEN c THEN x END)
     OVER (…)``. Spark supports FILTER on plain aggregates natively but not on
@@ -871,6 +983,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_tablesample(shielded)
     shielded = _rewrite_array_slice(shielded)
     shielded = _rewrite_window_filter(shielded)
+    shielded = _rewrite_tsearch(shielded, literals)
     shielded = _inject_scalar_limit(shielded)
     # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
     # this engine is a read-only analytics replica — pg itself allows these

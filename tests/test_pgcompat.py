@@ -558,3 +558,34 @@ def test_tablesample_and_array_slice(pg):
     row = pg.execute(
         "SELECT (string_to_array('a b c d', ' '))[2:3] AS s").collect()[0]
     assert row.s == ["b", "c"]
+
+
+def test_tsvector_tsquery_emulation(pg):
+    n_and = pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector('english', text) @@ to_tsquery('the & fast')"
+    ).collect()[0].n
+    n_or = pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ to_tsquery('the | fast')"
+    ).collect()[0].n
+    assert 0 < n_and <= n_or
+    # plainto = AND of words; prefix :* matches surface forms
+    n_plain = pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ plainto_tsquery('the fast')"
+    ).collect()[0].n
+    assert n_plain == n_and
+    n_not = pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ to_tsquery('the & !fast')"
+    ).collect()[0].n
+    n_the = pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ to_tsquery('the')"
+    ).collect()[0].n
+    assert n_not == n_the - n_and
+    assert pg.execute(
+        "SELECT count(*) AS n FROM documents "
+        "WHERE to_tsvector(text) @@ to_tsquery('zzznope')"
+    ).collect()[0].n == 0

@@ -36,3 +36,16 @@ def test_recursive_iterate_terminates(spark):
 def test_mm_resize_is_gated(spark, sf_dir):
     with pytest.raises(NotImplementedError):
         multimodal.mm_resize(spark, sf_dir)
+
+
+def test_mm_audio_chunks_overlap(spark, sf_dir):
+    from bemidb_spark.operators import multimodal as mm
+    from bemidb_spark.oracle import compare
+
+    compare(mm.QUERIES["mm_audio_chunks"](spark, sf_dir),
+            mm.ORACLES["mm_audio_chunks"], sf_dir)
+    rows = mm.QUERIES["mm_audio_chunks"](spark, sf_dir).where("doc_id = 0").collect()
+    if len(rows) >= 2:
+        # consecutive chunks overlap: hop < window
+        assert mm.HOP_BYTES < mm.CHUNK_BYTES
+        assert rows[1].chunk_no == rows[0].chunk_no + 1
