@@ -345,12 +345,44 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     info_cols = []
     for s, t, cols in inventory:
         for pos, (cname, ctype, nullable) in enumerate(cols, start=1):
+            udt = pg_type_name(ctype)
+            display = _PG_TYPE_INFO.get(udt.lstrip("_"), (0, "text"))[1]
+            if udt.startswith("_"):
+                display = "ARRAY"  # information_schema spells arrays this way
             info_cols.append(
                 (PG_DATABASE, s, t, cname, pos,
-                 "YES" if nullable else "NO", pg_type_name(ctype))
+                 "YES" if nullable else "NO", udt, display)
             )
     spark.createDataFrame(
-        info_cols or [("", "", "", "", 0, "", "")],
+        info_cols or [("", "", "", "", 0, "", "", "")],
         "table_catalog string, table_schema string, table_name string, "
-        "column_name string, ordinal_position int, is_nullable string, udt_name string",
+        "column_name string, ordinal_position int, is_nullable string, "
+        "udt_name string, data_type string",
     ).createOrReplaceTempView("information_schema_columns")
+
+    # schemata / views / constraint views: the rest of the introspection
+    # surface BI tools touch (constraints are structurally empty — this
+    # engine enforces none, exactly like the reference's analytics replica)
+    spark.createDataFrame(
+        [(PG_DATABASE, s, PG_USER) for s in schemas],
+        "catalog_name string, schema_name string, schema_owner string",
+    ).createOrReplaceTempView("information_schema_schemata")
+    mv_rows = []
+    if catalog is not None:
+        for key, entry in catalog.matviews().items():
+            s, name = key.split(".", 1)
+            mv_rows.append((PG_DATABASE, s, name, entry.get("definition", "")))
+    spark.createDataFrame(
+        mv_rows or [("", "", "", "")],
+        "table_catalog string, table_schema string, table_name string, "
+        "view_definition string",
+    ).createOrReplaceTempView("information_schema_views")
+    empty_constraints = spark.createDataFrame(
+        [],
+        "constraint_catalog string, constraint_schema string, "
+        "constraint_name string, table_schema string, table_name string, "
+        "constraint_type string, column_name string",
+    )
+    empty_constraints.createOrReplaceTempView("information_schema_table_constraints")
+    empty_constraints.createOrReplaceTempView("information_schema_key_column_usage")
+    empty_constraints.createOrReplaceTempView("information_schema_referential_constraints")

@@ -534,7 +534,8 @@ def _rewrite_srf(sql: str) -> str:
 def _rewrite_tables(sql: str) -> str:
     """pg_catalog.x / information_schema.x → emulation view names (B5/B6)."""
     sql = re.sub(
-        r"\binformation_schema\s*\.\s*(tables|columns)\b",
+        r"\binformation_schema\s*\.\s*(tables|columns|schemata|views|"
+        r"table_constraints|key_column_usage|referential_constraints)\b",
         r"information_schema_\1",
         sql,
         flags=re.IGNORECASE,

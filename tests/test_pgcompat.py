@@ -589,3 +589,22 @@ def test_tsvector_tsquery_emulation(pg):
         "SELECT count(*) AS n FROM documents "
         "WHERE to_tsvector(text) @@ to_tsquery('zzznope')"
     ).collect()[0].n == 0
+
+
+def test_information_schema_breadth(pg):
+    rows = pg.execute(
+        "SELECT schema_name FROM information_schema.schemata ORDER BY schema_name"
+    ).collect()
+    names = [r[0] for r in rows]
+    assert "public" in names and "pg_catalog" in names
+    cols = pg.execute(
+        "SELECT column_name, data_type, udt_name FROM information_schema.columns "
+        "WHERE table_name = 'nation' ORDER BY ordinal_position"
+    ).collect()
+    assert [c.column_name for c in cols][:2] == ["n_nationkey", "n_name"]
+    assert cols[1].data_type == "text"
+    assert pg.execute(
+        "SELECT * FROM information_schema.table_constraints").collect() == []
+    assert pg.execute(
+        "SELECT * FROM information_schema.key_column_usage").collect() == []
+    pg.execute("SELECT * FROM information_schema.views").collect()  # resolvable

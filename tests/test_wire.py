@@ -548,3 +548,36 @@ def test_gssenc_request_denied(server):
     s.sendall(struct.pack("!II", 8, 80877104))
     assert s.recv(1) == b"N"
     s.close()
+
+
+def test_cursor_lifecycle_over_wire(server):
+    c = MiniPgClient(server.host, server.port)
+    try:
+        r = c.query(
+            "BEGIN; DECLARE wc CURSOR FOR SELECT n_nationkey FROM nation "
+            "ORDER BY n_nationkey; FETCH 3 FROM wc; MOVE 2 FROM wc; "
+            "FETCH ALL FROM wc; CLOSE wc; COMMIT"
+        )
+        assert r["errors"] == []
+        assert r["tags"] == ["BEGIN", "DECLARE CURSOR", "FETCH 3", "MOVE 2",
+                             "FETCH 20", "CLOSE CURSOR", "COMMIT"]
+        # 3 fetched + 20 after skipping 2 of 25 nations
+        assert [row[0] for row in r["rows"][:3]] == ["0", "1", "2"]
+        assert r["rows"][3][0] == "5"
+        assert len(r["rows"]) == 23
+    finally:
+        c.close()
+
+
+def test_transaction_rollback_over_wire(copy_server):
+    c = MiniPgClient(copy_server.host, copy_server.port)
+    try:
+        c.query("CREATE TABLE wire_txn (id bigint)")
+        r = c.query("BEGIN; INSERT INTO wire_txn VALUES (1); ROLLBACK")
+        assert r["errors"] == []
+        assert r["tags"] == ["BEGIN", "INSERT 0 1", "ROLLBACK"]
+        r = c.query("SELECT count(*) FROM wire_txn")
+        assert r["rows"] == [["0"]]
+        c.query("DROP TABLE wire_txn")
+    finally:
+        c.close()
