@@ -648,6 +648,72 @@ def _alias_bare_literals(sql: str) -> str:
     return sql
 
 
+def _rewrite_epoch_extract(sql: str, literals: list[str]) -> str:
+    """``EXTRACT(EPOCH FROM x)`` / ``date_part('epoch', x)`` → ``CAST(x AS
+    DOUBLE)`` (Spark's timestamp→double cast IS epoch seconds with fraction;
+    Spark's EXTRACT has no EPOCH field). Other date_part fields are native
+    Spark and left alone."""
+    out = []
+    i = 0
+    pat = re.compile(
+        r"\b(?:EXTRACT\s*\(\s*EPOCH\s+FROM|date_part\s*\(\s*\x00(\d+)\x00\s*,)\s*",
+        re.IGNORECASE,
+    )
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        if m.group(1) is not None and (
+            literals[int(m.group(1))].strip("'").lower() != "epoch"
+        ):
+            out.append(sql[i:m.end()])
+            i = m.end()
+            continue
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        out.append(sql[i:m.start()] + "(CAST(CAST("
+                   + sql[m.end():j - 1].strip() + " AS TIMESTAMP) AS DOUBLE))")
+        i = j
+
+
+def _rewrite_at_time_zone(sql: str) -> str:
+    """``x AT TIME ZONE 'tz'`` → ``from_utc_timestamp(x, 'tz')`` — the
+    instant-to-wall-clock reading (pg's timestamptz→timestamp direction,
+    the one BI tools emit; the session stores instants as UTC)."""
+    pat = re.compile(r"\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)", re.IGNORECASE)
+    while True:
+        m = pat.search(sql)
+        if not m:
+            return sql
+        end = m.start()
+        k = end - 1
+        while k >= 0 and sql[k].isspace():
+            k -= 1
+        if k >= 0 and sql[k] == ")":
+            depth = 0
+            while k >= 0:
+                depth += {"(": -1, ")": 1}.get(sql[k], 0)
+                k -= 1
+                if depth == 0:
+                    break
+            start = k + 1
+        else:
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_.\x00"):
+                k -= 1
+            start = k + 1
+            # typed literal: TIMESTAMP '…' arrives as TIMESTAMP + marker
+            pre = re.search(r"(?:TIMESTAMP(?:TZ)?|DATE|TIME)\s*$",
+                            sql[:start], re.IGNORECASE)
+            if pre and sql[start:end].strip().startswith("\x00"):
+                start = pre.start()
+        operand = sql[start:end].strip()
+        sql = (sql[:start] + f"from_utc_timestamp({operand}, {m.group(1)})"
+               + sql[m.end():])
+
+
 def _rewrite_tablesample(sql: str) -> str:
     """pg ``TABLESAMPLE BERNOULLI(p) / SYSTEM(p) [REPEATABLE(seed)]`` →
     Spark ``TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]``. BERNOULLI's
@@ -985,6 +1051,8 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_array_slice(shielded)
     shielded = _rewrite_window_filter(shielded)
     shielded = _rewrite_tsearch(shielded, literals)
+    shielded = _rewrite_epoch_extract(shielded, literals)
+    shielded = _rewrite_at_time_zone(shielded)
     shielded = _inject_scalar_limit(shielded)
     # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
     # this engine is a read-only analytics replica — pg itself allows these

@@ -57,6 +57,12 @@ def one(pg, sql):
      "SELECT x FROM t WHERE x RLIKE '^(?:ab.*)$'"),
     ("SELECT x FROM t WHERE x NOT SIMILAR TO 'a_c|d+'",
      "SELECT x FROM t WHERE x NOT RLIKE '^(?:a.c|d+)$'"),
+    ("SELECT EXTRACT(EPOCH FROM ts) FROM t",
+     "SELECT (CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) FROM t"),
+    ("SELECT date_part('epoch', ts), date_part('year', ts) FROM t",
+     "SELECT (CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)), date_part('year', ts) FROM t"),
+    ("SELECT ts AT TIME ZONE 'UTC' FROM t",
+     "SELECT from_utc_timestamp(ts, 'UTC') FROM t"),
     ("SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY k) FROM t",
      "SELECT count(CASE WHEN x > 0 THEN 1 END) OVER (PARTITION BY k) FROM t"),
     ("SELECT sum(v) FILTER (WHERE x > 0) OVER (ORDER BY ts) FROM t",
