@@ -85,6 +85,30 @@ def _normalize_pg_type(pg_type: str) -> str:
     }.get(pg_type, pg_type)
 
 
+# pg_stat_statements emulation: per-process statement statistics, keyed by the
+# normalized query text. The wire layer reports execution time/rows after each
+# collect; plain-session users still get call counts. Global like the real
+# extension (one stats store per server process).
+_STATEMENT_STATS: dict[str, dict] = {}
+_STATS_LOCK = __import__("threading").Lock()
+
+
+def record_statement_stats(sql: str, seconds: float | None = None,
+                           rows: int | None = None,
+                           count_call: bool = True) -> None:
+    key = " ".join(sql.split())[:1024]
+    with _STATS_LOCK:
+        ent = _STATEMENT_STATS.setdefault(
+            key, {"calls": 0, "total_exec_time": 0.0, "rows": 0}
+        )
+        if count_call:
+            ent["calls"] += 1
+        if seconds is not None:
+            ent["total_exec_time"] += seconds * 1000.0  # pg reports ms
+        if rows is not None:
+            ent["rows"] += rows
+
+
 class _Cursor:
     """Server-side cursor: a lazily-opened forward stream over a DataFrame.
 
@@ -347,6 +371,24 @@ class PgSession:
                 self._sql_prepared.pop(m.group(1).lower(), None)
             return self._ok("DEALLOCATE")
         return None
+
+    # ---------------------------------------------------- pg_stat_statements
+    def _register_stat_statements(self) -> None:
+        """(Re)build the pg_stat_statements view from the live stats store —
+        rebuilt per reference, like the extension's shared-memory reads."""
+        with _STATS_LOCK:
+            rows = [
+                (10, 1, hash(q) & 0x7FFFFFFFFFFFFFFF, q, e["calls"],
+                 e["total_exec_time"],
+                 e["total_exec_time"] / e["calls"] if e["calls"] else 0.0,
+                 e["rows"])
+                for q, e in _STATEMENT_STATS.items()
+            ]
+        self.spark.createDataFrame(
+            rows or [(10, 1, 0, "", 0, 0.0, 0.0, 0)],
+            "userid int, dbid int, queryid bigint, query string, calls bigint, "
+            "total_exec_time double, mean_exec_time double, rows bigint",
+        ).createOrReplaceTempView("pg_stat_statements")
 
     # --------------------------------------------------------- transactions
     def _begin_txn(self) -> None:
@@ -802,12 +844,16 @@ class PgSession:
                 df._pg_tag = tag  # wire sends CommandComplete with this
                 return df
         if upper.startswith(("SELECT", "WITH", "VALUES", "TABLE ", "(")):
+            record_statement_stats(stripped)
+            if "pg_stat_statements" in stripped.lower():
+                self._register_stat_statements()
             if self.catalog is not None:
                 version = self.catalog.version()
                 if version != self._catalog_version:
                     self.invalidate_plans()
                     self._catalog_version = version
-            cached = self._plan_cache.get(stripped) if perms is None else None
+            cacheable = perms is None and "pg_stat_statements" not in stripped.lower()
+            cached = self._plan_cache.get(stripped) if cacheable else None
             if cached is not None:
                 return cached
             folded = self._fold_session_functions(stripped)
@@ -815,7 +861,7 @@ class PgSession:
                 folded = apply_permissions(folded, perms)
             folded = self._qualify_catalog_tables(folded)
             df = _pg_default_names(self.spark.sql(transpile(folded)))
-            if perms is None:
+            if cacheable:
                 if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                     self._plan_cache.pop(next(iter(self._plan_cache)))
                 self._plan_cache[stripped] = df

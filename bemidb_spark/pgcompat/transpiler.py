@@ -714,6 +714,24 @@ def _rewrite_at_time_zone(sql: str) -> str:
                + sql[m.end():])
 
 
+def _rewrite_fetch_first(sql: str) -> str:
+    """SQL-standard ``[OFFSET n {ROW|ROWS}] FETCH {FIRST|NEXT} [n] {ROW|ROWS}
+    ONLY`` → ``LIMIT n`` (Spark speaks LIMIT/OFFSET; count defaults to 1)."""
+    sql = re.sub(
+        r"\bOFFSET\s+(\d+)\s+ROWS?\b", r"OFFSET \1", sql, flags=re.IGNORECASE
+    )
+    sql = re.sub(
+        r"\bFETCH\s+(?:FIRST|NEXT)\s+(\d+\s+)?ROWS?\s+ONLY\b",
+        lambda m: f"LIMIT {m.group(1).strip() if m.group(1) else 1}",
+        sql, flags=re.IGNORECASE,
+    )
+    # pg order is OFFSET-then-FETCH; Spark's grammar wants LIMIT OFFSET
+    return re.sub(
+        r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)\b", r"LIMIT \2 OFFSET \1",
+        sql, flags=re.IGNORECASE,
+    )
+
+
 def _rewrite_tablesample(sql: str) -> str:
     """pg ``TABLESAMPLE BERNOULLI(p) / SYSTEM(p) [REPEATABLE(seed)]`` →
     Spark ``TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]``. BERNOULLI's
@@ -1048,6 +1066,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_regex_ops(shielded)
     shielded = _rewrite_similar_to(shielded, literals)
     shielded = _rewrite_tablesample(shielded)
+    shielded = _rewrite_fetch_first(shielded)
     shielded = _rewrite_array_slice(shielded)
     shielded = _rewrite_window_filter(shielded)
     shielded = _rewrite_tsearch(shielded, literals)

@@ -25,6 +25,7 @@ import re
 import socket
 import struct
 import threading
+import time
 import uuid as uuid_mod
 from dataclasses import dataclass, field
 
@@ -459,7 +460,12 @@ class _Conn:
         if tag is not None and not getattr(df, "_pg_returning", False):
             self._send(b"C", tag.encode() + b"\x00")  # DML: no result set
             return
+        t0 = time.monotonic()
         rows = df.collect()
+        from bemidb_spark.pgcompat.session import record_statement_stats
+
+        record_statement_stats(sql, time.monotonic() - t0, len(rows),
+                               count_call=False)
         self._send_row_description(df)
         n = self._send_rows(df, rows)
         self._send(b"C", (tag or _tag_for(sql, n)).encode() + b"\x00")

@@ -614,3 +614,23 @@ def test_information_schema_breadth(pg):
     assert pg.execute(
         "SELECT * FROM information_schema.key_column_usage").collect() == []
     pg.execute("SELECT * FROM information_schema.views").collect()  # resolvable
+
+
+def test_fetch_first_rows_only(pg):
+    rows = pg.execute(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "OFFSET 2 ROWS FETCH FIRST 3 ROWS ONLY").collect()
+    assert [r[0] for r in rows] == [2, 3, 4]
+    rows = pg.execute(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey "
+        "FETCH FIRST ROW ONLY").collect()
+    assert [r[0] for r in rows] == [0]
+
+
+def test_pg_stat_statements_tracks_calls(pg):
+    pg.execute("SELECT 41 + 1 AS probe_stat").collect()
+    pg.execute("SELECT 41 + 1 AS probe_stat").collect()
+    rows = pg.execute(
+        "SELECT calls FROM pg_stat_statements "
+        "WHERE query = 'SELECT 41 + 1 AS probe_stat'").collect()
+    assert rows and rows[0].calls >= 2
