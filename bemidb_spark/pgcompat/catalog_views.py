@@ -15,6 +15,8 @@ transpiler routes ``pg_catalog.pg_class`` → ``pg_class`` etc. (B3/B4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 
 from bemidb_spark.sources.catalog import Catalog
@@ -141,6 +143,40 @@ def bind_catalog_tables(spark: SparkSession, catalog: Catalog | None) -> None:
         if table not in existing or table in _BOUND_BARE_NAMES:
             df.createOrReplaceTempView(table)
             _BOUND_BARE_NAMES.add(table)
+    # plain (non-materialized) views: re-executed plans over the live tables,
+    # registered in dependency order (views over views retry next pass)
+    from bemidb_spark.pgcompat.transpiler import transpile
+
+    qual_keys = [k for k in list(catalog.tables()) + list(catalog.views())
+                 if "." in k]
+    qual_re = (
+        re.compile(r"\b(" + "|".join(re.escape(k) for k in sorted(qual_keys)) + r")\b")
+        if qual_keys else None
+    )
+
+    def _qualify(sql: str) -> str:
+        if qual_re is None or "." not in sql:
+            return sql
+        return qual_re.sub(lambda m: m.group(1).replace(".", "_"), sql)
+
+    pending = list(catalog.views().items())
+    for _ in range(len(pending) + 1):
+        still = []
+        for key, entry in pending:
+            schema, name = key.split(".", 1)
+            live_qualified.add(f"{schema}_{name}")
+            live_bare.add(name)
+            try:
+                df = spark.sql(transpile(_qualify(entry["definition"])))
+            except Exception:
+                still.append((key, entry))
+                continue
+            df.createOrReplaceTempView(f"{schema}_{name}")
+            df.createOrReplaceTempView(name)
+            _BOUND_BARE_NAMES.add(name)
+        if not still:
+            break
+        pending = still
     for name in _BOUND_QUALIFIED - live_qualified:
         spark.catalog.dropTempView(name)
     for name in _BOUND_BARE_NAMES - live_bare:
@@ -163,13 +199,15 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
 
     ns_oid = {s: 2200 + i for i, s in enumerate(schemas)}
     matview_names = set()
+    view_names = set()
     if catalog is not None:
         matview_names = {k.split(".", 1)[1] for k in catalog.matviews()}
+        view_names = {k.split(".", 1)[1] for k in catalog.views()}
     # Full psql-introspection column set (reference seeds the same shape via
-    # DDL, query_remapper_table.go:275-712); relkind 'm' for matviews.
+    # DDL, query_remapper_table.go:275-712); relkind 'm' matviews, 'v' views.
     classes = [
         (16384 + i, t, ns_oid[s],
-         "m" if t in matview_names else "r",
+         "m" if t in matview_names else ("v" if t in view_names else "r"),
          float(len(cols)), 10, False, 0, False, False, False, False, False,
          0, "p", "d", 2, 0, len(cols))
         for i, (s, t, cols) in enumerate(inventory)
@@ -337,7 +375,8 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
 
     # information_schema (B6)
     spark.createDataFrame(
-        [(PG_DATABASE, s, t, "BASE TABLE") for s, t, _ in inventory]
+        [(PG_DATABASE, s, t, "VIEW" if t in view_names else "BASE TABLE")
+         for s, t, _ in inventory]
         or [("", "", "", "")],
         "table_catalog string, table_schema string, table_name string, table_type string",
     ).createOrReplaceTempView("information_schema_tables")
@@ -369,9 +408,10 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     ).createOrReplaceTempView("information_schema_schemata")
     mv_rows = []
     if catalog is not None:
-        for key, entry in catalog.matviews().items():
-            s, name = key.split(".", 1)
-            mv_rows.append((PG_DATABASE, s, name, entry.get("definition", "")))
+        for src in (catalog.matviews(), catalog.views()):
+            for key, entry in src.items():
+                s, name = key.split(".", 1)
+                mv_rows.append((PG_DATABASE, s, name, entry.get("definition", "")))
     spark.createDataFrame(
         mv_rows or [("", "", "", "")],
         "table_catalog string, table_schema string, table_name string, "

@@ -255,6 +255,44 @@ class PgSession:
             return self._ok("ALTER MATERIALIZED VIEW")
         return None
 
+    # ---------------------------------------------------------- plain views
+    def _handle_plain_view(self, sql: str, upper: str) -> DataFrame | None:
+        """CREATE [OR REPLACE] VIEW / DROP VIEW — logical views: the
+        definition is stored in the catalog and re-planned over the live
+        tables on every catalog rebind (pg's view expansion; no data is
+        materialized, so at any scale this is metadata-only)."""
+        if self.catalog is None:
+            err = UnsupportedQueryError("views require a table catalog")
+            err.sqlstate = "42601"
+            raise err
+        m = re.match(
+            r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.\"]+)\s+AS\s+(.+)$",
+            sql, re.IGNORECASE | re.DOTALL,
+        )
+        if m:
+            schema, _, name = m.group(1).replace('"', "").rpartition(".")
+            definition = m.group(2).strip()
+            self.execute(definition).limit(0)  # validate like pg does
+            self.catalog.put_view(schema or "public", name, definition)
+            out = self._ok("CREATE VIEW")
+            out._pg_tag = "CREATE VIEW"
+            return out
+        m = re.match(
+            r"DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.\"]+)\s*(?:CASCADE|RESTRICT)?\s*$",
+            sql, re.IGNORECASE,
+        )
+        if m:
+            schema, _, name = m.group(2).replace('"', "").rpartition(".")
+            if not self.catalog.drop_view(schema or "public", name) and not m.group(1):
+                err = UnsupportedQueryError(
+                    f'view "{schema or "public"}.{name}" does not exist')
+                err.sqlstate = "42P01"
+                raise err
+            out = self._ok("DROP VIEW")
+            out._pg_tag = "DROP VIEW"
+            return out
+        return None
+
     def _ok(self, tag: str) -> DataFrame:
         return self.spark.range(0).selectExpr(f"CAST(null AS STRING) AS `{tag}`")
 
@@ -774,6 +812,12 @@ class PgSession:
             out = self._handle_cursor(stripped, upper)
             if out is not None:
                 return out
+        if upper.startswith(("CREATE VIEW", "CREATE OR REPLACE VIEW", "DROP VIEW")):
+            out = self._handle_plain_view(stripped, upper)
+            if out is not None:
+                register_pg_catalog(self.spark, self.catalog)
+                self.invalidate_plans()
+                return out
         if "MATERIALIZED VIEW" in upper:
             out = self._handle_matview(sql)
             if out is not None:
@@ -883,7 +927,11 @@ class PgSession:
             return sql
         version = self.catalog.version()
         if self._qualify_re_version != version:
-            keys = [k for k in self.catalog.tables() if "." in k]
+            keys = [
+                k
+                for k in list(self.catalog.tables()) + list(self.catalog.views())
+                if "." in k
+            ]
             self._qualify_re = (
                 re.compile(
                     r"\b(" + "|".join(re.escape(k) for k in sorted(keys)) + r")\b"

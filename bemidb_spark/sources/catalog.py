@@ -186,6 +186,25 @@ class Catalog:
             self._write(state)
 
     # -- materialized views --------------------------------------------------
+    # -- plain (non-materialized) views --------------------------------------
+    def put_view(self, schema: str, name: str, definition: str) -> None:
+        with _LOCK:
+            state = self._read()
+            state.setdefault("views", {})[self._key(schema, name)] = {
+                "definition": definition
+            }
+            self._write(state)
+
+    def views(self) -> dict[str, dict]:
+        return self._read().get("views", {})
+
+    def drop_view(self, schema: str, name: str) -> bool:
+        with _LOCK:
+            state = self._read()
+            existed = state.get("views", {}).pop(self._key(schema, name), None)
+            self._write(state)
+        return existed is not None
+
     def put_matview(self, schema: str, name: str, definition: str) -> None:
         with _LOCK:
             state = self._read()

@@ -310,3 +310,34 @@ def test_savepoints_nested_rollback(spark, cat):
     assert pg.execute("SELECT count(*) AS n FROM sp").collect()[0].n == 1
     with pytest.raises(UnsupportedQueryError, match="transaction blocks"):
         pg.execute("SAVEPOINT outside")
+
+
+def test_plain_views_lifecycle(spark, cat):
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE vb (id bigint, v text)")
+    pg.execute("INSERT INTO vb VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    pg.execute("CREATE VIEW vv1 AS SELECT id, upper(v) AS vv FROM public.vb WHERE id > 1")
+    assert [tuple(r) for r in pg.execute("SELECT * FROM vv1 ORDER BY id").collect()] == [
+        (2, "B"), (3, "C")]
+    # view over view; logical (tracks table mutations without refresh)
+    pg.execute("CREATE VIEW vv2 AS SELECT count(*) AS n FROM public.vv1")
+    assert pg.execute("SELECT n FROM vv2").collect()[0].n == 2
+    pg.execute("INSERT INTO vb VALUES (4, 'd')")
+    assert pg.execute("SELECT n FROM vv2").collect()[0].n == 3
+    # introspection: relkind 'v', information_schema VIEW + definition
+    kinds = {r.relname: r.relkind for r in pg.execute(
+        "SELECT relname, relkind FROM pg_class WHERE relname IN ('vv1','vv2','vb')"
+    ).collect()}
+    assert kinds == {"vv1": "v", "vv2": "v", "vb": "r"}
+    assert pg.execute(
+        "SELECT table_type FROM information_schema.tables WHERE table_name = 'vv1'"
+    ).collect()[0].table_type == "VIEW"
+    # OR REPLACE changes the definition; DROP removes resolution
+    pg.execute("CREATE OR REPLACE VIEW vv1 AS SELECT id FROM public.vb")
+    assert pg.execute("SELECT * FROM vv1").columns == ["id"]
+    pg.execute("DROP VIEW vv2")
+    with pytest.raises(Exception):
+        pg.execute("SELECT * FROM vv2").collect()
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("DROP VIEW vv2")
+    pg.execute("DROP VIEW IF EXISTS vv2")  # no error
