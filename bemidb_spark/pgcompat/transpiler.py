@@ -528,6 +528,50 @@ def _rewrite_srf(sql: str) -> str:
         return base if has_alias else f"{base} AS unnest"
 
     sql = re.sub(rf"\bunnest\s*\({_SRF_ARGS}\)", unnest_sel, sql, flags=re.IGNORECASE)
+
+    # jsonb_array_elements[_text] — each array element as a row (elements stay
+    # JSON-encoded strings, matching ->/->> downstream use); json[b]_each —
+    # key/value rows from an object (values JSON-encoded; _text gives the
+    # unwrapped scalar like pg).
+    def json_elems_from(m: re.Match) -> str:
+        kw, args = m.group(1), m.group(3)
+        alias = m.group(4) or "jsonb_array_elements"
+        col = m.group(5) or "value"
+        # pg auto-LATERALs SRFs in FROM; Spark needs the keyword for a
+        # correlated derived table after a comma/JOIN
+        lat = " LATERAL" if kw.strip() in (",", "JOIN", "join") else ""
+        return (f"{kw}{lat} (SELECT explode(from_json({args}, 'array<string>')) "
+                f"AS {col}) AS {alias}")
+
+    sql = re.sub(
+        rf"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?(jsonb?_array_elements(?:_text)?)\s*\({_SRF_ARGS}\)"
+        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
+        json_elems_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    def json_each_from(m: re.Match) -> str:
+        kw, args = m.group(1), m.group(3)
+        alias = m.group(4) or "json_each"
+        kcol = m.group(5) or "key"
+        vcol = m.group(6) or "value"
+        # values surface as text in both variants (the _text unwrapping; the
+        # non-text variant's json-typed rendering is not distinguished here)
+        lat = " LATERAL" if kw.strip() in (",", "JOIN", "join") else ""
+        return (
+            f"{kw}{lat} (SELECT k AS {kcol}, v AS {vcol} FROM "
+            f"(SELECT explode(from_json({args}, 'map<string,string>')) AS (k, v))"
+            f") AS {alias}"
+        )
+
+    sql = re.sub(
+        rf"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?(jsonb?_each(?:_text)?)\s*\({_SRF_ARGS}\)"
+        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
+        json_each_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
     return sql
 
 

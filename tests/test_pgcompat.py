@@ -634,3 +634,18 @@ def test_pg_stat_statements_tracks_calls(pg):
         "SELECT calls FROM pg_stat_statements "
         "WHERE query = 'SELECT 41 + 1 AS probe_stat'").collect()
     assert rows and rows[0].calls >= 2
+
+
+def test_json_srf_functions(pg):
+    rows = pg.execute(
+        "SELECT value FROM jsonb_array_elements('[1,2,3]') AS t(value)").collect()
+    assert [r.value for r in rows] == ["1", "2", "3"]
+    rows = pg.execute(
+        "SELECT event_id, e.key, e.value FROM events, "
+        "LATERAL json_each(props) AS e(key, value) "
+        "ORDER BY event_id, e.key LIMIT 3").collect()
+    assert len(rows) == 3 and all(r.key for r in rows)
+    rows = pg.execute(
+        "SELECT event_id FROM events, json_each(props) AS e(key, value) "
+        "WHERE e.key = 'k' ORDER BY event_id LIMIT 2").collect()
+    assert len(rows) == 2
