@@ -119,8 +119,9 @@ class _Cursor:
     pg's default cursor is also forward-only unless SCROLL is requested.
     """
 
-    def __init__(self, df: DataFrame) -> None:
+    def __init__(self, df: DataFrame, hold: bool = False) -> None:
         self.df = df
+        self.hold = hold  # WITH HOLD survives COMMIT/ROLLBACK (pg semantics)
         self._iter = None
 
     def fetch(self, n: int | None, discard: bool = False) -> tuple[list, int]:
@@ -429,6 +430,10 @@ class PgSession:
         ).createOrReplaceTempView("pg_stat_statements")
 
     # --------------------------------------------------------- transactions
+    def _close_txn_cursors(self) -> None:
+        """pg closes non-HOLD cursors at transaction end."""
+        self._cursors = {k: c for k, c in self._cursors.items() if c.hold}
+
     def _begin_txn(self) -> None:
         """Pin the catalog state and every live table location's file set.
 
@@ -551,12 +556,14 @@ class PgSession:
         if upper.startswith("DECLARE "):
             m = re.match(
                 r"DECLARE\s+([\w]+)\s+(?:BINARY\s+|INSENSITIVE\s+|ASENSITIVE\s+|"
-                r"(?:NO\s+)?SCROLL\s+)*CURSOR\s+(?:WITH(?:OUT)?\s+HOLD\s+)?FOR\s+(.+)$",
+                r"(?:NO\s+)?SCROLL\s+)*CURSOR\s+(WITH\s+HOLD\s+)?(?:WITHOUT\s+HOLD\s+)?FOR\s+(.+)$",
                 sql, re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 return None
-            self._cursors[m.group(1).lower()] = _Cursor(self.execute(m.group(2)))
+            self._cursors[m.group(1).lower()] = _Cursor(
+                self.execute(m.group(3)), hold=m.group(2) is not None
+            )
             out = self._ok("DECLARE CURSOR")
             out._pg_tag = "DECLARE CURSOR"
             return out
@@ -792,9 +799,15 @@ class PgSession:
                 return self._ok("BEGIN")
             if word == "ROLLBACK":
                 self._rollback_txn()
+                self._close_txn_cursors()
                 return self._ok("ROLLBACK")
             self._txn = None  # COMMIT / END / DISCARD ALL: writes are durable
             self._savepoints = {}
+            self._close_txn_cursors()
+            if word == "DISCARD":  # DISCARD ALL resets the whole session
+                self._cursors.clear()
+                self._sql_prepared.clear()
+                self.invalidate_plans()
             return self._ok(word)
         if upper.startswith(("SAVEPOINT ", "RELEASE ", "ROLLBACK TO ")):
             out = self._handle_savepoint(stripped, upper)

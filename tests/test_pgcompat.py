@@ -649,3 +649,14 @@ def test_json_srf_functions(pg):
         "SELECT event_id FROM events, json_each(props) AS e(key, value) "
         "WHERE e.key = 'k' ORDER BY event_id LIMIT 2").collect()
     assert len(rows) == 2
+
+
+def test_cursor_closed_at_txn_end_unless_hold(pg):
+    pg.execute("BEGIN")
+    pg.execute("DECLARE tc CURSOR FOR SELECT 1 AS x")
+    pg.execute("DECLARE th CURSOR WITH HOLD FOR SELECT 2 AS y")
+    pg.execute("COMMIT")
+    with pytest.raises(UnsupportedQueryError, match="does not exist"):
+        pg.execute("FETCH tc")
+    assert pg.execute("FETCH th")._pg_tag == "FETCH 1"
+    pg.execute("CLOSE th")
