@@ -437,3 +437,83 @@ def _edit_distance_sql(spark: bool) -> str:
 
 
 _register("dedup_edit_distance", _edit_distance_sql(True), _edit_distance_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: a NEW batch against the EXISTING corpus
+# ---------------------------------------------------------------------------
+BATCH_SOURCE = "src1"  # stands in for the newly-ingested batch
+
+
+def _incremental_sql(spark: bool) -> str:
+    """Ingestion-time dedup: keep a new batch's docs only if they don't
+    near-duplicate the existing corpus. Same banded-LSH candidates as
+    `dedup_minhash_lsh`, but the join is BATCH × CORPUS (not corpus × corpus):
+    at 100 TB the corpus side's signatures are precomputed and stored once
+    per table (they are per-row expressions), and the batch side is small —
+    Catalyst broadcasts it, so incremental ingest never reshuffles the
+    corpus. Emits every batch doc with its verdict and best corpus match.
+    """
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    mh = minhash("sh", MINHASH_K, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    inter = (
+        f"{size}(array_intersect(b.sh, c.sh))"
+        if spark
+        else "len(list_intersect(b.sh, c.sh))"
+    )
+    band_cols = ", ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(f"CAST(mh[{b * ROWS_PER_BAND + r}] AS STRING)" if spark
+                    else f"CAST(mh[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+                    for r in range(ROWS_PER_BAND))
+        + f")) AS band{b}"
+        for b in range(BANDS)
+    )
+    band_pairs = "\n      UNION\n".join(
+        f"      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id"
+        f" FROM batch_sigs b JOIN corpus_sigs c ON b.band{b} = c.band{b}"
+        for b in range(BANDS)
+    )
+    mh_array = "array(" + ", ".join(mh) + ")" if spark else "[" + ", ".join(mh) + "]"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, source, {distinct}({sh}) AS sh
+      FROM (SELECT doc_id, source, {w} AS w FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id, source, sh, {band_cols}
+      FROM (SELECT doc_id, source, sh, {mh_array} AS mh FROM docs)
+    ),
+    batch_sigs AS (SELECT * FROM sigs WHERE source = '{BATCH_SOURCE}'),
+    corpus_sigs AS (SELECT * FROM sigs WHERE source <> '{BATCH_SOURCE}'),
+    cands AS (
+{band_pairs}
+    ),
+    verified AS (
+      SELECT v.batch_id, v.corpus_id,
+             CAST({inter} AS DOUBLE)
+               / ({size}(b.sh) + {size}(c.sh) - {inter}) AS jaccard
+      FROM cands v
+      JOIN docs b ON b.doc_id = v.batch_id
+      JOIN docs c ON c.doc_id = v.corpus_id
+    ),
+    best AS (
+      SELECT batch_id, corpus_id, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY batch_id
+                                ORDER BY jaccard DESC, corpus_id) AS rk
+      FROM verified WHERE jaccard >= {JACCARD_MIN}
+    )
+    SELECT d.doc_id,
+           CASE WHEN m.batch_id IS NULL THEN 1 ELSE 0 END AS keep,
+           m.corpus_id AS dup_of,
+           m.jaccard
+    FROM (SELECT doc_id FROM documents WHERE source = '{BATCH_SOURCE}') d
+    LEFT JOIN (SELECT * FROM best WHERE rk = 1) m ON d.doc_id = m.batch_id
+    ORDER BY d.doc_id
+    """
+
+
+_register("dedup_incremental_batch", _incremental_sql(True), _incremental_sql(False))

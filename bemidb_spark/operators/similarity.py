@@ -212,3 +212,43 @@ def _embed_prep_sql(spark: bool) -> str:
 
 
 _register("embedding_quantize_int8", _embed_prep_sql(True), _embed_prep_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# hard-negative mining: nearest neighbors with a DIFFERENT label
+# ---------------------------------------------------------------------------
+HARD_NEG_K = 3
+
+
+def _hard_negatives_sql(spark: bool) -> str:
+    """Contrastive-training data prep: for each anchor vector, the top-k most
+    similar vectors carrying a different label — the "hard negatives" that
+    make embedding models learn boundaries (easy random negatives are
+    uninformative). Shape: same scored-join + per-anchor window as
+    `ann_cosine_topk`; at 100 TB the anchor side is the (small) batch being
+    mined and the candidate side is the full corpus behind the IVF cells, so
+    the scan prunes exactly like `ann_ivf_topk`."""
+    cos = cosine("a.embedding", "c.embedding", spark=spark)
+    return f"""
+    WITH scored AS (
+      SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+             c.vec_id AS neg_id, c.label AS neg_label, {cos} AS cos_sim
+      FROM embeddings a
+      JOIN embeddings c
+        ON a.vec_id < {N_QUERIES} AND c.label <> a.label
+    ),
+    ranked AS (
+      SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos_sim DESC, neg_id) AS rk
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim,
+           CAST(rk AS INT) AS rk
+    FROM ranked
+    WHERE rk <= {HARD_NEG_K}
+    ORDER BY anchor_id, rk
+    """
+
+
+_register("ann_hard_negatives", _hard_negatives_sql(True), _hard_negatives_sql(False))

@@ -217,3 +217,26 @@ def test_dup_clusters_cover_pairs_and_pick_min_canonical(spark, sf_dir_med):
         assert size == members[cl]
         assert canon == (1 if doc == cl else 0)
         assert cl <= doc
+
+
+def test_incremental_batch_dedup_verdicts(spark, sf_dir):
+    from bemidb_spark.operators import dedup
+    from bemidb_spark.oracle import compare
+
+    compare(dedup.QUERIES["dedup_incremental_batch"](spark, sf_dir),
+            dedup.ORACLES["dedup_incremental_batch"], sf_dir)
+    rows = dedup.QUERIES["dedup_incremental_batch"](spark, sf_dir).collect()
+    # every batch doc gets exactly one verdict; dropped docs cite a corpus doc
+    assert all((r.keep == 1) == (r.dup_of is None) for r in rows)
+    assert any(r.keep == 0 for r in rows)  # the corpus plants near-dups
+
+
+def test_hard_negatives_cross_label_only(spark, sf_dir):
+    from bemidb_spark.operators import similarity
+    from bemidb_spark.oracle import compare
+
+    compare(similarity.QUERIES["ann_hard_negatives"](spark, sf_dir),
+            similarity.ORACLES["ann_hard_negatives"], sf_dir)
+    rows = similarity.QUERIES["ann_hard_negatives"](spark, sf_dir).collect()
+    assert all(r.anchor_label != r.neg_label for r in rows)
+    assert len({r.anchor_id for r in rows}) == similarity.N_QUERIES
