@@ -843,17 +843,34 @@ class PgSession:
         if upper.startswith("EXPLAIN"):
             # pg clients expect a one-column "QUERY PLAN" result set; the
             # plan text is Spark's (this IS the engine's plan — showing a
-            # fake pg plan would be lying about execution).
+            # fake pg plan would be lying about execution). EXPLAIN ANALYZE
+            # actually executes and reports wall time, like pg.
+            analyze = re.match(
+                r"\s*EXPLAIN\s*(?:\(([^)]*)\)|(ANALYZE))", stripped, re.IGNORECASE
+            )
+            analyze = bool(analyze and (
+                (analyze.group(1) or "").upper().find("ANALYZE") >= 0
+                or analyze.group(2)
+            ))
             inner = re.sub(
                 r"^\s*EXPLAIN\s*(\([^)]*\)\s*|(ANALYZE|VERBOSE|COSTS|BUFFERS|FORMAT\s+\w+)\s+)*",
                 "", stripped, flags=re.IGNORECASE,
             )
             folded = self._qualify_catalog_tables(self._fold_session_functions(inner))
-            plan = self.spark.sql(transpile(folded))._jdf.queryExecution().explainString(
+            df = self.spark.sql(transpile(folded))
+            plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
             )
-            rows = [(line,) for line in plan.rstrip("\n").split("\n")]
-            return self.spark.createDataFrame(rows, "`QUERY PLAN` string")
+            lines = plan.rstrip("\n").split("\n")
+            if analyze:
+                import time as _time
+
+                t0 = _time.monotonic()
+                n = df.count()
+                ms = (_time.monotonic() - t0) * 1000.0
+                lines += [f"Rows: {n}", f"Execution Time: {ms:.3f} ms"]
+            return self.spark.createDataFrame(
+                [(line,) for line in lines], "`QUERY PLAN` string")
         if upper.startswith(("CREATE TABLE", "DROP TABLE")):
             out = self._handle_table_ddl(stripped, upper)
             if out is not None:

@@ -224,6 +224,25 @@ def _rewrite_functions(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     sql = re.sub(r"\bformat\s*\(", "format_string(", sql, flags=re.IGNORECASE)
+    # json[b]_build_object('k', v, …) → to_json(named_struct('k', v, …)):
+    # the alternating name/value argument shape is identical
+    sql = re.sub(
+        r"\bjsonb?_build_object\s*\(", "to_json(named_struct(", sql,
+        flags=re.IGNORECASE,
+    )
+    sql = _balance_double_open(sql, "to_json(named_struct(")
+    # json[b]_object_agg(k, v) → JSON object from grouped key/value pairs
+    sql = re.sub(
+        r"\bjsonb?_object_agg\s*\(([^,()]+),\s*([^()]+?)\)",
+        r"to_json(map_from_entries(collect_list(struct(CAST(\1 AS STRING), \2))))",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # row_to_json(t) → the row rendered as a JSON object
+    sql = re.sub(
+        rf"\brow_to_json\s*\(\s*({_IDENT})\s*\)", r"to_json(struct(\1.*))",
+        sql, flags=re.IGNORECASE,
+    )
     sql = re.sub(
         r"\b(?:jsonb_agg|json_agg)\s*\(", "to_json(collect_list(", sql, flags=re.IGNORECASE
     )

@@ -660,3 +660,19 @@ def test_cursor_closed_at_txn_end_unless_hold(pg):
         pg.execute("FETCH tc")
     assert pg.execute("FETCH th")._pg_tag == "FETCH 1"
     pg.execute("CLOSE th")
+
+
+def test_json_builders_and_explain_analyze(pg):
+    assert pg.execute(
+        "SELECT json_build_object('a', 1, 'b', 'x') AS j").collect()[0].j == '{"a":1,"b":"x"}'
+    j = pg.execute(
+        "SELECT jsonb_object_agg(n_name, n_regionkey) AS j FROM nation "
+        "WHERE n_regionkey = 0").collect()[0].j
+    assert j.startswith('{"NATION_') and '":0' in j
+    j = pg.execute("SELECT row_to_json(nation) AS j FROM nation "
+                   "WHERE n_nationkey = 0").collect()[0].j
+    assert '"n_nationkey":0' in j and '"n_name":"NATION_0"' in j
+    rows = [r[0] for r in pg.execute(
+        "EXPLAIN ANALYZE SELECT count(*) FROM nation").collect()]
+    assert any(r.startswith("Execution Time:") for r in rows)
+    assert "Rows: 1" in rows
