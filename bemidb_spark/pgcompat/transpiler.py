@@ -795,6 +795,65 @@ def _rewrite_fetch_first(sql: str) -> str:
     )
 
 
+def _rewrite_array_ops(sql: str) -> str:
+    """pg array operators on column/paren operands: ``a && b`` (overlap) →
+    ``arrays_overlap``, ``a @> b`` (contains) → forall-membership, ``a <@ b``
+    → the reverse. Operands are identifier chains or balanced parens (jsonb
+    containment on literals is out of scope — the array reading is the
+    overwhelmingly common one on relational data)."""
+    operand = rf"({_IDENT}(?:\.{_IDENT})*(?:\([^()]*\))?|\([^()]*\))"
+    sql = re.sub(
+        rf"{operand}\s*&&\s*{operand}",
+        r"arrays_overlap(\1, \2)", sql,
+    )
+    sql = re.sub(
+        rf"{operand}\s*@>\s*{operand}",
+        r"forall(\2, __x -> array_contains(\1, __x))", sql,
+    )
+    sql = re.sub(
+        rf"{operand}\s*<@\s*{operand}",
+        r"forall(\1, __x -> array_contains(\2, __x))", sql,
+    )
+    return sql
+
+
+def _rewrite_any_all(sql: str) -> str:
+    """General ANY/ALL forms beyond the '{…}' literal (B10):
+    ``x = ANY (SELECT …)`` → ``x IN (SELECT …)``; ``x <> ALL (SELECT …)`` →
+    ``x NOT IN (…)``; ``x = ANY(arr_col)`` → ``array_contains(arr_col, x)``.
+    """
+    out = []
+    i = 0
+    pat = re.compile(
+        rf"({_IDENT}(?:\.{_IDENT})*|\x00\d+\x00)\s*(=|<>|!=)\s*(ANY|ALL)\s*\(",
+        re.IGNORECASE,
+    )
+    while True:
+        m = pat.search(sql, i)
+        if not m:
+            out.append(sql[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        lhs, op, quant = m.group(1), m.group(2), m.group(3).upper()
+        body = sql[m.end():j - 1].strip()
+        is_subq = re.match(r"SELECT\b|WITH\b", body, re.IGNORECASE)
+        repl = None
+        if quant == "ANY" and op == "=":
+            repl = (f"{lhs} IN ({body})" if is_subq
+                    else f"array_contains({body}, {lhs})")
+        elif quant == "ALL" and op in ("<>", "!="):
+            repl = (f"{lhs} NOT IN ({body})" if is_subq
+                    else f"NOT array_contains({body}, {lhs})")
+        if repl is None:
+            out.append(sql[i:j])
+        else:
+            out.append(sql[i:m.start()] + repl)
+        i = j
+
+
 def _rewrite_tablesample(sql: str) -> str:
     """pg ``TABLESAMPLE BERNOULLI(p) / SYSTEM(p) [REPEATABLE(seed)]`` →
     Spark ``TABLESAMPLE (p PERCENT) [REPEATABLE (seed)]``. BERNOULLI's
@@ -1124,6 +1183,8 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_to_char(shielded, literals)
     shielded = _rewrite_string_to_array(shielded, literals)
     shielded = _rewrite_any_string_array(shielded, literals)
+    shielded = _rewrite_any_all(shielded)
+    shielded = _rewrite_array_ops(shielded)
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)

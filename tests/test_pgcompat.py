@@ -676,3 +676,18 @@ def test_json_builders_and_explain_analyze(pg):
         "EXPLAIN ANALYZE SELECT count(*) FROM nation").collect()]
     assert any(r.startswith("Execution Time:") for r in rows)
     assert "Rows: 1" in rows
+
+
+def test_array_operators_and_any_all(pg):
+    r = pg.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_name = ANY "
+        "(SELECT n_name FROM nation WHERE n_regionkey = 0)").collect()[0].n
+    assert r == 5
+    r = pg.execute(
+        "SELECT count(*) AS n FROM nation WHERE n_regionkey <> ALL (SELECT 0)"
+    ).collect()[0].n
+    assert r == 20
+    row = pg.execute(
+        "SELECT (string_to_array('a b', ' ') && string_to_array('b c', ' ')) AS o, "
+        "'b' = ANY(string_to_array('a b', ' ')) AS m").collect()[0]
+    assert row.o is True and row.m is True
