@@ -193,3 +193,24 @@ def test_relation_size_functions(pg):
         "pg_size_pretty(pg_relation_size('region')) AS pretty"
     ).collect()
     assert tuple(rows[0]) == (0, "0 bytes")
+
+
+def test_psql_dv_lists_plain_views(pg):
+    """The literal SQL psql 16 sends for \\dv, driven end-to-end."""
+    pg.execute("CREATE TABLE dv_base (id bigint)")
+    pg.execute("CREATE VIEW dv_view AS SELECT id FROM public.dv_base")
+    rows = pg.execute("""SELECT n.nspname as "Schema",
+  c.relname as "Name",
+  CASE c.relkind WHEN 'r' THEN 'table' WHEN 'v' THEN 'view' WHEN 'm' THEN 'materialized view' WHEN 'i' THEN 'index' WHEN 'S' THEN 'sequence' END as "Type",
+  pg_catalog.pg_get_userbyid(c.relowner) as "Owner"
+FROM pg_catalog.pg_class c
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = c.relnamespace
+WHERE c.relkind IN ('v','')
+      AND n.nspname <> 'pg_catalog'
+      AND n.nspname !~ '^pg_toast'
+  AND pg_catalog.pg_table_is_visible(c.oid)
+ORDER BY 1,2""").collect()
+    assert ("public", "dv_view", "view", "bemidb") in [tuple(r) for r in rows]
+    assert all(r[2] == "view" for r in rows)
+    pg.execute("DROP VIEW dv_view")
+    pg.execute("DROP TABLE dv_base")
