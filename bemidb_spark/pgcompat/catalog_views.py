@@ -320,6 +320,17 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         "schemaname string, matviewname string, matviewowner string, "
         "tablespace string, hasindexes boolean, ispopulated boolean, definition string",
     ).createOrReplaceTempView("pg_matviews")
+
+    view_defs = {}
+    if catalog is not None:
+        view_defs = {k.split(".", 1)[1]: e.get("definition", "")
+                     for k, e in catalog.views().items()}
+    spark.createDataFrame(
+        [(s, t, PG_USER, view_defs.get(t, ""))
+         for s, t, _ in inventory if t in view_names]
+        or [("", "", "", "")],
+        "schemaname string, viewname string, viewowner string, definition string",
+    ).createOrReplaceTempView("pg_views")
     stat_rows = [
         (16384 + i, s, t, 0, 0, 0, 0, 0, 0, 0)
         for i, (s, t, cols) in enumerate(inventory)

@@ -117,6 +117,26 @@ def main() -> None:
         samples.append(round(time.perf_counter() - t0, 4))
     concurrent = min(samples)
 
+    # Pipeline-operator throughput at the same SF (the training-data family
+    # the TPC-H suite doesn't exercise): warm once, then one timed pass each.
+    # Reported as wall seconds on the raw sf parquet (not the warehouse) —
+    # the same inputs the correctness gate uses.
+    from bemidb_spark.operators import dedup, mixture, text
+
+    pipeline_ops = {
+        "dedup_minhash_lsh": dedup.QUERIES["dedup_minhash_lsh"],
+        "dedup_exact": dedup.QUERIES["dedup_exact"],
+        "text_quality": text.QUERIES["text_quality"],
+        "split_train_valid_test": mixture.QUERIES["split_train_valid_test"],
+        "unigram_logprob_score": mixture.QUERIES["unigram_logprob_score"],
+    }
+    pipeline: dict[str, float] = {}
+    for name, fn in pipeline_ops.items():
+        fn(spark, SF_DIR).collect()  # warm (plan + JIT)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        pipeline[name] = round(time.perf_counter() - t0, 4)
+
     print(json.dumps({
         "metric": "tpch_22q_total",
         "value": sequential,
@@ -130,6 +150,7 @@ def main() -> None:
         "concurrent_samples": samples,
         "prepare_sec": prepare_sec,
         "ingest_sec": ingest_sec,
+        "pipeline_sec": pipeline,
         "scale_conf": not SMALL_CONF,
     }))
 

@@ -691,3 +691,15 @@ def test_array_operators_and_any_all(pg):
         "SELECT (string_to_array('a b', ' ') && string_to_array('b c', ' ')) AS o, "
         "'b' = ANY(string_to_array('a b', ' ')) AS m").collect()[0]
     assert row.o is True and row.m is True
+
+
+def test_pg_views_lists_plain_views(pg):
+    pg.execute("CREATE TABLE pv_base (id bigint)")
+    pg.execute("CREATE VIEW pv_v AS SELECT id FROM public.pv_base")
+    rows = pg.execute(
+        "SELECT viewname, viewowner, definition FROM pg_views "
+        "WHERE viewname = 'pv_v'").collect()
+    assert rows and rows[0].viewowner == "bemidb"
+    assert "pv_base" in rows[0].definition
+    pg.execute("DROP VIEW pv_v")
+    pg.execute("DROP TABLE pv_base")
