@@ -759,6 +759,13 @@ class PgSession:
             r"\bpg_backend_pid\s*\(\s*\)": "CAST(1 AS INT)",
             r"\bpg_is_in_recovery\s*\(\s*\)": "false",
             r"\bpg_postmaster_start_time\s*\(\s*\)": "current_timestamp()",
+            # monitoring/replication probes: fixed values for an analytics
+            # replica with no WAL (clients only check these are non-null)
+            r"\btxid_current\s*\(\s*\)": "CAST(1000 AS BIGINT)",
+            r"\bpg_current_wal_lsn\s*\(\s*\)": "'0/0'",
+            r"\bpg_last_wal_replay_lsn\s*\(\s*\)": "'0/0'",
+            r"\bcurrent_schemas\s*\(\s*true\s*\)": "array('pg_catalog', 'public')",
+            r"\bcurrent_schemas\s*\(\s*false\s*\)": "array('public')",
         }
         for pat, repl in replacements.items():
             sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)

@@ -703,3 +703,11 @@ def test_pg_views_lists_plain_views(pg):
     assert "pv_base" in rows[0].definition
     pg.execute("DROP VIEW pv_v")
     pg.execute("DROP TABLE pv_base")
+
+
+def test_monitoring_function_folds(pg):
+    row = pg.execute(
+        "SELECT txid_current() AS t, pg_current_wal_lsn() AS l, "
+        "current_schemas(true) AS cs").collect()[0]
+    assert row.t == 1000 and row.l == "0/0"
+    assert row.cs == ["pg_catalog", "public"]
