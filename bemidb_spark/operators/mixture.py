@@ -357,3 +357,84 @@ def _budget_sql(spark: bool) -> str:
 
 
 _register("quality_budget_threshold", _budget_sql(True), _budget_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# export shard manifest: deterministic shard assignment for the final corpus
+# ---------------------------------------------------------------------------
+N_SHARDS = 16
+
+
+def _shard_manifest_sql(spark: bool) -> str:
+    """The materialization step: every doc lands in a deterministic hash
+    shard (stable across engines, runs, and partitionings — the property a
+    resumable multi-writer export needs), and the manifest row per shard
+    carries counts, token totals, and an order-insensitive content checksum
+    (XOR-free: sum of per-doc hash values mod 2^62 — exact integer math, so
+    the checksum is reproducible no matter which executor wrote the shard).
+    At 100 TB this IS the write plan: repartition by shard_id, one writer
+    task per shard, manifest as the job's commit record."""
+    h = hash_int("CAST(doc_id AS STRING)" if spark else "CAST(doc_id AS VARCHAR)",
+                 spark=spark, salt="shard")
+    hcontent = hash_int("text", spark=spark, salt="content")
+    ntok = ("size(split(text, ' '))" if spark else "len(string_split(text, ' '))")
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             {h} % {N_SHARDS} AS shard_id,
+             CAST({ntok} AS BIGINT) AS n_tokens,
+             {hcontent} AS content_hash
+      FROM documents
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tokens) AS shard_tokens,
+           SUM(content_hash) % 4611686018427387904 AS content_checksum,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY shard_id
+    ORDER BY shard_id
+    """
+
+
+_register("export_shard_manifest", _shard_manifest_sql(True), _shard_manifest_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# cross-source overlap matrix: provenance duplicate accounting
+# ---------------------------------------------------------------------------
+def _source_overlap_sql(spark: bool) -> str:
+    """How much content do the corpus' sources share? Distinct 10-word
+    segments that appear in more than one source, counted per
+    (source_a, source_b) pair — the provenance matrix behind 'which crawls
+    re-collected the same pages' (segment-level, so partial re-collection
+    counts too). One shuffle on md5(segment); the pair expansion happens
+    only on segments spanning >1 source (a small fraction of the corpus)."""
+    n = SEG_WORDS
+    w = words("text", spark=spark)
+    if spark:
+        segs = (f"transform(sequence(0, CAST(ceil(size(w) / {n}.0) AS INT) - 1), "
+                f"i -> array_join(slice(w, i * {n} + 1, {n}), ' '))")
+        expl = (f"SELECT DISTINCT source, md5(s) AS h FROM "
+                f"(SELECT source, {segs} AS ss FROM (SELECT source, {w} AS w FROM documents)) "
+                f"LATERAL VIEW explode(ss) t AS s")
+    else:
+        segs = (f"[array_to_string(w[(i - 1) * {n} + 1:(i - 1) * {n} + {n}], ' ') "
+                f"for i in generate_series(1, CAST(ceil(len(w) / {n}.0) AS INT))]")
+        expl = (f"SELECT DISTINCT source, md5(unnest({segs})) AS h "
+                f"FROM (SELECT source, {w} AS w FROM documents)")
+    return f"""
+    WITH hashed AS ({expl}),
+    pairs AS (
+      SELECT a.h, a.source AS source_a, b.source AS source_b
+      FROM hashed a JOIN hashed b ON a.h = b.h AND a.source < b.source
+    )
+    SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS shared_segments
+    FROM pairs
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """
+
+
+_register("source_overlap_matrix", _source_overlap_sql(True), _source_overlap_sql(False))

@@ -95,3 +95,19 @@ def test_split_and_mixture_plans_have_no_join(spark, sf_dir):
     plan2 = mx.QUERIES["mixture_resample_weights"](spark, sf_dir)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "SortMergeJoin" not in plan2
+
+
+def test_shard_manifest_covers_corpus(spark, sf_dir):
+    rows = mx.QUERIES["export_shard_manifest"](spark, sf_dir).collect()
+    assert len(rows) == mx.N_SHARDS
+    total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == total
+    # shard assignment is partition-invariant (same manifest any layout)
+    again = mx.QUERIES["export_shard_manifest"](spark, sf_dir).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]
+
+
+def test_source_overlap_symmetric_pairs(spark, sf_dir):
+    rows = mx.QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
+    assert all(r.source_a < r.source_b for r in rows)
+    assert all(r.shared_segments > 0 for r in rows)
