@@ -224,6 +224,10 @@ def _rewrite_functions(sql: str) -> str:
         flags=re.IGNORECASE,
     )
     sql = re.sub(r"\bformat\s*\(", "format_string(", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bgen_random_uuid\s*\(\s*\)", "uuid()", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\brandom\s*\(\s*\)", "rand()", sql, flags=re.IGNORECASE)
+    sql = re.sub(r"\bsetseed\s*\([^)]*\)", "CAST(NULL AS STRING)", sql,
+                 flags=re.IGNORECASE)
     # json[b]_build_object('k', v, …) → to_json(named_struct('k', v, …)):
     # the alternating name/value argument shape is identical
     sql = re.sub(

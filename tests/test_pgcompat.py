@@ -57,6 +57,8 @@ def one(pg, sql):
      "SELECT x FROM t WHERE x RLIKE '^(?:ab.*)$'"),
     ("SELECT x FROM t WHERE x NOT SIMILAR TO 'a_c|d+'",
      "SELECT x FROM t WHERE x NOT RLIKE '^(?:a.c|d+)$'"),
+    ("SELECT gen_random_uuid(), random() FROM t",
+     "SELECT uuid(), rand() FROM t"),
     ("SELECT EXTRACT(EPOCH FROM ts) FROM t",
      "SELECT (CAST(CAST(ts AS TIMESTAMP) AS DOUBLE)) FROM t"),
     ("SELECT date_part('epoch', ts), date_part('year', ts) FROM t",
