@@ -438,3 +438,44 @@ def _source_overlap_sql(spark: bool) -> str:
 
 
 _register("source_overlap_matrix", _source_overlap_sql(True), _source_overlap_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage: fraction of a doc's tokens inside the corpus top-K
+# ---------------------------------------------------------------------------
+VOCAB_K = 1000
+
+
+def _vocab_coverage_sql(spark: bool) -> str:
+    """Closed-vocabulary coverage per doc — the filter catching docs full of
+    rare junk/OOV tokens (complements `unigram_logprob_score`: coverage is a
+    hard membership test, surprisal a soft average). The vocab is the corpus
+    top-K by frequency (deterministic tie-break on the word), built with
+    ORDER BY…LIMIT (TakeOrderedAndProject: per-partition top-K, K-row driver
+    merge — no global sort); the scoring join broadcasts the K-row vocab.
+    Integer counts + one division keep both engines bit-identical."""
+    w = words("text", spark=spark)
+    if spark:
+        toks = (f"SELECT doc_id, w FROM (SELECT doc_id, {w} AS ws FROM documents) "
+                f"LATERAL VIEW explode(ws) t AS w")
+    else:
+        toks = f"SELECT doc_id, unnest({w}) AS w FROM documents"
+    return f"""
+    WITH toks AS ({toks}),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+        ORDER BY cnt DESC, w LIMIT {VOCAB_K}
+      ) v
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(v.w) AS BIGINT) AS n_in_vocab,
+           CAST(COUNT(v.w) AS DOUBLE) / COUNT(*) AS coverage
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+_register("vocab_coverage_score", _vocab_coverage_sql(True), _vocab_coverage_sql(False))

@@ -111,3 +111,11 @@ def test_source_overlap_symmetric_pairs(spark, sf_dir):
     rows = mx.QUERIES["source_overlap_matrix"](spark, sf_dir).collect()
     assert all(r.source_a < r.source_b for r in rows)
     assert all(r.shared_segments > 0 for r in rows)
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    rows = mx.QUERIES["vocab_coverage_score"](spark, sf_dir).collect()
+    assert all(0.0 <= r.coverage <= 1.0 for r in rows)
+    assert all(r.n_in_vocab <= r.n_tokens for r in rows)
+    # the corpus vocab is small, so most tokens should be covered
+    assert sum(r.n_in_vocab for r in rows) > 0.5 * sum(r.n_tokens for r in rows)
