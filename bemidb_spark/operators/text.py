@@ -268,3 +268,34 @@ def _tfidf_sql(spark: bool) -> str:
 
 
 _register("text_tfidf_top_term", _tfidf_sql(True), _tfidf_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# readability proxy: word/char structure ratios (Flesch-style inputs)
+# ---------------------------------------------------------------------------
+def _readability_sql(spark: bool) -> str:
+    """Structural readability signals per doc: mean word length and long-word
+    ratio — the integer-exact inputs a Flesch-style readability filter needs
+    (true syllable counts need a dictionary; mean word length is the standard
+    corpus-scale proxy). Per-row array math, no shuffle; every ratio is one
+    INT/INT division so both engines agree bit-for-bit."""
+    w = words("text", spark=spark)
+    size = "size" if spark else "len"
+    if spark:
+        charsum = "aggregate(transform(w, x -> length(x)), 0, (a, b) -> a + b)"
+        longs = "size(filter(w, x -> length(x) >= 7))"
+    else:
+        charsum = "list_sum(list_transform(w, x -> length(x)))"
+        longs = "len(list_filter(w, x -> length(x) >= 7))"
+    return f"""
+    SELECT doc_id,
+           CAST({size}(w) AS BIGINT) AS n_words,
+           CAST({charsum} AS BIGINT) AS n_word_chars,
+           CAST({charsum} AS DOUBLE) / {size}(w) AS mean_word_len,
+           CAST({longs} AS DOUBLE) / {size}(w) AS long_word_ratio
+    FROM (SELECT doc_id, {w} AS w FROM documents)
+    ORDER BY doc_id
+    """
+
+
+_register("text_readability", _readability_sql(True), _readability_sql(False))

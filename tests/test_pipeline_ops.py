@@ -240,3 +240,14 @@ def test_hard_negatives_cross_label_only(spark, sf_dir):
     rows = similarity.QUERIES["ann_hard_negatives"](spark, sf_dir).collect()
     assert all(r.anchor_label != r.neg_label for r in rows)
     assert len({r.anchor_id for r in rows}) == similarity.N_QUERIES
+
+
+def test_readability_structure(spark, sf_dir):
+    from bemidb_spark.operators import text
+    from bemidb_spark.oracle import compare
+
+    compare(text.QUERIES["text_readability"](spark, sf_dir),
+            text.ORACLES["text_readability"], sf_dir)
+    rows = text.QUERIES["text_readability"](spark, sf_dir).collect()
+    assert all(r.mean_word_len > 0 for r in rows)
+    assert all(0.0 <= r.long_word_ratio <= 1.0 for r in rows)
