@@ -73,7 +73,14 @@ def main() -> int:
     print(f"\n{n_ok}/{n} ok, {len(failed)} failed, {n_complex} with complex output cols")
     if failed:
         print("FAILED:", ", ".join(failed))
-    with open(os.path.join(os.path.dirname(__file__), "gate_last.json"), "w") as f:
+    out_path = os.path.join(os.path.dirname(__file__), "gate_last.json")
+    if filters and os.path.exists(out_path):
+        # filtered run: merge into the last full snapshot instead of clobbering
+        with open(out_path) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     return 1 if failed else 0
 
