@@ -33,6 +33,67 @@ _MODULES = [
     "bemidb_spark.streaming.stateful",
 ]
 
+# Driver-verification rotation: the driver checks the registry front-to-back
+# within a bounded window, so entries without a CORRECTNESS row from rounds
+# 1-2 are listed first (the r1-failing-then-fixed array_agg_types leads),
+# followed by entries last checked in r1 only, then the r2-green tail.
+_PRIORITY = [
+    "array_agg_types",
+    # never driver-checked (r1, r2)
+    "string_agg_ordered",
+    "array_sublink_regions",
+    "date_funcs_battery",
+    "lateral_topn_per_customer",
+    "percentile_event_values",
+    "regex_funcs_battery",
+    "series_calendar_fill",
+    "stats_corr_regression",
+    "win_range_interval_frame",
+    "histogram_fixed_width",
+    "pivot_event_type_daily",
+    "decontaminate_eval_overlap",
+    "repetition_filter",
+    "bigram_familiarity",
+    "dedup_dup_clusters",
+    "pack_sequences_budget",
+    "split_train_valid_test",
+    "mixture_resample_weights",
+    "unigram_logprob_score",
+    "boilerplate_line_strip",
+    "bpe_merge_candidates",
+    "embedding_centroid_outliers",
+    "quality_budget_threshold",
+    "export_shard_manifest",
+    "source_overlap_matrix",
+    "vocab_coverage_score",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "asof_join_purchase_view",
+    "sample_hash_bernoulli",
+    "sample_stratified_per_lang",
+    "ngram_top_bigrams",
+    "sketch_event_profile",
+    "pipeline_training_subset",
+    "range_join_close_events",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
+    "sessionize_events_30m",
+    "streaming_tumbling_daily",
+    "streaming_sliding_activity",
+    "streaming_session_windows",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "streaming_stateful_user_profiles",
+    # checked in r1 only (green there), not re-checked in r2
+    "interval_bucketing",
+    "json_extract_bucket",
+    "recursive_month_series",
+    "setops_cohorts",
+    "string_funcs_battery",
+    "values_join",
+]
+
 
 def _registries() -> tuple[dict, dict]:
     import importlib
@@ -43,6 +104,10 @@ def _registries() -> tuple[dict, dict]:
         mod = importlib.import_module(modname)
         queries.update(mod.QUERIES)
         oracles.update(getattr(mod, "ORACLES", {}))
+    ordered = [k for k in _PRIORITY if k in queries]
+    ordered += [k for k in queries if k not in _PRIORITY]
+    queries = {k: queries[k] for k in ordered}
+    oracles = {k: oracles[k] for k in ordered if k in oracles}
     return queries, oracles
 
 

@@ -229,8 +229,14 @@ def _values_df(
 
 def _materialize(spark: SparkSession, df: DataFrame) -> DataFrame:
     """Pin a RETURNING projection's rows BEFORE the table mutates — the lazy
-    plan would otherwise re-read the (swapped/overwritten) table location."""
-    return spark.createDataFrame(df.collect(), df.schema)
+    plan would otherwise re-read the (swapped/overwritten) table location.
+
+    ``localCheckpoint(eager=True)`` computes the result now and pins the
+    blocks executor-side (block manager), so ``UPDATE big SET .. RETURNING *``
+    never materializes the whole result in driver memory — the wire layer
+    then streams it with ``toLocalIterator`` one partition at a time (the
+    prior implementation collect()ed the full result onto the driver)."""
+    return df.localCheckpoint(eager=True)
 
 
 def _project_returning(

@@ -88,19 +88,61 @@ def _normalize_pg_type(pg_type: str) -> str:
 # pg_stat_statements emulation: per-process statement statistics, keyed by the
 # normalized query text. The wire layer reports execution time/rows after each
 # collect; plain-session users still get call counts. Global like the real
-# extension (one stats store per server process).
+# extension (one stats store per server process); like the real extension the
+# store is bounded (pg_stat_statements.max, default 5000 there) and literals
+# are normalized so parameter-varying repeats of one query collapse into a
+# single entry instead of leaking memory in a long-running server.
 _STATEMENT_STATS: dict[str, dict] = {}
 _STATS_LOCK = __import__("threading").Lock()
+_STATS_MAX = 5000
+
+# Literal normalization: string literals and bare numbers -> $n placeholders
+# (pg normalizes to $1, $2, ... in query order; we use a single marker — the
+# stats view shows the shape, not pg's exact numbering).
+_LITERAL_RE = re.compile(
+    r"""
+    '(?:[^']|'')*'            # standard single-quoted string (incl. '' escape)
+    | \b\d+\.\d+\b            # decimal literal
+    | (?<![\w$])\d+\b         # integer literal (not part of an identifier)
+    """,
+    re.VERBOSE,
+)
+
+# Process-global transaction write lock. ROLLBACK undoes by restoring a
+# BEGIN-pinned catalog state and pruning files appended after the pin; that is
+# only sound when no OTHER session commits writes between the pin and the
+# restore (otherwise their committed INSERT/DDL would be clobbered — all wire
+# connections share one Catalog). So a session with an open transaction holds
+# this lock for the transaction's duration, and autocommit writes take it
+# transiently — concurrent write transactions serialize (coarse-grained
+# analog of pg's table locks; readers are never blocked).
+_TXN_WRITE_LOCK = __import__("threading").Lock()
+_TXN_LOCK_TIMEOUT = 60.0  # seconds; analogous to pg's lock_timeout
+
+
+def normalize_statement(sql: str) -> str:
+    """Collapse whitespace and replace literals with a placeholder."""
+    collapsed = " ".join(sql.split())
+    return _LITERAL_RE.sub("$?", collapsed)[:1024]
 
 
 def record_statement_stats(sql: str, seconds: float | None = None,
                            rows: int | None = None,
                            count_call: bool = True) -> None:
-    key = " ".join(sql.split())[:1024]
+    key = normalize_statement(sql)
     with _STATS_LOCK:
-        ent = _STATEMENT_STATS.setdefault(
-            key, {"calls": 0, "total_exec_time": 0.0, "rows": 0}
-        )
+        ent = _STATEMENT_STATS.get(key)
+        if ent is None:
+            if len(_STATEMENT_STATS) >= _STATS_MAX:
+                # Evict the least-called entries (ties: oldest insertion) —
+                # same spirit as pg_stat_statements' usage-based eviction.
+                for victim, _ in sorted(
+                    _STATEMENT_STATS.items(), key=lambda kv: kv[1]["calls"]
+                )[: max(1, _STATS_MAX // 20)]:
+                    del _STATEMENT_STATS[victim]
+            ent = _STATEMENT_STATS.setdefault(
+                key, {"calls": 0, "total_exec_time": 0.0, "rows": 0}
+            )
         if count_call:
             ent["calls"] += 1
         if seconds is not None:
@@ -159,6 +201,7 @@ class PgSession:
         self._sql_prepared: dict[str, str] = {}  # SQL-level PREPARE bodies
         self._cursors: dict[str, _Cursor] = {}  # DECLARE'd server-side cursors
         self._txn: dict | None = None  # BEGIN-pinned catalog state + file sets
+        self._holds_txn_lock = False  # this session owns _TXN_WRITE_LOCK
         self._savepoints: dict[str, dict] = {}  # insertion-ordered pins
         self._catalog_version = catalog.version() if catalog is not None else 0
         self._qualify_re: re.Pattern | None = None
@@ -445,6 +488,15 @@ class PgSession:
         """
         if self.catalog is None or self._txn is not None:
             return
+        # Hold the process-global write lock for the whole transaction so no
+        # other session can commit writes between our pin and a ROLLBACK
+        # (whose pin-restore would otherwise clobber them — ADVICE r2 high).
+        if not _TXN_WRITE_LOCK.acquire(timeout=_TXN_LOCK_TIMEOUT):
+            raise UnsupportedQueryError(
+                "canceling statement due to lock timeout: another session "
+                "holds an open write transaction"
+            )
+        self._holds_txn_lock = True
         self._txn = self._pin_catalog()
 
     def _pin_catalog(self) -> dict:
@@ -497,13 +549,56 @@ class PgSession:
         register_pg_catalog(self.spark, self.catalog)
         self.invalidate_plans()
 
+    def _release_txn_lock(self) -> None:
+        if self._holds_txn_lock:
+            self._holds_txn_lock = False
+            _TXN_WRITE_LOCK.release()
+
+    def _write_guard(self):
+        """Serialize an autocommit write against other sessions' open txns.
+
+        Returns a context manager. If this session itself holds the txn lock
+        (inside BEGIN..COMMIT) the guard is a no-op — its writes are already
+        serialized; otherwise the global lock is taken for the statement.
+        """
+        import contextlib
+
+        if self._holds_txn_lock or self.catalog is None:
+            return contextlib.nullcontext()
+
+        @contextlib.contextmanager
+        def _guard():
+            if not _TXN_WRITE_LOCK.acquire(timeout=_TXN_LOCK_TIMEOUT):
+                raise UnsupportedQueryError(
+                    "canceling statement due to lock timeout: another "
+                    "session holds an open write transaction"
+                )
+            try:
+                yield
+            finally:
+                _TXN_WRITE_LOCK.release()
+
+        return _guard()
+
     def _rollback_txn(self) -> None:
         if self.catalog is None or self._txn is None:
             self._txn = None
+            self._release_txn_lock()
             return  # pg: 'no transaction in progress' warning, then no-op
-        self._restore_pin(self._txn)
-        self._txn = None
-        self._savepoints = {}
+        try:
+            self._restore_pin(self._txn)
+        finally:
+            self._txn = None
+            self._savepoints = {}
+            self._release_txn_lock()
+
+    def dispose(self) -> None:
+        """Connection teardown: pg aborts an open transaction on disconnect."""
+        try:
+            self._rollback_txn()
+        finally:
+            self._release_txn_lock()
+            self._cursors.clear()
 
     def _handle_savepoint(self, sql: str, upper: str) -> DataFrame | None:
         """SAVEPOINT / ROLLBACK TO [SAVEPOINT] / RELEASE — nested pins inside
@@ -810,6 +905,7 @@ class PgSession:
                 return self._ok("ROLLBACK")
             self._txn = None  # COMMIT / END / DISCARD ALL: writes are durable
             self._savepoints = {}
+            self._release_txn_lock()
             self._close_txn_cursors()
             if word == "DISCARD":  # DISCARD ALL resets the whole session
                 self._cursors.clear()
@@ -833,20 +929,23 @@ class PgSession:
             if out is not None:
                 return out
         if upper.startswith(("CREATE VIEW", "CREATE OR REPLACE VIEW", "DROP VIEW")):
-            out = self._handle_plain_view(stripped, upper)
+            with self._write_guard():
+                out = self._handle_plain_view(stripped, upper)
             if out is not None:
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
                 return out
         if "MATERIALIZED VIEW" in upper:
-            out = self._handle_matview(sql)
+            with self._write_guard():
+                out = self._handle_matview(sql)
             if out is not None:
                 # DDL re-registered catalog views / moved table locations:
                 # every cached plan may now point at stale files.
                 self.invalidate_plans()
                 return out
         if upper.startswith(("VACUUM", "ANALYZE")):
-            return self._handle_vacuum(stripped, upper)
+            with self._write_guard():
+                return self._handle_vacuum(stripped, upper)
         if upper.startswith("EXPLAIN"):
             # pg clients expect a one-column "QUERY PLAN" result set; the
             # plan text is Spark's (this IS the engine's plan — showing a
@@ -879,13 +978,15 @@ class PgSession:
             return self.spark.createDataFrame(
                 [(line,) for line in lines], "`QUERY PLAN` string")
         if upper.startswith(("CREATE TABLE", "DROP TABLE")):
-            out = self._handle_table_ddl(stripped, upper)
+            with self._write_guard():
+                out = self._handle_table_ddl(stripped, upper)
             if out is not None:
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
                 return out
         if upper.startswith(("ALTER TABLE", "TRUNCATE")):
-            out = self._handle_alter_table(stripped, upper)
+            with self._write_guard():
+                out = self._handle_alter_table(stripped, upper)
             if out is not None:
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
@@ -905,7 +1006,8 @@ class PgSession:
             from bemidb_spark.pgcompat.dml import DmlError, handle_dml
 
             try:
-                res = handle_dml(self.spark, self.catalog, stripped)
+                with self._write_guard():
+                    res = handle_dml(self.spark, self.catalog, stripped)
             except DmlError as exc:
                 err = UnsupportedQueryError(str(exc))
                 err.sqlstate = exc.sqlstate

@@ -587,14 +587,15 @@ class _Conn:
                 typed = typed.withColumn(
                     f.name, F.lit(None).cast(f.dataType))
         typed = typed.select(*[f.name for f in target.schema.fields])
-        props = self.session.catalog.table_props(schema, table) or {}
-        loc = self.session.catalog.location(schema, table)
-        if props.get("bucket_keys"):
-            out = typed.withColumn(
-                BUCKET_COL, _bucket_expr(props["bucket_keys"], props["n_buckets"]))
-            out.write.mode("append").partitionBy(BUCKET_COL).parquet(loc)
-        else:
-            typed.write.mode("append").parquet(loc)
+        with self.session._write_guard():
+            props = self.session.catalog.table_props(schema, table) or {}
+            loc = self.session.catalog.location(schema, table)
+            if props.get("bucket_keys"):
+                out = typed.withColumn(
+                    BUCKET_COL, _bucket_expr(props["bucket_keys"], props["n_buckets"]))
+                out.write.mode("append").partitionBy(BUCKET_COL).parquet(loc)
+            else:
+                typed.write.mode("append").parquet(loc)
         # The bound temp view's plan holds a materialized file index; re-bind
         # the catalog views (as DDL paths do) so appended files are visible.
         from bemidb_spark.pgcompat.catalog_views import register_pg_catalog
@@ -995,6 +996,13 @@ class WireServer:
         finally:
             if conn is not None:
                 self.unregister_backend(conn.backend_pid)
+                try:
+                    # pg aborts an open transaction when the connection dies;
+                    # this also releases the global txn write lock so a
+                    # crashed client can't wedge other sessions' writes.
+                    conn.session.dispose()
+                except Exception:  # noqa: BLE001 — teardown must not raise
+                    pass
             sock.close()
 
     def stop(self) -> None:

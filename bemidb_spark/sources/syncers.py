@@ -39,6 +39,13 @@ from bemidb_spark.sources.writer import append_with_cursor, replace_table
 # ---------------------------------------------------------------------------
 # C1: generic full-refresh syncer over pg-typed text batches
 # ---------------------------------------------------------------------------
+# pg type names whose unique key can drive a numeric JDBC range partition
+_NUMERIC_KEY_TYPES = {
+    "int2", "int4", "int8", "smallint", "integer", "bigint",
+    "serial", "bigserial", "smallserial", "oid",
+}
+
+
 class SourceTable:
     """Introspected source table: (schema, name, [(col, pg_type)], unique_key).
 
@@ -65,7 +72,30 @@ class SourceTable:
         )
 
 
+def _parse_batch(
+    columns: list[tuple[str, str]], batch: list[list[str | None]]
+) -> list[tuple]:
+    """One text batch -> typed rows. Module-level so Spark can pickle it to
+    executors (the parse work runs partition-parallel, not on the driver)."""
+    return [
+        tuple(parse_pg_literal(pg, raw) for (_, pg), raw in zip(columns, raw_row))
+        for raw_row in batch
+    ]
+
+
 class FullRefreshSyncer:
+    """COPY-pipe-shaped full refresh: text batches in, parquet swap out.
+
+    The reference streams ``COPY ... TO STDOUT CSV`` through a 32 MB
+    backpressured pipe into batched appends (syncer_full_refresh.go:23-72).
+    Here the batches distribute across executors (``sc.parallelize`` over
+    batch boundaries, ``flatMap`` parse through the §1.3 pg type layer), so
+    the driver holds only the raw text transit buffer — it never materializes
+    the parsed table as Python objects. For sources that speak JDBC, prefer
+    :class:`JdbcFullRefreshSyncer`, which never routes rows through the
+    driver at all.
+    """
+
     def __init__(self, spark: SparkSession, catalog: Catalog) -> None:
         self.spark = spark
         self.catalog = catalog
@@ -76,17 +106,22 @@ class FullRefreshSyncer:
         batches: Iterable[list[list[str | None]]],
     ) -> int:
         """Parse pg text-literal batches through the type layer and replace."""
-        rows = [
-            tuple(
-                parse_pg_literal(pg, raw)
-                for (_, pg), raw in zip(table.columns, raw_row)
-            )
-            for batch in batches
-            for raw_row in batch
-        ]
-        df = self.spark.createDataFrame(rows, table.spark_schema())
+        import functools
+
+        batch_list = [b for b in batches if b]
+        schema = table.spark_schema()
+        if not batch_list:
+            df = self.spark.createDataFrame([], schema)
+            replace_table(self.catalog, table.schema, table.name, df)
+            return 0
+        # one task per source batch: parsing (the CPU cost) is distributed;
+        # the driver only ships the raw text through, like the reference's pipe
+        rdd = self.spark.sparkContext.parallelize(
+            batch_list, len(batch_list)
+        ).flatMap(functools.partial(_parse_batch, table.columns))
+        df = self.spark.createDataFrame(rdd, schema)
         replace_table(self.catalog, table.schema, table.name, df)
-        return len(rows)
+        return sum(len(b) for b in batch_list)
 
     def delete_old_tables(self, schema: str, live_tables: set[str]) -> list[str]:
         """Drop catalog tables gone from the source (syncer_full_refresh.go:35)."""
@@ -97,6 +132,183 @@ class FullRefreshSyncer:
                 self.catalog.drop_table(s, t)
                 dropped.append(t)
         return dropped
+
+
+# ---------------------------------------------------------------------------
+# C1 (cluster path): Postgres introspection + partitioned JDBC full refresh
+# ---------------------------------------------------------------------------
+# Introspection queries, lifted from the reference's behavior
+# (syncer-postgres/lib/postgres.go:106-201): enumerate ordinary tables,
+# read column names/types in ordinal order, and find a usable unique index
+# (the merge key the upsert path requires — tables without one are refused).
+PG_TABLES_SQL = """
+SELECT table_name FROM information_schema.tables
+WHERE table_schema = '{schema}' AND table_type = 'BASE TABLE'
+ORDER BY table_name
+"""
+
+PG_COLUMNS_SQL = """
+SELECT column_name, udt_name
+FROM information_schema.columns
+WHERE table_schema = '{schema}' AND table_name = '{table}'
+ORDER BY ordinal_position
+"""
+
+PG_UNIQUE_KEY_SQL = """
+SELECT a.attname
+FROM pg_index i
+JOIN pg_class c ON c.oid = i.indrelid
+JOIN pg_namespace n ON n.oid = c.relnamespace
+JOIN pg_attribute a ON a.attrelid = c.oid AND a.attnum = ANY(i.indkey)
+WHERE n.nspname = '{schema}' AND c.relname = '{table}'
+  AND i.indisunique AND i.indnkeyatts = 1
+ORDER BY i.indisprimary DESC, a.attname
+LIMIT 1
+"""
+
+
+class PostgresIntrospector:
+    """Source-side schema discovery (postgres.go:106-201 parity).
+
+    ``run_query(sql) -> list[tuple]`` abstracts the connection: production
+    wires it to a JDBC read (``JdbcFullRefreshSyncer.run_query``), tests
+    drive it with canned rows — same hermetic strategy as the reference's
+    own syncer tests.
+    """
+
+    def __init__(self, run_query: Callable[[str], list[tuple]]) -> None:
+        self.run_query = run_query
+
+    def table_names(self, schema: str) -> list[str]:
+        return [r[0] for r in self.run_query(PG_TABLES_SQL.format(schema=schema))]
+
+    def source_table(self, schema: str, table: str) -> SourceTable:
+        cols = [
+            (r[0], r[1])
+            for r in self.run_query(
+                PG_COLUMNS_SQL.format(schema=schema, table=table)
+            )
+        ]
+        key_rows = self.run_query(
+            PG_UNIQUE_KEY_SQL.format(schema=schema, table=table)
+        )
+        unique_key = key_rows[0][0] if key_rows else None
+        return SourceTable(schema, table, cols, unique_key)
+
+    def tables(self, schema: str) -> list[SourceTable]:
+        return [self.source_table(schema, t) for t in self.table_names(schema)]
+
+
+def jdbc_partition_options(
+    table: SourceTable,
+    lower: int | None,
+    upper: int | None,
+    num_partitions: int,
+) -> dict[str, str]:
+    """Range-partition options for ``spark.read.jdbc`` on the unique key.
+
+    Only numeric keys can drive Spark's range partitioning; non-numeric keys
+    fall back to a single-partition read (callers may instead pass explicit
+    ``predicates``). Empty tables (no bounds) read in one partition.
+    """
+    key_type = dict(table.columns).get(table.unique_key, "")
+    if key_type not in _NUMERIC_KEY_TYPES or lower is None or upper is None:
+        return {}
+    span = max(1, upper - lower + 1)
+    return {
+        "partitionColumn": table.unique_key,
+        "lowerBound": str(lower),
+        "upperBound": str(upper + 1),  # Spark's upperBound is exclusive
+        "numPartitions": str(min(num_partitions, span)),
+    }
+
+
+class JdbcFullRefreshSyncer:
+    """Distributed full refresh: executors pull row ranges straight from the
+    source over JDBC — no rows ever pass through the driver.
+
+    Plan shape at 100 TB: one bounds aggregate on the source (min/max of the
+    unique key, milliseconds on an indexed column), then ``numPartitions``
+    concurrent range scans (``WHERE key >= l AND key < u``), each writing its
+    own parquet files; `replace_table` swaps the catalog pointer atomically.
+    This is the reference's COPY-stream syncer re-expressed for a cluster
+    (postgres.go:106-201 introspection contract, same unique-index refusal).
+
+    ``reader`` is injectable for hermetic tests: a callable
+    ``(table, options: dict) -> DataFrame`` replacing the actual
+    ``spark.read.jdbc`` call (the sandbox ships no JDBC driver jars).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        url: str,
+        properties: dict[str, str] | None = None,
+        reader: Callable[[SourceTable, dict], DataFrame] | None = None,
+        run_query: Callable[[str], list[tuple]] | None = None,
+    ) -> None:
+        self.spark = spark
+        self.catalog = catalog
+        self.url = url
+        self.properties = dict(properties or {})
+        self._reader = reader or self._jdbc_reader
+        if run_query is not None:
+            self.run_query = run_query  # type: ignore[method-assign]
+
+    # -- production JDBC plumbing (exercised only with a driver jar present)
+    def run_query(self, sql: str) -> list[tuple]:
+        """Run an introspection query source-side via JDBC pushdown."""
+        df = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("query", sql)
+            .options(**self.properties)
+            .load()
+        )
+        return [tuple(r) for r in df.collect()]  # introspection: tiny result
+
+    def introspector(self) -> PostgresIntrospector:
+        return PostgresIntrospector(self.run_query)
+
+    def _jdbc_reader(self, table: SourceTable, options: dict) -> DataFrame:
+        reader = (
+            self.spark.read.format("jdbc")
+            .option("url", self.url)
+            .option("dbtable", f'"{table.schema}"."{table.name}"')
+            .options(**self.properties)
+            .options(**options)
+        )
+        return reader.load()
+
+    def _key_bounds(self, table: SourceTable) -> tuple[int | None, int | None]:
+        key_type = dict(table.columns).get(table.unique_key, "")
+        if key_type not in _NUMERIC_KEY_TYPES:
+            return None, None
+        rows = self.run_query(
+            f'SELECT min("{table.unique_key}"), max("{table.unique_key}") '
+            f'FROM "{table.schema}"."{table.name}"'
+        )
+        if not rows or rows[0][0] is None:
+            return None, None
+        return int(rows[0][0]), int(rows[0][1])
+
+    def sync_table(self, table: SourceTable, num_partitions: int = 32) -> int:
+        """Partitioned read -> typed conform -> atomic swap. Returns rows."""
+        lower, upper = self._key_bounds(table)
+        options = jdbc_partition_options(table, lower, upper, num_partitions)
+        df = self._reader(table, options)
+        # conform to the introspected pg schema (JDBC may widen types)
+        target = table.spark_schema()
+        df = df.select(
+            *[df[f.name].cast(f.dataType).alias(f.name) for f in target.fields]
+        )
+        replace_table(self.catalog, table.schema, table.name, df)
+        from bemidb_spark.sources.writer import read_table
+
+        return read_table(
+            self.spark, self.catalog, table.schema, table.name
+        ).count()  # counts from parquet footers — no second source scan
 
 
 # ---------------------------------------------------------------------------

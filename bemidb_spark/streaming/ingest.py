@@ -6,10 +6,19 @@ replacement a 100 TB pipeline actually runs: a Structured Streaming source
 (file drop-box, Kafka, CDC feed) appended into a catalog table with
 exactly-once semantics.
 
-Exactly-once story — all Spark-native, no custom bookkeeping:
-- The parquet sink + checkpoint directory give idempotent, exactly-once file
-  output per micro-batch (the sink's transaction log in `_spark_metadata`
-  records committed batches; replays are no-ops).
+Exactly-once story:
+- ``foreachBatch`` routes every micro-batch through the same plain-parquet
+  append path batch writes use, so the table location never grows a
+  ``_spark_metadata`` sink log. (A direct parquet *sink* would write one —
+  and a location with a sink log is read through it EXCLUSIVELY, silently
+  hiding pre-existing table files and later batch appends; mixed
+  stream/batch ingest would lose data. ADVICE r2 high.)
+- Idempotent replay: each micro-batch lands as deterministically-named
+  files (``sb{batch_id}-{i}.parquet``) moved in from a staging directory,
+  and a ``{batch_id}.done`` marker under the checkpoint records the commit.
+  A batch replayed after a crash first clears its own partial files, then
+  re-moves a fresh set — convergent, so at-least-once retries become
+  exactly-once file state.
 - ``Trigger.AvailableNow`` drains everything available then stops — the
   incremental-batch operating mode (run from cron, process only NEW source
   files since the last checkpoint, exit). The same query with a processing-
@@ -19,15 +28,18 @@ Exactly-once story — all Spark-native, no custom bookkeeping:
   batch directory swap.
 
 At scale: the file source lists only unseen files (checkpointed), each
-micro-batch is partition-parallel, and the sink writes one file per output
-partition — the same append shape as `sources/writer.append_with_cursor`,
-with the watermark/offset tracking moved into Spark's checkpoint instead of
-a cursor column.
+micro-batch is partition-parallel, and the staging write is one distributed
+parquet job per batch — the file moves are metadata-only renames on the
+same filesystem (O(#files), driver-side, no data movement), the same append
+shape as `sources/writer.append_with_cursor` with offset tracking moved
+into Spark's checkpoint instead of a cursor column.
 """
 
 from __future__ import annotations
 
+import glob
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,18 +70,42 @@ def stream_append(
     except KeyError:
         location = catalog.new_location(schema, table)
     os.makedirs(location, exist_ok=True)
+    marker_dir = os.path.join(checkpoint_dir, "committed_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+    staging_root = os.path.join(checkpoint_dir, "staging")
+    done = {"batches": 0}
+
+    def _commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return  # checkpoint replayed a batch we fully committed
+        staging = os.path.join(staging_root, str(batch_id))
+        shutil.rmtree(staging, ignore_errors=True)
+        batch_df.write.mode("overwrite").parquet(staging)
+        parts = sorted(glob.glob(os.path.join(staging, "part-*")))
+        # clear partial files from an earlier crashed attempt of THIS batch,
+        # then move the fresh set in under deterministic names
+        for stale in glob.glob(os.path.join(location, f"sb{batch_id}-*.parquet")):
+            os.remove(stale)
+        for i, src in enumerate(parts):
+            dst = os.path.join(location, f"sb{batch_id}-{i:05d}.parquet")
+            try:
+                os.replace(src, dst)  # same-FS: atomic metadata rename
+            except OSError:  # cross-device staging (EXDEV): copy+delete
+                shutil.move(src, dst)
+        with open(marker, "w") as f:
+            f.write("ok")
+        shutil.rmtree(staging, ignore_errors=True)
+        done["batches"] += 1
+
     query = (
-        stream_df.writeStream.format("parquet")
-        .option("path", location)
+        stream_df.writeStream.foreachBatch(_commit_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .outputMode("append")
         .start()
     )
-    n_batches = 0
     query.awaitTermination()
-    progress = query.recentProgress
-    n_batches = len([p for p in progress if p.get("numInputRows", 0) > 0])
     spark.catalog.refreshByPath(location)
     catalog.commit_table(schema, table, location, _columns_meta(stream_df))
-    return n_batches
+    return done["batches"]

@@ -277,6 +277,70 @@ def test_transaction_commit_is_durable_and_stray_rollback_noop(spark, cat):
     assert pg.execute("SELECT count(*) AS n FROM txc").collect()[0].n == 1
 
 
+def test_large_returning_stays_off_driver(spark, cat):
+    """RETURNING pins rows executor-side (localCheckpoint), not via a driver
+    collect — the result plan must scan a pinned RDD, not the (now-swapped)
+    table files, and a wide UPDATE..RETURNING must stream correctly."""
+    n = 50_000
+    replace_table(cat, "public", "bigret", spark.range(n).selectExpr(
+        "id", "cast(id % 97 as string) AS v"))
+    pg = PgSession(spark, cat)
+    df = pg.execute(f"UPDATE bigret SET v = 'x' || v WHERE id < {n} RETURNING *")
+    # pinned off the table: plan reads a checkpointed RDD, not parquet
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LogicalRDD" in plan and "parquet" not in plan.lower()
+    rows = df.count()
+    assert rows == n
+    sample = df.orderBy("id").limit(3).collect()
+    assert [r.v for r in sample] == ["x0", "x1", "x2"]
+
+
+def test_rollback_spares_other_sessions_committed_writes(spark, cat):
+    """ADVICE r2 (high): session A's ROLLBACK must not clobber a write that
+    session B committed while A's transaction was open. B's autocommit
+    INSERT blocks on the global txn write lock until A finishes; after A's
+    ROLLBACK only A's own writes are undone."""
+    import threading
+    import time
+
+    pg_a = PgSession(spark, cat)
+    pg_b = PgSession(spark, cat)
+    pg_a.execute("CREATE TABLE conc (id bigint, who text)")
+    pg_a.execute("INSERT INTO conc VALUES (0, 'base')")
+    pg_a.execute("BEGIN")
+    pg_a.execute("INSERT INTO conc VALUES (1, 'a-txn')")
+
+    b_done = threading.Event()
+
+    def b_write():
+        pg_b.execute("INSERT INTO conc VALUES (2, 'b-autocommit')")
+        b_done.set()
+
+    t = threading.Thread(target=b_write, daemon=True)
+    t.start()
+    time.sleep(1.0)
+    # B must be waiting on A's open transaction, not interleaving writes.
+    assert not b_done.is_set(), "autocommit write should block on open txn"
+    pg_a.execute("ROLLBACK")
+    t.join(timeout=60)
+    assert b_done.is_set()
+    got = {(r.id, r.who) for r in pg_b.execute("SELECT * FROM conc").collect()}
+    assert got == {(0, "base"), (2, "b-autocommit")}
+
+
+def test_dispose_aborts_txn_and_releases_lock(spark, cat):
+    """Connection death mid-transaction rolls back and unblocks others."""
+    pg_a = PgSession(spark, cat)
+    pg_b = PgSession(spark, cat)
+    pg_a.execute("CREATE TABLE disp (id bigint)")
+    pg_a.execute("BEGIN")
+    pg_a.execute("INSERT INTO disp VALUES (1)")
+    pg_a.dispose()  # simulates socket teardown (wire.py _serve_conn finally)
+    # lock released: B's write proceeds immediately, A's insert is gone
+    pg_b.execute("INSERT INTO disp VALUES (2)")
+    assert [r.id for r in pg_b.execute("SELECT id FROM disp").collect()] == [2]
+
+
 def test_drop_table_unbinds_views(spark, cat):
     pg = PgSession(spark, cat)
     pg.execute("CREATE TABLE dropme (id bigint)")

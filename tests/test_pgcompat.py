@@ -632,10 +632,17 @@ def test_fetch_first_rows_only(pg):
 def test_pg_stat_statements_tracks_calls(pg):
     pg.execute("SELECT 41 + 1 AS probe_stat").collect()
     pg.execute("SELECT 41 + 1 AS probe_stat").collect()
+    # pg_stat_statements normalizes constants, so differently-parameterized
+    # repeats collapse into one entry ($?-marked), like the real extension
     rows = pg.execute(
         "SELECT calls FROM pg_stat_statements "
-        "WHERE query = 'SELECT 41 + 1 AS probe_stat'").collect()
+        "WHERE query = 'SELECT $? + $? AS probe_stat'").collect()
     assert rows and rows[0].calls >= 2
+    pg.execute("SELECT 99 + 3 AS probe_stat").collect()  # same shape
+    rows = pg.execute(
+        "SELECT calls FROM pg_stat_statements "
+        "WHERE query = 'SELECT $? + $? AS probe_stat'").collect()
+    assert rows[0].calls >= 3
 
 
 def test_json_srf_functions(pg):

@@ -56,6 +56,69 @@ def test_stream_append_incremental_exactly_once(spark, cat, tmp_path):
     assert len(rows) == 3
 
 
+def test_stream_append_coexists_with_batch_appends(spark, cat, tmp_path):
+    """ADVICE r2 (high): the streaming path must not write a _spark_metadata
+    sink log into the table location — a location with one is read through
+    it exclusively, hiding pre-existing files and later batch appends.
+    Sequence: batch-create -> stream-append -> batch-append -> stream-append;
+    every row from every path must stay visible."""
+    from bemidb_spark.sources.writer import replace_table
+
+    inbox = str(tmp_path / "inbox2")
+    ckpt = str(tmp_path / "ckpt2")
+    # 1. pre-existing batch table
+    replace_table(cat, "public", "mixed_t", spark.createDataFrame(
+        [(1, "batch0")], "id bigint, v string"))
+    # 2. streaming append into the same table
+    _drop(inbox, "a.json", [{"id": 2, "v": "stream1"}])
+    stream_append(
+        spark, cat, "public", "mixed_t",
+        spark.readStream.schema("id bigint, v string").json(inbox), ckpt)
+    loc = cat.location("public", "mixed_t")
+    assert not os.path.exists(os.path.join(loc, "_spark_metadata"))
+    # 3. direct batch append into the live location (append_with_cursor shape)
+    spark.createDataFrame([(3, "batch1")], "id bigint, v string") \
+        .write.mode("append").parquet(loc)
+    spark.catalog.refreshByPath(loc)
+    # 4. second streaming run
+    _drop(inbox, "b.json", [{"id": 4, "v": "stream2"}])
+    stream_append(
+        spark, cat, "public", "mixed_t",
+        spark.readStream.schema("id bigint, v string").json(inbox), ckpt)
+    got = {(r.id, r.v) for r in read_table(spark, cat, "public", "mixed_t").collect()}
+    assert got == {(1, "batch0"), (2, "stream1"), (3, "batch1"), (4, "stream2")}
+
+
+def test_stream_append_replay_is_idempotent(spark, cat, tmp_path):
+    """A batch replayed after a simulated crash (marker missing, partial
+    files present) converges to exactly one copy of the batch's rows."""
+    import glob as _glob
+
+    from bemidb_spark.streaming.ingest import stream_append as _sa
+
+    inbox = str(tmp_path / "inbox3")
+    ckpt = str(tmp_path / "ckpt3")
+    _drop(inbox, "a.json", [{"id": i, "v": "x"} for i in range(10)])
+    _sa(spark, cat, "public", "replay_t",
+        spark.readStream.schema("id bigint, v string").json(inbox), ckpt)
+    loc = cat.location("public", "replay_t")
+    files = sorted(_glob.glob(os.path.join(loc, "sb0-*.parquet")))
+    assert files, "streamed files should use deterministic sb{batch} names"
+    # simulate a crash AFTER files moved but BEFORE the marker was written:
+    # delete the marker and checkpoint commit log entry -> re-run replays it
+    marker = os.path.join(ckpt, "committed_batches", "0.done")
+    os.remove(marker)
+    for log in ("commits", "offsets"):
+        for fname in ("0", ".0.crc"):
+            p = os.path.join(ckpt, log, fname)
+            if os.path.exists(p):
+                os.remove(p)
+    _sa(spark, cat, "public", "replay_t",
+        spark.readStream.schema("id bigint, v string").json(inbox), ckpt)
+    rows = read_table(spark, cat, "public", "replay_t").collect()
+    assert len(rows) == 10  # replay overwrote, not duplicated
+
+
 def test_stream_append_rejects_batch_df(spark, cat):
     with pytest.raises(ValueError, match="streaming"):
         stream_append(spark, cat, "public", "x",

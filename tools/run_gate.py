@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 import traceback
@@ -21,6 +22,20 @@ import traceback
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+
+
+def _commit() -> str:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        return out.stdout.strip() or "unknown"
+    except Exception:  # noqa: BLE001
+        return "unknown"
 
 
 def main() -> int:
@@ -34,6 +49,8 @@ def main() -> int:
     spark = build_session()
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    commit = _commit()
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%S")
 
     results: dict[str, dict] = {}
     failed = []
@@ -41,7 +58,15 @@ def main() -> int:
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.monotonic()
-        row = {"ok": None, "sec": None, "rows": None, "complex_cols": [], "oracle": name in oracles}
+        row = {
+            "ok": None,
+            "sec": None,
+            "rows": None,
+            "complex_cols": [],
+            "oracle": name in oracles,
+            "commit": commit,
+            "ran_at": stamp,
+        }
         try:
             df = fn(spark, SF_DIR)
             row["complex_cols"] = [
@@ -75,11 +100,20 @@ def main() -> int:
         print("FAILED:", ", ".join(failed))
     out_path = os.path.join(os.path.dirname(__file__), "gate_last.json")
     if filters and os.path.exists(out_path):
-        # filtered run: merge into the last full snapshot instead of clobbering
+        # Filtered run: merge into the last snapshot instead of clobbering, but
+        # flag the result as partial — per-entry commit/ran_at stamps show which
+        # code version each row actually ran at, and only a full unfiltered run
+        # clears the flag (so a "green" snapshot can't be stitched from runs of
+        # different code versions without that being visible).
         with open(out_path) as f:
             merged = json.load(f)
+        merged.pop("_meta", None)
         merged.update(results)
         results = merged
+        meta = {"partial": True, "merged_at": stamp, "merged_commit": commit}
+    else:
+        meta = {"partial": False, "full_run_commit": commit, "ran_at": stamp}
+    results["_meta"] = meta
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     return 1 if failed else 0
