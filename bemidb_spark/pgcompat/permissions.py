@@ -5,20 +5,36 @@ in the query text and applies per-table column projection; a table mapped to
 an empty list is denied entirely and reads as zero rows (reference
 query_remapper.go:70-77, 713-731; parser_table.go:53-106).
 
-Here the same contract is applied as a source rewrite before Spark parses:
-each permitted table reference becomes a column-pruned inline subselect
-(Catalyst then pushes the pruned schema into the scan — the projection is
-enforcement *and* an optimization), and a denied table becomes an empty
-relation with a NULL column, matching the reference's ``SELECT NULL WHERE
-FALSE`` shape.
+Enforcement happens at view-BINDING time, not by rewriting query text
+(VERDICT r2 item 5 — a regex FROM/JOIN rewrite can be dodged by quoted
+identifiers, aliases, or subquery refs, and this is a security surface):
+while the statement is *analyzed*, every name the permission map covers is
+shadowed by a column-pruned temp view (or, for a denied table, the
+reference's ``SELECT NULL WHERE FALSE`` empty shape). Spark's own parser
+then resolves every reference — quoted, aliased, nested, CTE'd — against
+the pruned relation; there is no textual pattern to dodge. Catalyst pushes
+the pruned schema into the scan, so the projection is enforcement *and* an
+optimization. Analysis is eager in ``spark.sql``, so once the DataFrame is
+built the pruned relations are bound into its plan and the original views
+are restored.
+
+A process-global lock serializes the shadow window (analysis only — a few
+ms; execution runs outside it). Concurrent unrelated analysis in that
+window would at worst see the *pruned* view — fail-closed: columns can
+disappear, never appear.
 """
 
 from __future__ import annotations
 
 import json
 import re
+import threading
+from contextlib import contextmanager
+
+from pyspark.sql import SparkSession
 
 _PERM_RE = re.compile(r"/\*\s*BEMIDB_PERMISSIONS\s*(\{.*?\})\s*\*/", re.DOTALL)
+_SHADOW_LOCK = threading.Lock()
 
 
 def extract_permissions(sql: str) -> tuple[str, dict[str, list[str]] | None]:
@@ -30,26 +46,43 @@ def extract_permissions(sql: str) -> tuple[str, dict[str, list[str]] | None]:
     return _PERM_RE.sub("", sql), perms
 
 
-def apply_permissions(sql: str, perms: dict[str, list[str]]) -> str:
-    """Rewrite FROM/JOIN references per the permission map."""
-    for qualified, cols in perms.items():
-        table = qualified.split(".")[-1]
-        if cols:
-            proj = ", ".join(cols)
-            replacement = f"(SELECT {proj} FROM {table}) AS {table}"
-        else:
-            replacement = f"(SELECT NULL AS denied WHERE FALSE) AS {table}"
-        sql = re.sub(
-            rf"\b(FROM|JOIN)\s+{re.escape(qualified)}(?!\w)",
-            rf"\1 {replacement}",
-            sql,
-            flags=re.IGNORECASE,
-        )
-        if "." in qualified:
-            sql = re.sub(
-                rf"\b(FROM|JOIN)\s+{re.escape(table)}(?!\w)",
-                rf"\1 {replacement}",
-                sql,
-                flags=re.IGNORECASE,
-            )
-    return sql
+def _shadow_names(qualified: str) -> list[str]:
+    """View names a query may resolve for a permission key: the bare table
+    name plus the B3-qualified ``schema_table`` binding."""
+    if "." in qualified:
+        schema, table = qualified.split(".", 1)
+        return [table, f"{schema}_{table}"]
+    return [qualified]
+
+
+@contextmanager
+def shadowed_permissions(spark: SparkSession, perms: dict[str, list[str]]):
+    """Temporarily rebind each permitted table's temp view to a column-pruned
+    projection (denied tables -> the reference's empty NULL relation) for the
+    duration of statement analysis, restoring the originals afterwards."""
+    with _SHADOW_LOCK:
+        saved = {}  # name -> original DataFrame to re-register
+        try:
+            for qualified, cols in perms.items():
+                for name in _shadow_names(qualified):
+                    try:
+                        original = spark.table(name)
+                    except Exception:  # noqa: BLE001 — name not bound: skip
+                        continue
+                    saved[name] = original
+                    if cols:
+                        missing = [c for c in cols if c not in original.columns]
+                        if missing:
+                            raise ValueError(
+                                f'permission column "{missing[0]}" does not '
+                                f"exist in {qualified}"
+                            )
+                        pruned = original.select(*cols)
+                    else:
+                        # denied: reference's SELECT NULL WHERE FALSE shape
+                        pruned = spark.sql("SELECT NULL AS denied WHERE FALSE")
+                    pruned.createOrReplaceTempView(name)
+            yield
+        finally:
+            for name, original in saved.items():
+                original.createOrReplaceTempView(name)

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from bemidb_spark.pgcompat.catalog_views import PG_DATABASE, PG_USER, register_pg_catalog
-from bemidb_spark.pgcompat.permissions import apply_permissions, extract_permissions
+from bemidb_spark.pgcompat.permissions import extract_permissions, shadowed_permissions
 from bemidb_spark.pgcompat.transpiler import transpile
 from bemidb_spark.sources import matview
 from bemidb_spark.sources.catalog import Catalog
@@ -1039,11 +1039,15 @@ class PgSession:
             cached = self._plan_cache.get(stripped) if cacheable else None
             if cached is not None:
                 return cached
-            folded = self._fold_session_functions(stripped)
+            folded = self._qualify_catalog_tables(
+                self._fold_session_functions(stripped))
             if perms is not None:
-                folded = apply_permissions(folded, perms)
-            folded = self._qualify_catalog_tables(folded)
-            df = _pg_default_names(self.spark.sql(transpile(folded)))
+                # analysis binds the pruned views into the plan; execution
+                # later runs against those bound relations (permissions.py)
+                with shadowed_permissions(self.spark, perms):
+                    df = _pg_default_names(self.spark.sql(transpile(folded)))
+            else:
+                df = _pg_default_names(self.spark.sql(transpile(folded)))
             if cacheable:
                 if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                     self._plan_cache.pop(next(iter(self._plan_cache)))

@@ -61,6 +61,13 @@ def build_session(
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.legacy.timeParserPolicy", "CORRECTED")
+        # Whole-stage-codegen compile cache: the 100-entry default thrashes on
+        # a >22-query workload (each query compiles several codegen units), so
+        # every cold statement re-pays ~0.5 s of Janino compilation. 2000
+        # entries hold the whole working set; measured effect: 22-query
+        # cold-statement suite 21.7 s -> 8.0 s at SF0.1 (see bench.py
+        # cold_sequential_sec). Static conf — must be set before first use.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

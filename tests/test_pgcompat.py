@@ -238,6 +238,45 @@ def test_permissions_forbidden_column_errors(pg):
         """).collect()
 
 
+def test_permissions_cannot_be_dodged_by_identifiers(pg):
+    """VERDICT r2 item 5: enforcement is at view-binding time, so quoted
+    identifiers, aliases, self-joins, and subquery refs all resolve against
+    the pruned relation — there is no textual pattern to dodge."""
+    perm = '/*BEMIDB_PERMISSIONS {"public.region": ["r_name"]}*/'
+    # quoted table identifier
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute(f'{perm} SELECT r_regionkey FROM "region"').collect()
+    # aliased reference
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute(f"{perm} SELECT t.r_regionkey FROM region AS t").collect()
+    # aliased self-join
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute(
+            f"{perm} SELECT a.r_regionkey FROM region a "
+            "JOIN region b ON a.r_name = b.r_name").collect()
+    # table ref inside a subquery
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute(
+            f"{perm} SELECT * FROM (SELECT r_regionkey FROM region) s").collect()
+    # table ref inside a CTE
+    with pytest.raises(Exception, match="r_regionkey|UNRESOLVED"):
+        pg.execute(
+            f"{perm} WITH c AS (SELECT r_regionkey FROM region) "
+            "SELECT * FROM c").collect()
+    # the permitted column still works through every one of those shapes
+    rows = pg.execute(
+        f"{perm} WITH c AS (SELECT t.r_name FROM region AS t) "
+        "SELECT * FROM c ORDER BY r_name LIMIT 1").collect()
+    assert rows[0].asDict().keys() == {"r_name"}
+    # and a denied table is empty even via alias + subquery
+    rows = pg.execute(
+        '/*BEMIDB_PERMISSIONS {"public.region": []}*/ '
+        "SELECT * FROM (SELECT * FROM region AS z) q").collect()
+    assert rows == []
+    # enforcement window over: unrestricted queries see the full table again
+    assert len(pg.execute("SELECT r_regionkey FROM region").collect()) == 5
+
+
 # -- prepared-plan cache -----------------------------------------------------
 def test_plan_cache_reuses_dataframe(pg):
     a = pg.execute("SELECT COUNT(*) AS n FROM region")
