@@ -500,22 +500,18 @@ class PgSession:
         self._txn = self._pin_catalog()
 
     def _pin_catalog(self) -> dict:
-        import os
+        from bemidb_spark.sources import fs
 
         state = self.catalog.snapshot_state()
         files: dict[str, set[str]] = {}
         for entry in state.get("tables", {}).values():
             loc = entry.get("location")
-            if loc and os.path.isdir(loc):
-                files[loc] = {
-                    os.path.relpath(os.path.join(r, f), loc)
-                    for r, _, fs in os.walk(loc) for f in fs
-                }
+            if loc and fs.isdir(loc):
+                files[loc] = set(fs.walk_files(loc))
         return {"state": state, "files": files}
 
     def _restore_pin(self, pinned: dict) -> None:
-        import os
-        import shutil
+        from bemidb_spark.sources import fs
 
         aborted = self.catalog.snapshot_state()
         self.catalog.restore_state(pinned["state"])
@@ -530,20 +526,19 @@ class PgSession:
 
         # directories created after the pin (new tables, rewrites)
         for loc in _locs(aborted) - _locs(pinned["state"]):
-            shutil.rmtree(loc, ignore_errors=True)
+            fs.remove_tree(loc)
         # files appended into still-live locations after the pin
         for loc, keep in pinned["files"].items():
-            if not os.path.isdir(loc):
+            if not fs.isdir(loc):
                 continue
             changed = False
-            for root, _, fs in os.walk(loc, topdown=False):
-                for f in fs:
-                    p = os.path.join(root, f)
-                    if os.path.relpath(p, loc) not in keep:
-                        os.remove(p)
-                        changed = True
-                if root != loc and not os.listdir(root):
-                    os.rmdir(root)
+            added = set(fs.walk_files(loc)) - keep
+            for rel in added:
+                fs.remove_file(fs.join(loc, rel))
+                changed = True
+            for rel in sorted({r.rsplit("/", 1)[0] for r in added if "/" in r},
+                              key=len, reverse=True):
+                fs.rmdir_if_empty(fs.join(loc, rel))
             if changed:
                 self.spark.catalog.refreshByPath(loc)
         register_pg_catalog(self.spark, self.catalog)

@@ -18,22 +18,23 @@ the only thing that changes.
 
 from __future__ import annotations
 
-import json
-import os
-import tempfile
 import threading
 import time
-import uuid
+
+from bemidb_spark.sources import fs
 
 _LOCK = threading.Lock()
 
 
 class Catalog:
     def __init__(self, root: str) -> None:
+        # root may be a plain path or a file:// URI; all path math goes
+        # through the fs adapter, so an object-store root only needs the
+        # adapter's scheme hooks (reference storage_s3.go role).
         self.root = root
-        os.makedirs(root, exist_ok=True)
-        self._path = os.path.join(root, "_catalog.json")
-        if not os.path.exists(self._path):
+        fs.makedirs(root)
+        self._path = fs.join(root, "_catalog.json")
+        if not fs.exists(self._path):
             self._write({"tables": {}, "matviews": {}})
 
     # -- storage ------------------------------------------------------------
@@ -43,21 +44,14 @@ class Catalog:
         Every committed change rewrites the file via atomic rename, so any
         table swap bumps this; sessions use it to invalidate prepared plans.
         """
-        try:
-            return os.stat(self._path).st_mtime_ns
-        except OSError:
-            return 0
+        return fs.mtime_ns(self._path)
 
     def _read(self) -> dict:
-        with open(self._path) as fh:
-            return json.load(fh)
+        return fs.read_json(self._path)
 
     def _write(self, state: dict) -> None:
         # atomic pointer swap: temp file + rename
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix="_catalog", suffix=".json")
-        with os.fdopen(fd, "w") as fh:
-            json.dump(state, fh, indent=1)
-        os.replace(tmp, self._path)
+        fs.write_json_atomic(self._path, state)
 
     # -- transactions --------------------------------------------------------
     def snapshot_state(self) -> dict:
@@ -79,9 +73,7 @@ class Catalog:
 
     def new_location(self, schema: str, table: str) -> str:
         """A fresh versioned data directory for a table rewrite."""
-        return os.path.join(
-            self.root, "data", schema, f"{table}-{uuid.uuid4().hex[:12]}"
-        )
+        return fs.join(self.root, "data", schema, fs.fresh_name(table))
 
     def commit_table(
         self, schema: str, table: str, location: str, columns: list[dict],

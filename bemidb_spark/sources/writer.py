@@ -25,12 +25,10 @@ driver-side action is the catalog pointer swap.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bemidb_spark.sources import fs
 from bemidb_spark.sources.catalog import Catalog
 
 
@@ -81,7 +79,7 @@ def write_bucketed_table(
         props={"bucket_keys": key_cols, "n_buckets": n_buckets},
     )
     if old:
-        shutil.rmtree(old, ignore_errors=True)
+        fs.remove_tree(old)
     return loc
 
 
@@ -112,7 +110,7 @@ def replace_table(
     old = catalog.commit_table(schema, table, loc, _columns_meta(df))
     if old and drop_old:
         for expired in catalog.prune_snapshots(schema, table, keep=0):
-            shutil.rmtree(expired, ignore_errors=True)
+            fs.remove_tree(expired)
     else:
         expire_snapshots(catalog, schema, table, keep=SNAPSHOT_RETENTION)
     return loc
@@ -135,14 +133,14 @@ def expire_snapshots(
     """Delete snapshot locations beyond ``keep`` (Iceberg expire_snapshots)."""
     expired = catalog.prune_snapshots(schema, table, keep)
     for loc in expired:
-        shutil.rmtree(loc, ignore_errors=True)
+        fs.remove_tree(loc)
     return len(expired)
 
 
 def drop_table_files(catalog: Catalog, schema: str, table: str) -> None:
     """Drop a table and delete its live + snapshot locations."""
     for loc in catalog.drop_table_locations(schema, table):
-        shutil.rmtree(loc, ignore_errors=True)
+        fs.remove_tree(loc)
 
 
 def append_with_cursor(
@@ -256,7 +254,7 @@ def delete_by_key(
     # all deleted keep their old files — remove those directories explicitly
     for b in buckets:
         if b not in remaining_buckets:
-            shutil.rmtree(os.path.join(loc, f"{BUCKET_COL}={b}"), ignore_errors=True)
+            fs.remove_tree(fs.join(loc, f"{BUCKET_COL}={b}"))
     catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
     return loc
 
