@@ -747,14 +747,24 @@ def _rewrite_epoch_extract(sql: str, literals: list[str]) -> str:
 
 
 def _rewrite_at_time_zone(sql: str) -> str:
-    """``x AT TIME ZONE 'tz'`` → ``from_utc_timestamp(x, 'tz')`` — the
-    instant-to-wall-clock reading (pg's timestamptz→timestamp direction,
-    the one BI tools emit; the session stores instants as UTC)."""
+    """``x AT TIME ZONE 'tz'`` with pg's two readings (ADVICE r2 low):
+
+    - instant operand (timestamptz → timestamp, the form BI tools emit):
+      ``from_utc_timestamp(x, 'tz')`` — render the UTC instant as tz
+      wall-clock. Default for columns/expressions (the session stores
+      instants as UTC).
+    - provably-NAIVE operand (``TIMESTAMP '…'`` typed literal, pg's
+      timestamp → timestamptz direction): ``to_utc_timestamp(x, 'tz')`` —
+      interpret the wall-clock in tz. Naive COLUMNS can't be detected
+      without source typing and keep the instant reading; divergence
+      documented in PARITY.md.
+    """
     pat = re.compile(r"\s+AT\s+TIME\s+ZONE\s+(\x00\d+\x00)", re.IGNORECASE)
     while True:
         m = pat.search(sql)
         if not m:
             return sql
+        func = "from_utc_timestamp"
         end = m.start()
         k = end - 1
         while k >= 0 and sql[k].isspace():
@@ -772,12 +782,14 @@ def _rewrite_at_time_zone(sql: str) -> str:
                 k -= 1
             start = k + 1
             # typed literal: TIMESTAMP '…' arrives as TIMESTAMP + marker
-            pre = re.search(r"(?:TIMESTAMP(?:TZ)?|DATE|TIME)\s*$",
+            pre = re.search(r"(TIMESTAMP(?:TZ)?|DATE|TIME)\s*$",
                             sql[:start], re.IGNORECASE)
             if pre and sql[start:end].strip().startswith("\x00"):
                 start = pre.start()
+                if pre.group(1).upper() == "TIMESTAMP":
+                    func = "to_utc_timestamp"  # naive literal: wall-clock in tz
         operand = sql[start:end].strip()
-        sql = (sql[:start] + f"from_utc_timestamp({operand}, {m.group(1)})"
+        sql = (sql[:start] + f"{func}({operand}, {m.group(1)})"
                + sql[m.end():])
 
 

@@ -27,6 +27,13 @@ _LOCK = threading.Lock()
 
 
 class Catalog:
+    # Every commit also emits spec-shaped Iceberg v2 metadata.json for the
+    # table (sources/iceberg_meta.py) — the reference's headline contract
+    # (storage_utils.go:371-496). Advisory for external readers: engine-side
+    # reads always resolve through this catalog, so metadata emission is
+    # best-effort and can be disabled for bulk test setup.
+    EMIT_ICEBERG_METADATA = True
+
     def __init__(self, root: str) -> None:
         # root may be a plain path or a file:// URI; all path math goes
         # through the fs adapter, so an object-store root only needs the
@@ -102,6 +109,13 @@ class Catalog:
                 entry["props"] = carried
             state["tables"][self._key(schema, table)] = entry
             self._write(state)
+        if self.EMIT_ICEBERG_METADATA:
+            try:
+                from bemidb_spark.sources.iceberg_meta import write_metadata_file
+
+                write_metadata_file(self, schema, table)
+            except Exception:  # noqa: BLE001 — advisory artifact; a failed
+                pass  # emission must never fail the committed table swap
         return old
 
     def snapshots(self, schema: str, table: str) -> list[dict]:
@@ -160,15 +174,19 @@ class Catalog:
         return entry["location"] if entry else None
 
     def drop_table_locations(self, schema: str, table: str) -> list[str]:
-        """Drop the table; return EVERY location (live + snapshots) so the
-        caller can delete the files."""
+        """Drop the table; return EVERY location (live + snapshots + the
+        Iceberg metadata dir) so the caller can delete the files."""
         with _LOCK:
             state = self._read()
             entry = state["tables"].pop(self._key(schema, table), None)
             self._write(state)
         if not entry:
             return []
-        return [s["location"] for s in entry.get("snapshots", [])] + [entry["location"]]
+        return (
+            [s["location"] for s in entry.get("snapshots", [])]
+            + [entry["location"]]
+            + [fs.join(self.root, "_iceberg", self._key(schema, table))]
+        )
 
     def rename_table(self, schema: str, table: str, new_table: str) -> None:
         with _LOCK:
