@@ -51,16 +51,44 @@ def shingles(words_expr: str, n: int, *, spark: bool) -> str:
     )
 
 
-def minhash(shingles_expr: str, k: int, *, spark: bool) -> list[str]:
-    """k minhash values: min over shingles of salted hash_int."""
+# Mersenne prime for the minhash permutation family: (a*h + b) mod P with
+# h < 2^32 and a,b < 2^31 stays under 2^63, so 64-bit integer arithmetic is
+# exact (and therefore bit-identical) in both engines.
+_MINHASH_P = 2147483647
+
+
+def _perm_consts(j: int) -> tuple[int, int]:
+    """Deterministic (a, b) for permutation j — odd multiplier, fixed seeds
+    (splitmix-style constants; any fixed coprime family works)."""
+    a = (2654435761 * (j + 1) + 104729) % _MINHASH_P
+    b = (40503 * (j + 1) * (j + 1) + 97) % _MINHASH_P
+    return a | 1, b
+
+
+def shingle_hashes(shingles_expr: str, *, spark: bool) -> str:
+    """ONE 32-bit base hash per shingle (the only md5 in the minhash path)."""
+    if spark:
+        h = hash_int("s", spark=True, salt="mh")
+        return f"transform({shingles_expr}, s -> {h})"
+    h = hash_int("s", spark=False, salt="mh")
+    return f"list_transform({shingles_expr}, s -> {h})"
+
+
+def minhash(hashes_expr: str, k: int, *, spark: bool) -> list[str]:
+    """k minhash values over a base-hash array: min of (a_j*h + b_j) mod P.
+
+    The classic universal-hash permutation family — one md5 per shingle
+    (via :func:`shingle_hashes`) plus k cheap integer maps, instead of k
+    md5 evaluations per shingle (16x less hashing in the hot loop; this is
+    the dominant cost of dedup_minhash_lsh at scale)."""
     out = []
     for j in range(k):
+        a, b = _perm_consts(j)
+        perm = f"({a} * h + {b}) % {_MINHASH_P}"
         if spark:
-            h = hash_int("s", spark=True, salt=f"mh{j}")
-            out.append(f"array_min(transform({shingles_expr}, s -> {h}))")
+            out.append(f"array_min(transform({hashes_expr}, h -> {perm}))")
         else:
-            h = hash_int("s", spark=False, salt=f"mh{j}")
-            out.append(f"list_min(list_transform({shingles_expr}, s -> {h}))")
+            out.append(f"list_min(list_transform({hashes_expr}, h -> {perm}))")
     return out
 
 

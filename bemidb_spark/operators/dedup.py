@@ -31,6 +31,7 @@ from bemidb_spark.operators._xengine import (
     dot_fold,
     hash_int,
     minhash,
+    shingle_hashes,
     shingles,
     words,
 )
@@ -80,7 +81,8 @@ _register("dedup_exact", _exact_sql(True), _exact_sql(False))
 def _minhash_sql(spark: bool) -> str:
     w = words("text", spark=spark)
     sh = shingles("w", 3, spark=spark)
-    mh = minhash("sh", MINHASH_K, spark=spark)
+    hs = shingle_hashes("sh", spark=spark)
+    mh = minhash("hs", MINHASH_K, spark=spark)
     distinct = "array_distinct" if spark else "list_distinct"
     size = "size" if spark else "len"
     inter = (
@@ -107,9 +109,12 @@ def _minhash_sql(spark: bool) -> str:
       SELECT doc_id, {distinct}({sh}) AS sh
       FROM (SELECT doc_id, {w} AS w FROM documents)
     ),
+    hashed AS (
+      SELECT doc_id, sh, {hs} AS hs FROM docs
+    ),
     sigs AS (
       SELECT doc_id, sh, {band_cols}
-      FROM (SELECT doc_id, sh, {mh_array} AS mh FROM docs)
+      FROM (SELECT doc_id, sh, {mh_array} AS mh FROM hashed)
     ),
     cands AS (
 {band_pairs}
@@ -456,7 +461,8 @@ def _incremental_sql(spark: bool) -> str:
     """
     w = words("text", spark=spark)
     sh = shingles("w", 3, spark=spark)
-    mh = minhash("sh", MINHASH_K, spark=spark)
+    hs = shingle_hashes("sh", spark=spark)
+    mh = minhash("hs", MINHASH_K, spark=spark)
     distinct = "array_distinct" if spark else "list_distinct"
     size = "size" if spark else "len"
     inter = (
@@ -483,9 +489,12 @@ def _incremental_sql(spark: bool) -> str:
       SELECT doc_id, source, {distinct}({sh}) AS sh
       FROM (SELECT doc_id, source, {w} AS w FROM documents)
     ),
+    hashed AS (
+      SELECT doc_id, source, sh, {hs} AS hs FROM docs
+    ),
     sigs AS (
       SELECT doc_id, source, sh, {band_cols}
-      FROM (SELECT doc_id, source, sh, {mh_array} AS mh FROM docs)
+      FROM (SELECT doc_id, source, sh, {mh_array} AS mh FROM hashed)
     ),
     batch_sigs AS (SELECT * FROM sigs WHERE source = '{BATCH_SOURCE}'),
     corpus_sigs AS (SELECT * FROM sigs WHERE source <> '{BATCH_SOURCE}'),
