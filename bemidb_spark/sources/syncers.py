@@ -310,6 +310,27 @@ class JdbcFullRefreshSyncer:
             self.spark, self.catalog, table.schema, table.name
         ).count()  # counts from parquet footers — no second source scan
 
+    def sync_schema(self, schema: str, num_partitions: int = 32) -> dict[str, int]:
+        """Full schema refresh, the reference's syncer loop
+        (syncer_full_refresh.go:23-72): introspect every base table, sync the
+        ones with a usable unique key (tables without one are skipped with the
+        reference's refusal, not a crash), then drop catalog tables that have
+        vanished from the source (:35). Returns {table: rows} for synced
+        tables; skipped tables map to -1."""
+        intro = self.introspector()
+        counts: dict[str, int] = {}
+        live: set[str] = set()
+        for name in intro.table_names(schema):
+            live.add(name)
+            try:
+                st = intro.source_table(schema, name)
+            except ValueError:
+                counts[name] = -1  # no unique index: refused, like reference
+                continue
+            counts[name] = self.sync_table(st, num_partitions)
+        FullRefreshSyncer(self.spark, self.catalog).delete_old_tables(schema, live)
+        return counts
+
 
 # ---------------------------------------------------------------------------
 # C10: Amplitude events (55-column hard-coded schema, cursor append)

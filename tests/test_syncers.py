@@ -313,3 +313,42 @@ def test_incremental_upsert_syncer(spark, catalog):
     ], cursor_col="updated_at")
     assert n == 0
     assert read_table(spark, catalog, "public", "accounts").count() == 3
+
+
+def test_jdbc_sync_schema_full_loop(spark, catalog):
+    """Schema-level sync: introspect -> sync keyed tables -> skip keyless ->
+    drop tables gone from the source (syncer_full_refresh.go:23-72)."""
+    from bemidb_spark.sources.syncers import (
+        PG_COLUMNS_SQL,
+        PG_TABLES_SQL,
+        PG_UNIQUE_KEY_SQL,
+        JdbcFullRefreshSyncer,
+    )
+
+    # pre-existing catalog table that no longer exists at the source
+    from bemidb_spark.sources.writer import replace_table
+    replace_table(catalog, "public", "stale", spark.range(1))
+
+    canned = {
+        PG_TABLES_SQL.format(schema="public"): [("users",), ("nokey",)],
+        PG_COLUMNS_SQL.format(schema="public", table="users"): [
+            ("id", "int8"), ("v", "text")],
+        PG_UNIQUE_KEY_SQL.format(schema="public", table="users"): [("id",)],
+        PG_COLUMNS_SQL.format(schema="public", table="nokey"): [("x", "int4")],
+        PG_UNIQUE_KEY_SQL.format(schema="public", table="nokey"): [],
+        'SELECT min("id"), max("id") FROM "public"."users"': [(1, 50)],
+    }
+
+    def reader(t, options):
+        return spark.range(1, 51).selectExpr("id", "concat('v', id) AS v")
+
+    sync = JdbcFullRefreshSyncer(
+        spark, catalog, "jdbc:postgresql://src:5432/db",
+        reader=reader, run_query=lambda sql: canned[sql])
+    counts = sync.sync_schema("public")
+    assert counts == {"users": 50, "nokey": -1}
+    assert read_table(spark, catalog, "public", "users").count() == 50
+    # the stale table was dropped from the catalog
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        catalog.location("public", "stale")
