@@ -308,3 +308,62 @@ def _pack_sql(spark: bool) -> str:
 
 
 _register_sql("pack_sequences_budget", _pack_sql(True), _pack_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# document chunking with overlap (RAG / pretraining shard prep): fixed-size
+# word windows with stride < window, the standard context-chunking shape.
+# Per-row transform + explode — embarrassingly parallel, no shuffle until the
+# final ORDER BY (which a real pipeline drops); at 100 TB this is a map-only
+# stage feeding the tokenizer.
+# ---------------------------------------------------------------------------
+CHUNK_WORDS = 48
+CHUNK_STRIDE = 32
+
+
+def _chunk_sql(spark: bool) -> str:
+    from bemidb_spark.operators._xengine import words
+
+    w = words("text", spark=spark)
+    if spark:
+        starts = (
+            f"CASE WHEN size(w) <= {CHUNK_WORDS} THEN array(1) "
+            f"ELSE transform(sequence(0, CAST(ceil((size(w) - {CHUNK_WORDS}) "
+            f"/ CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT)), i -> i * {CHUNK_STRIDE} + 1) END"
+        )
+        chunk = f"array_join(slice(w, s, {CHUNK_WORDS}), ' ')"
+        nwords = f"size(slice(w, s, {CHUNK_WORDS}))"
+        tok = (
+            f"SELECT doc_id, lang, pos AS chunk_idx, {chunk} AS chunk_text, "
+            f"{nwords} AS n_words "
+            f"FROM (SELECT doc_id, lang, {w} AS w FROM documents) "
+            f"LATERAL VIEW posexplode({starts}) t AS pos, s"
+        )
+    else:
+        starts = (
+            f"CASE WHEN len(w) <= {CHUNK_WORDS} THEN [1] "
+            f"ELSE [i * {CHUNK_STRIDE} + 1 FOR i IN "
+            f"generate_series(0, CAST(ceil((len(w) - {CHUNK_WORDS}) "
+            f"/ CAST({CHUNK_STRIDE} AS DOUBLE)) AS INT))] END"
+        )
+        chunk = f"array_to_string(w[u.s:u.s+{CHUNK_WORDS - 1}], ' ')"
+        nwords = f"len(w[u.s:u.s+{CHUNK_WORDS - 1}])"
+        tok = (
+            f"SELECT doc_id, lang, u.i - 1 AS chunk_idx, "
+            f"{chunk} AS chunk_text, {nwords} AS n_words "
+            f"FROM (SELECT doc_id, lang, {w} AS w, {starts} AS starts "
+            f"FROM documents) d, "
+            f"LATERAL (SELECT UNNEST(starts) AS s, "
+            f"generate_subscripts(starts, 1) AS i) u"
+        )
+    return f"""
+    SELECT doc_id, chunk_idx, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           md5(chunk_text) AS chunk_digest
+    FROM ({tok}) chunks
+    WHERE n_words > 0
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+_register_sql("doc_chunk_overlap", _chunk_sql(True), _chunk_sql(False))

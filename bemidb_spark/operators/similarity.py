@@ -252,3 +252,44 @@ def _hard_negatives_sql(spark: bool) -> str:
 
 
 _register("ann_hard_negatives", _hard_negatives_sql(True), _hard_negatives_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene filter: corpus-relative norm outliers (training-data
+# prep: degenerate/outlier vectors poison contrastive batches and ANN
+# recall). The reference median is the EXACT lower-median order statistic
+# (picked by row_number, no interpolation) so both engines agree
+# bit-for-bit; the corpus stat is one 1-row aggregate broadcast back over
+# the vectors — per-row math otherwise, no data shuffle at 100 TB.
+# ---------------------------------------------------------------------------
+def _norm_filter_sql(spark: bool) -> str:
+    norm = dot_fold("embedding", "embedding", spark=spark)
+    return f"""
+    WITH norms AS (
+      SELECT vec_id, label, CAST(sqrt({norm}) AS DOUBLE) AS l2
+      FROM embeddings
+    ),
+    med AS (
+      SELECT l2 AS med_l2
+      FROM (
+        SELECT l2,
+               ROW_NUMBER() OVER (ORDER BY l2) AS rn,
+               COUNT(*) OVER () AS n
+        FROM norms
+      ) ranked
+      WHERE rn = CAST(floor((n + 1) / 2.0) AS BIGINT)
+    )
+    SELECT n.vec_id,
+           n.l2 AS l2_norm,
+           m.med_l2,
+           CASE WHEN n.l2 = 0.0 THEN 1 ELSE 0 END AS is_degenerate,
+           CASE WHEN n.l2 > 0.0
+                 AND n.l2 >= 0.5 * m.med_l2
+                 AND n.l2 <= 2.0 * m.med_l2
+                THEN 1 ELSE 0 END AS keep
+    FROM norms n CROSS JOIN med m
+    ORDER BY n.vec_id
+    """
+
+
+_register("embedding_norm_filter", _norm_filter_sql(True), _norm_filter_sql(False))
