@@ -85,6 +85,12 @@ _PRIORITY = [
     "streaming_dedup_keys",
     "streaming_click_purchase_join",
     "streaming_stateful_user_profiles",
+    # added after the r2 driver run (never driver-checked)
+    "embedding_norm_filter",
+    "doc_chunk_overlap",
+    "exact_substring_dedup",
+    "semdedup_clusters",
+    "cdc_apply_changes",
     # checked in r1 only (green there), not re-checked in r2
     "interval_bucketing",
     "json_extract_bucket",

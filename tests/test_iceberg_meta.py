@@ -82,20 +82,99 @@ def test_commit_emits_spec_complete_metadata(spark, cat):
     assert meta2["last-sequence-number"] == 2
 
 
-def test_file_manifest_lists_current_data_files(spark, cat):
+def test_avro_manifests_list_current_data_files(spark, cat):
+    """The snapshot's manifest-list and manifest are real Avro OCF files
+    with spec-shaped records, decoded by the independent from-spec reader."""
+    from bemidb_spark.sources.avro_io import read_ocf
+
     replace_table(cat, "s", "m", spark.range(100), n_files=4)
     meta = table_metadata(cat, "s", "m")
-    manifest_path = meta["snapshots"][-1]["manifest-list"]
-    manifest = json.load(open(manifest_path))
-    files = manifest["data-files"]
-    assert len(files) == 4
-    assert all(f["file-format"] == "PARQUET" for f in files)
-    assert all(f["file-size-in-bytes"] > 0 for f in files)
-    # every listed file is a real file inside the live location
+    list_path = meta["snapshots"][-1]["manifest-list"]
+    assert list_path.endswith(".avro")
+
+    list_schema, list_records, list_meta = read_ocf(list_path)
+    assert list_schema["name"] == "manifest_file"
+    assert list_meta["format-version"] == b"2"
+    assert len(list_records) == 1
+    mf = list_records[0]
+    assert mf["added_files_count"] == 4
+    assert mf["added_rows_count"] == 100
+    assert mf["added_snapshot_id"] == meta["current-snapshot-id"]
+
+    entry_schema, entries, entry_meta = read_ocf(mf["manifest_path"])
+    assert entry_schema["name"] == "manifest_entry"
+    assert entry_meta["content"] == b"data"
+    assert len(entries) == 4
     loc = cat.location("s", "m")
-    for f in files:
-        assert f["file-path"].startswith(loc)
-        assert os.path.exists(f["file-path"])
+    for e in entries:
+        df = e["data_file"]
+        assert df["file_format"] == "PARQUET"
+        assert df["file_path"].startswith(loc)
+        assert os.path.exists(df["file_path"])
+        assert df["file_size_in_bytes"] == os.stat(df["file_path"]).st_size
+        # footer-derived stats keyed by the stamped field id (single col: 1)
+        assert df["value_counts"] == [{"key": 1, "value": df["record_count"]}]
+        assert df["null_value_counts"] == [{"key": 1, "value": 0}]
+    assert sum(e["data_file"]["record_count"] for e in entries) == 100
+    assert mf["manifest_length"] == os.stat(mf["manifest_path"]).st_size
+
+
+def test_avro_ocf_round_trip_all_types(tmp_path):
+    """Writer-vs-independent-decoder round trip over every type the
+    manifest schemas use (union/record/array/map/primitives)."""
+    from bemidb_spark.sources.avro_io import read_ocf, write_ocf
+
+    schema = {
+        "type": "record",
+        "name": "t",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "s", "type": "string"},
+            {"name": "b", "type": "boolean"},
+            {"name": "opt", "type": ["null", "long"]},
+            {"name": "raw", "type": ["null", "bytes"]},
+            {"name": "d", "type": "double"},
+            {
+                "name": "arr",
+                "type": {
+                    "type": "array",
+                    "items": {
+                        "type": "record",
+                        "name": "kv",
+                        "fields": [
+                            {"name": "key", "type": "int"},
+                            {"name": "value", "type": "long"},
+                        ],
+                    },
+                },
+            },
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+        ],
+    }
+    rows = [
+        {
+            "l": -(2**62), "i": 41, "s": "héllo", "b": True, "opt": None,
+            "raw": b"\x00\xff", "d": 2.5,
+            "arr": [{"key": 1, "value": 10}, {"key": 2, "value": -20}],
+            "m": {"a": "x", "b": "y"},
+        },
+        {
+            "l": 2**62, "i": -1, "s": "", "b": False, "opt": 7, "raw": None,
+            "d": -0.0, "arr": [], "m": {},
+        },
+    ]
+    path = str(tmp_path / "t.avro")
+    size = write_ocf(path, schema, rows, metadata={"x": "y"})
+    assert size == os.stat(path).st_size
+    got_schema, got_rows, got_meta = read_ocf(path)
+    assert got_schema == schema
+    assert got_rows == rows
+    assert got_meta["x"] == b"y"
+    # container-format invariants any Avro reader checks first
+    blob = open(path, "rb").read()
+    assert blob[:4] == b"Obj\x01"
+    assert json.loads(got_meta["avro.schema"]) == schema
 
 
 def test_rest_catalog_round_trip(spark, cat, tmp_path):

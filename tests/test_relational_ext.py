@@ -54,11 +54,18 @@ def test_sketches_are_close(spark, sf_dir):
     assert 0 < q < 200
 
 
-def test_sketch_profile_rows_only(spark, sf_dir):
+def test_sketch_profile_bounded_estimates(spark, sf_dir):
+    """Sketch estimates are engine-specific, so the contract emits exact
+    counts + in-envelope booleans (VERDICT r2 item 7); all three envelope
+    checks must hold on real data or the oracle's literal `true`s mismatch."""
     df = relational_ext.QUERIES["sketch_event_profile"](spark, sf_dir)
     rows = df.collect()
     assert len(rows) == 5
-    assert all(r.approx_users > 0 and len(r.value_p50_p95) == 2 for r in rows)
+    for r in rows:
+        assert r.n > 0 and r.exact_users > 0
+        assert r.users_within_3sigma is True
+        assert r.p50_bounded is True
+        assert r.p95_bounded is True
 
 
 def test_ngram_top_bigrams_no_global_sort(spark, sf_dir):

