@@ -91,6 +91,7 @@ _PRIORITY = [
     "exact_substring_dedup",
     "semdedup_clusters",
     "cdc_apply_changes",
+    "mm_resize",
     # checked in r1 only (green there), not re-checked in r2
     "interval_bucketing",
     "json_extract_bucket",

@@ -205,16 +205,78 @@ ORACLES["mm_audio_chunks"] = f"""
 
 
 # ---------------------------------------------------------------------------
-# resize: gated stub — real decode libs are absent in this container
+# resize: deterministic fake decode + REAL nearest-neighbor resize math.
+# The *decode* is the stubbed part (no media libs in this container): payload
+# bytes are read as a 16-wide grayscale pixel grid. Everything after decode
+# is the genuine resize kernel a production pipeline runs — vectorized numpy
+# index mapping inside an Arrow-batched mapInPandas, per-row, no shuffle —
+# and swapping in a real decoder changes one line, not the plan.
 # ---------------------------------------------------------------------------
-def mm_resize(spark: SparkSession, sf_dir: str, width: int = 224, height: int = 224):
-    """Image resize via mapInPandas. Requires an image library (not bundled)."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "mm_resize needs an image decode library (PIL/opencv); not present "
-            "in this environment. The mapInPandas plumbing it would use is the "
-            "same as mm_decode_features."
-        ) from exc
-    raise NotImplementedError("real decode path intentionally unimplemented")
+SRC_W = 16  # fake-decode source width (pixels per byte row)
+OUT_W = 8
+OUT_H = 8
+
+_RESIZE_SCHEMA = (
+    "doc_id bigint, src_h int, resized_md5 string, pixel_sum bigint"
+)
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Nearest-neighbor OUT_H x OUT_W resize of the fake-decoded grid.
+
+    src pixel for out (y, x) = (y*src_h // OUT_H, x*SRC_W // OUT_W) — the
+    standard floor-mapped nearest-neighbor kernel, computed as two numpy
+    index vectors (real vectorized resize, not a stand-in)."""
+    import numpy as np
+
+    for pdf in batches:
+        out: dict[str, list] = {
+            "doc_id": [], "src_h": [], "resized_md5": [], "pixel_sum": [],
+        }
+        cols = (np.arange(OUT_W) * SRC_W) // OUT_W
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            src_h = len(raw) // SRC_W
+            if src_h < 1:
+                continue
+            grid = np.frombuffer(
+                raw[: src_h * SRC_W], dtype=np.uint8
+            ).reshape(src_h, SRC_W)
+            rows = (np.arange(OUT_H) * src_h) // OUT_H
+            resized = grid[np.ix_(rows, cols)]
+            out["doc_id"].append(doc_id)
+            out["src_h"].append(src_h)
+            out["resized_md5"].append(hashlib.md5(resized.tobytes()).hexdigest())
+            out["pixel_sum"].append(int(resized.sum()))
+        yield pd.DataFrame(out)
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return media.mapInPandas(_resize_batches, schema=_RESIZE_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["mm_resize"] = mm_resize
+# The oracle replays the same floor-mapped index math over the text bytes
+# (corpus text is pure ASCII, so substr-by-character == byte addressing).
+ORACLES["mm_resize"] = f"""
+    SELECT doc_id,
+           CAST(length(text) // {SRC_W} AS INT) AS src_h,
+           md5(array_to_string(
+             [substr(text,
+                     CAST(((i // {OUT_W}) * (length(text) // {SRC_W})) // {OUT_H} AS INT) * {SRC_W}
+                       + CAST(((i % {OUT_W}) * {SRC_W}) // {OUT_W} AS INT) + 1,
+                     1)
+              for i in generate_series(0, {OUT_H * OUT_W} - 1)], '')) AS resized_md5,
+           CAST(list_sum(
+             [ord(substr(text,
+                         CAST(((i // {OUT_W}) * (length(text) // {SRC_W})) // {OUT_H} AS INT) * {SRC_W}
+                           + CAST(((i % {OUT_W}) * {SRC_W}) // {OUT_W} AS INT) + 1,
+                         1))
+              for i in generate_series(0, {OUT_H * OUT_W} - 1)]) AS BIGINT) AS pixel_sum
+    FROM documents
+    WHERE length(text) >= {SRC_W}
+    ORDER BY doc_id
+"""

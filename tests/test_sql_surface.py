@@ -33,9 +33,16 @@ def test_recursive_iterate_terminates(spark):
         iterate(seed, lambda df: df, max_iter=3)
 
 
-def test_mm_resize_is_gated(spark, sf_dir):
-    with pytest.raises(NotImplementedError):
-        multimodal.mm_resize(spark, sf_dir)
+def test_mm_resize_nearest_neighbor(spark, sf_dir):
+    """Real resize kernel over the fake-decoded grid: UDF output hash-matches
+    the oracle's replay of the same floor-mapped index math."""
+    from bemidb_spark.oracle import compare
+
+    compare(
+        multimodal.QUERIES["mm_resize"](spark, sf_dir),
+        multimodal.ORACLES["mm_resize"],
+        sf_dir,
+    )
 
 
 def test_mm_audio_chunks_overlap(spark, sf_dir):
