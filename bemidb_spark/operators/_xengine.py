@@ -77,10 +77,13 @@ def shingle_hashes(shingles_expr: str, *, spark: bool) -> str:
 def minhash(hashes_expr: str, k: int, *, spark: bool) -> list[str]:
     """k minhash values over a base-hash array: min of (a_j*h + b_j) mod P.
 
-    The classic universal-hash permutation family — one md5 per shingle
-    (via :func:`shingle_hashes`) plus k cheap integer maps, instead of k
-    md5 evaluations per shingle (16x less hashing in the hot loop; this is
-    the dominant cost of dedup_minhash_lsh at scale)."""
+    Array-lambda form. AVOID in multi-reference plans: Catalyst's
+    CollapseProject inlines these lambdas into every downstream expression
+    that touches the array (band columns, verify joins), re-evaluating the
+    whole shingle->hash->min pipeline per reference — measured 8 s -> 150 s
+    on dedup_minhash_lsh at SF0.1. Use :func:`minhash_min_aggs` (explode +
+    GROUP BY MIN), whose aggregation boundary materializes the signatures
+    exactly once."""
     out = []
     for j in range(k):
         a, b = _perm_consts(j)
@@ -89,6 +92,20 @@ def minhash(hashes_expr: str, k: int, *, spark: bool) -> list[str]:
             out.append(f"array_min(transform({hashes_expr}, h -> {perm}))")
         else:
             out.append(f"list_min(list_transform({hashes_expr}, h -> {perm}))")
+    return out
+
+
+def minhash_min_aggs(k: int, h_col: str = "h") -> list[str]:
+    """MIN-aggregate form of the k universal-hash permutations, over an
+    EXPLODED base-hash column (one row per (doc, shingle)): ``MIN((a_j*h+b_j)
+    % P) AS m{j}``. Engine-independent SQL; the GROUP BY materializes each
+    signature once (no expression re-evaluation downstream), partial
+    aggregation is map-side combinable, and the md5 base hash is computed
+    exactly once per shingle occurrence — the scale-correct minhash shape."""
+    out = []
+    for j in range(k):
+        a, b = _perm_consts(j)
+        out.append(f"MIN(({a} * {h_col} + {b}) % {_MINHASH_P}) AS m{j}")
     return out
 
 

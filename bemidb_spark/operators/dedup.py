@@ -30,8 +30,7 @@ from bemidb_spark.operators._xengine import (
     cosine,
     dot_fold,
     hash_int,
-    minhash,
-    shingle_hashes,
+    minhash_min_aggs,
     shingles,
     words,
 )
@@ -79,10 +78,24 @@ _register("dedup_exact", _exact_sql(True), _exact_sql(False))
 # minhash + LSH near-dedup with exact-jaccard verification
 # ---------------------------------------------------------------------------
 def _minhash_sql(spark: bool) -> str:
+    """Shingle -> one md5 base hash per shingle (exploded) -> 16 MIN
+    aggregates (universal-hash permutations) -> 8 band digests -> banded
+    self-join -> exact-jaccard verify on candidates only.
+
+    The signature computation is explode + GROUP BY MIN — NOT nested array
+    lambdas: the aggregation boundary materializes each doc's 16 minhashes
+    exactly once, so downstream expressions can't re-trigger the
+    shingle/md5 pipeline (CollapseProject re-evaluation was a measured
+    8 s -> 150 s regression; see _xengine.minhash_min_aggs). Candidates
+    come from ONE self-join on exploded (band_no, digest) rows, not 8
+    per-band self-joins: Spark inlines each CTE reference, so the 8-join
+    UNION evaluated the whole scan->shingle->minhash subtree 16+ times
+    (18 FileScans, 0 reused exchanges in the physical plan); the exploded
+    form evaluates it twice. The REPARTITION hint spreads the CPU-heavy
+    hash/verify work across cores even when the scan is a single file."""
     w = words("text", spark=spark)
     sh = shingles("w", 3, spark=spark)
-    hs = shingle_hashes("sh", spark=spark)
-    mh = minhash("hs", MINHASH_K, spark=spark)
+    aggs = ", ".join(minhash_min_aggs(MINHASH_K))
     distinct = "array_distinct" if spark else "list_distinct"
     size = "size" if spark else "len"
     inter = (
@@ -90,34 +103,62 @@ def _minhash_sql(spark: bool) -> str:
         if spark
         else "len(list_intersect(a.sh, b.sh))"
     )
-    band_cols = ", ".join(
+    cast_t = "STRING" if spark else "VARCHAR"
+    digests = [
         "md5(concat_ws(',', "
-        + ", ".join(f"CAST(mh[{b * ROWS_PER_BAND + r}] AS STRING)" if spark
-                    else f"CAST(mh[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
-                    for r in range(ROWS_PER_BAND))
-        + f")) AS band{b}"
+        + ", ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS {cast_t})"
+            for r in range(ROWS_PER_BAND)
+        )
+        + "))"
         for b in range(BANDS)
-    )
-    band_pairs = "\n      UNION\n".join(
-        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
-        for b in range(BANDS)
-    )
-    mh_array = "array(" + ", ".join(mh) + ")" if spark else "[" + ", ".join(mh) + "]"
+    ]
+    if spark:
+        hint = "/*+ REPARTITION(32) */ "
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("s", spark=True, salt="mh")
+            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+        )
+        bandrows = (
+            "SELECT doc_id, pos AS band_no, digest FROM mh "
+            f"LATERAL VIEW posexplode(array({', '.join(digests)})) t AS pos, digest"
+        )
+    else:
+        hint = ""
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("unnest(sh)", spark=False, salt="mh")
+            + " AS h FROM docs"
+        )
+        bandrows = (
+            "SELECT doc_id, u.i - 1 AS band_no, u.d AS digest FROM "
+            f"(SELECT doc_id, [{', '.join(digests)}] AS ds FROM mh) m, "
+            "LATERAL (SELECT unnest(ds) AS d, "
+            "generate_subscripts(ds, 1) AS i) u"
+        )
     return f"""
-    WITH docs AS (
+    WITH raw AS (
+      SELECT {hint}doc_id, text FROM documents
+    ),
+    docs AS (
       SELECT doc_id, {distinct}({sh}) AS sh
-      FROM (SELECT doc_id, {w} AS w FROM documents)
+      FROM (SELECT doc_id, {w} AS w FROM raw)
     ),
-    hashed AS (
-      SELECT doc_id, sh, {hs} AS hs FROM docs
+    ex AS (
+      {ex}
     ),
-    sigs AS (
-      SELECT doc_id, sh, {band_cols}
-      FROM (SELECT doc_id, sh, {mh_array} AS mh FROM hashed)
+    mh AS (
+      SELECT doc_id, {aggs} FROM ex GROUP BY doc_id
+    ),
+    bandrows AS (
+      {bandrows}
     ),
     cands AS (
-{band_pairs}
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_no = b.band_no AND a.digest = b.digest
+                     AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
            CAST({inter} AS DOUBLE)
@@ -461,8 +502,7 @@ def _incremental_sql(spark: bool) -> str:
     """
     w = words("text", spark=spark)
     sh = shingles("w", 3, spark=spark)
-    hs = shingle_hashes("sh", spark=spark)
-    mh = minhash("hs", MINHASH_K, spark=spark)
+    aggs = ", ".join(minhash_min_aggs(MINHASH_K))
     distinct = "array_distinct" if spark else "list_distinct"
     size = "size" if spark else "len"
     inter = (
@@ -470,36 +510,64 @@ def _incremental_sql(spark: bool) -> str:
         if spark
         else "len(list_intersect(b.sh, c.sh))"
     )
-    band_cols = ", ".join(
+    cast_t = "STRING" if spark else "VARCHAR"
+    digests = [
         "md5(concat_ws(',', "
-        + ", ".join(f"CAST(mh[{b * ROWS_PER_BAND + r}] AS STRING)" if spark
-                    else f"CAST(mh[{b * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
-                    for r in range(ROWS_PER_BAND))
-        + f")) AS band{b}"
+        + ", ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS {cast_t})"
+            for r in range(ROWS_PER_BAND)
+        )
+        + "))"
         for b in range(BANDS)
-    )
-    band_pairs = "\n      UNION\n".join(
-        f"      SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id"
-        f" FROM batch_sigs b JOIN corpus_sigs c ON b.band{b} = c.band{b}"
-        for b in range(BANDS)
-    )
-    mh_array = "array(" + ", ".join(mh) + ")" if spark else "[" + ", ".join(mh) + "]"
+    ]
+    if spark:
+        hint = "/*+ REPARTITION(32) */ "
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("s", spark=True, salt="mh")
+            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+        )
+        bandrows = (
+            "SELECT doc_id, pos AS band_no, digest FROM mh "
+            f"LATERAL VIEW posexplode(array({', '.join(digests)})) t AS pos, digest"
+        )
+    else:
+        hint = ""
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("unnest(sh)", spark=False, salt="mh")
+            + " AS h FROM docs"
+        )
+        bandrows = (
+            "SELECT doc_id, u.i - 1 AS band_no, u.d AS digest FROM "
+            f"(SELECT doc_id, [{', '.join(digests)}] AS ds FROM mh) m, "
+            "LATERAL (SELECT unnest(ds) AS d, "
+            "generate_subscripts(ds, 1) AS i) u"
+        )
     return f"""
-    WITH docs AS (
+    WITH raw AS (
+      SELECT {hint}doc_id, source, text FROM documents
+    ),
+    docs AS (
       SELECT doc_id, source, {distinct}({sh}) AS sh
-      FROM (SELECT doc_id, source, {w} AS w FROM documents)
+      FROM (SELECT doc_id, source, {w} AS w FROM raw)
     ),
-    hashed AS (
-      SELECT doc_id, source, sh, {hs} AS hs FROM docs
+    ex AS (
+      {ex}
     ),
-    sigs AS (
-      SELECT doc_id, source, sh, {band_cols}
-      FROM (SELECT doc_id, source, sh, {mh_array} AS mh FROM hashed)
+    mh AS (
+      SELECT doc_id, {aggs} FROM ex GROUP BY doc_id
     ),
-    batch_sigs AS (SELECT * FROM sigs WHERE source = '{BATCH_SOURCE}'),
-    corpus_sigs AS (SELECT * FROM sigs WHERE source <> '{BATCH_SOURCE}'),
+    bandrows AS (
+      {bandrows}
+    ),
     cands AS (
-{band_pairs}
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM (SELECT r.* FROM bandrows r JOIN docs d ON d.doc_id = r.doc_id
+            WHERE d.source = '{BATCH_SOURCE}') b
+      JOIN (SELECT r.* FROM bandrows r JOIN docs d ON d.doc_id = r.doc_id
+            WHERE d.source <> '{BATCH_SOURCE}') c
+        ON b.band_no = c.band_no AND b.digest = c.digest
     ),
     verified AS (
       SELECT v.batch_id, v.corpus_id,

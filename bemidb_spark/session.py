@@ -53,7 +53,10 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # 32-thread local JVM: an 8g heap GC-thrashes once a few hundred
+        # plans/codegen classes accumulate (cold-statement passes drifted
+        # 20→60 s at SF0.1); 24g holds the working set steady (~9-14 s).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scans: vectorized reader + filter/column pushdown are defaults,
         # pinned here so a config drift can't silently disable them.

@@ -109,3 +109,89 @@ def stream_append(
     spark.catalog.refreshByPath(location)
     catalog.commit_table(schema, table, location, _columns_meta(stream_df))
     return done["batches"]
+
+
+def stream_apply_cdc(
+    spark: SparkSession,
+    catalog: Catalog,
+    schema: str,
+    table: str,
+    stream_df: DataFrame,
+    key_cols: list[str],
+    seq_col: str,
+    op_col: str = "op",
+    tombstone: str = "D",
+    checkpoint_dir: str | None = None,
+) -> int:
+    """Continuously MERGE a change stream into ``schema.table``.
+
+    The streaming counterpart of the batch `cdc_apply_changes` operator (and
+    the continuous mode the reference's stubbed CDC syncer never shipped,
+    syncer.go:37-42): each micro-batch of op-coded change rows
+    (``op_col`` = ``tombstone`` → delete, anything else → upsert) is first
+    reduced to the LAST change per key by ``seq_col`` (commit order), then
+    routed through the existing writer MERGE ops — so on key-bucketed tables
+    each batch rewrites only the partitions holding touched keys.
+
+    Exactly-once: micro-batches arrive serially in ascending batch_id;
+    committed batch ids are markered under the checkpoint, and replaying a
+    marker-less batch is convergent (same keys → same final rows). Returns
+    batches applied this run. ``Trigger.AvailableNow`` semantics, like
+    ``stream_append``.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.sources.writer import delete_by_key, upsert_by_key
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_apply_cdc needs a streaming DataFrame")
+    if checkpoint_dir is None:
+        raise ValueError("checkpoint_dir is required (exactly-once markers)")
+    marker_dir = os.path.join(checkpoint_dir, "applied_batches")
+    os.makedirs(marker_dir, exist_ok=True)
+    done = {"batches": 0}
+    data_cols = [
+        c for c in stream_df.columns if c not in (op_col, seq_col)
+    ]
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        # pin the reduced batch before multiple passes (ops read it twice)
+        last = last.localCheckpoint(eager=True)
+        try:
+            catalog.location(schema, table)
+        except KeyError:
+            from bemidb_spark.sources.writer import replace_table
+
+            empty = spark.createDataFrame(
+                [], last.select(*data_cols).schema
+            )
+            replace_table(catalog, schema, table, empty)
+        upserts = last.filter(F.col(op_col) != tombstone).select(*data_cols)
+        deletes = last.filter(F.col(op_col) == tombstone).select(*key_cols)
+        if not upserts.isEmpty():
+            upsert_by_key(spark, catalog, schema, table, upserts, key_cols)
+        if not deletes.isEmpty():
+            delete_by_key(spark, catalog, schema, table, deletes, key_cols)
+        with open(marker, "w") as f:
+            f.write("ok")
+        done["batches"] += 1
+
+    query = (
+        stream_df.writeStream.foreachBatch(_apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("update")
+        .start()
+    )
+    query.awaitTermination()
+    return done["batches"]

