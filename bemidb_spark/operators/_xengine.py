@@ -65,43 +65,19 @@ def _perm_consts(j: int) -> tuple[int, int]:
     return a | 1, b
 
 
-def shingle_hashes(shingles_expr: str, *, spark: bool) -> str:
-    """ONE 32-bit base hash per shingle (the only md5 in the minhash path)."""
-    if spark:
-        h = hash_int("s", spark=True, salt="mh")
-        return f"transform({shingles_expr}, s -> {h})"
-    h = hash_int("s", spark=False, salt="mh")
-    return f"list_transform({shingles_expr}, s -> {h})"
-
-
-def minhash(hashes_expr: str, k: int, *, spark: bool) -> list[str]:
-    """k minhash values over a base-hash array: min of (a_j*h + b_j) mod P.
-
-    Array-lambda form. AVOID in multi-reference plans: Catalyst's
-    CollapseProject inlines these lambdas into every downstream expression
-    that touches the array (band columns, verify joins), re-evaluating the
-    whole shingle->hash->min pipeline per reference — measured 8 s -> 150 s
-    on dedup_minhash_lsh at SF0.1. Use :func:`minhash_min_aggs` (explode +
-    GROUP BY MIN), whose aggregation boundary materializes the signatures
-    exactly once."""
-    out = []
-    for j in range(k):
-        a, b = _perm_consts(j)
-        perm = f"({a} * h + {b}) % {_MINHASH_P}"
-        if spark:
-            out.append(f"array_min(transform({hashes_expr}, h -> {perm}))")
-        else:
-            out.append(f"list_min(list_transform({hashes_expr}, h -> {perm}))")
-    return out
-
-
 def minhash_min_aggs(k: int, h_col: str = "h") -> list[str]:
     """MIN-aggregate form of the k universal-hash permutations, over an
     EXPLODED base-hash column (one row per (doc, shingle)): ``MIN((a_j*h+b_j)
     % P) AS m{j}``. Engine-independent SQL; the GROUP BY materializes each
     signature once (no expression re-evaluation downstream), partial
     aggregation is map-side combinable, and the md5 base hash is computed
-    exactly once per shingle occurrence — the scale-correct minhash shape."""
+    exactly once per shingle occurrence — the scale-correct minhash shape.
+
+    Deliberately NOT an array-lambda (``array_min(transform(hs, ...))``)
+    projection: Catalyst's CollapseProject inlines array lambdas into every
+    downstream expression that touches them, re-evaluating the whole
+    shingle->md5->min pipeline per reference — a measured 8 s -> 150 s
+    regression on dedup_minhash_lsh at SF0.1 before this form replaced it."""
     out = []
     for j in range(k):
         a, b = _perm_consts(j)

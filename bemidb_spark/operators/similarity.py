@@ -92,26 +92,31 @@ def _centroid_select(spark: bool) -> str:
     return f"[{comp}]"
 
 
+def _dist(vec: str, cen: str, spark: bool) -> str:
+    """L2-ordering surrogate ``c·c − 2·e·c`` (e·e constant per vector)."""
+    cc = dot_fold(cen, cen, spark=spark)
+    ec = dot_fold(vec, cen, spark=spark)
+    return f"({cc} - 2 * {ec})"
+
+
+def _assign_select(from_centroids: str, spark: bool) -> str:
+    """Assign every vector to its nearest centroid (deterministic tie-break)."""
+    return f"""SELECT vec_id, embedding, cell FROM (
+        SELECT v.vec_id, v.embedding, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY {_dist('v.embedding', 'ct.centroid', spark)} ASC, ct.cell) AS ark
+        FROM embeddings v CROSS JOIN {from_centroids} ct
+      ) ranked_assign WHERE ark = 1"""
+
+
 def _kmeans_ctes(spark: bool) -> tuple[list[str], str]:
     """The shared Lloyd's-unrolled CTE chain ending in ``cells`` (vec_id,
     embedding, cell) under the final centroids; returns (ctes, final
     centroid CTE name). Used by both the IVF index build and SemDeDup."""
     centroid = _centroid_select(spark)
 
-    def dist(vec: str, cen: str) -> str:
-        cc = dot_fold(cen, cen, spark=spark)
-        ec = dot_fold(vec, cen, spark=spark)
-        return f"({cc} - 2 * {ec})"
-
     def assign(name: str, from_centroids: str) -> str:
-        return f"""{name} AS (
-      SELECT vec_id, embedding, cell FROM (
-        SELECT v.vec_id, v.embedding, ct.cell,
-               ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                                  ORDER BY {dist('v.embedding', 'ct.centroid')} ASC, ct.cell) AS ark
-        FROM embeddings v CROSS JOIN {from_centroids} ct
-      ) ranked_assign WHERE ark = 1
-    )"""
+        return f"{name} AS ({_assign_select(from_centroids, spark)})"
 
     ctes = [
         f"a0 AS (SELECT vec_id, embedding, vec_id % {N_CELLS} AS cell FROM embeddings)"
@@ -127,6 +132,41 @@ def _kmeans_ctes(spark: bool) -> tuple[list[str], str]:
     final_c = f"c{KMEANS_ITERS}"
     ctes.append(assign("cells", final_c))
     return ctes, final_c
+
+
+def _kmeans_views(spark: SparkSession) -> None:
+    """Materialize the k-means index ONCE per query: run the Lloyd's chain a
+    single time, pin centroids + final assignment with ``localCheckpoint``,
+    and expose them as ``_km_centroids`` / ``_km_cells`` temp views.
+
+    Without this, every CTE reference to ``cells`` re-inlines the whole
+    chain (semdedup's plan had 12 FileScans of embeddings; IVF 9). With it,
+    downstream SQL reads the views — exactly the production shape: the IVF
+    index is BUILT once and stored, then probed. Values are bit-identical to
+    the oracle's inline chain (same expressions, same data)."""
+    ctes, final_c = _kmeans_ctes(True)
+    with_block = ",\n    ".join(ctes[:-1])  # chain up to the final centroids
+    cent = spark.sql(
+        f"WITH {with_block}\n    SELECT cell, centroid FROM {final_c}"
+    ).localCheckpoint(eager=True)
+    cent.createOrReplaceTempView("_km_centroids")
+    cells = spark.sql(
+        _assign_select("_km_centroids", True)
+    ).localCheckpoint(eager=True)
+    cells.createOrReplaceTempView("_km_cells")
+
+
+def _register_kmeans_query(name: str, spark_sql: str, duck_sql: str) -> None:
+    """Register a query that reads the materialized ``_km_*`` views on the
+    Spark side and the equivalent inline-CTE SQL on the DuckDB side."""
+
+    def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
+        register_views(spark, sf_dir)
+        _kmeans_views(spark)
+        return spark.sql(_sql)
+
+    QUERIES[name] = run
+    ORACLES[name] = duck_sql
 
 
 def _ivf_sql(spark: bool) -> str:
@@ -148,32 +188,29 @@ def _ivf_sql(spark: bool) -> str:
     """
     cos = cosine("q.embedding", "c.embedding", spark=spark)
 
-    def dist(vec: str, cen: str) -> str:
-        cc = dot_fold(cen, cen, spark=spark)
-        ec = dot_fold(vec, cen, spark=spark)
-        return f"({cc} - 2 * {ec})"
-
-    # shared chain; final assignment under the final centroids = the
-    # inverted file itself
-    ctes, final_c = _kmeans_ctes(spark)
-    ctes.append(
-        f"""probes AS (
+    if spark:
+        # probe the MATERIALIZED index views (see _kmeans_views): the
+        # Lloyd's chain runs once, not once per CTE reference
+        centroids_rel, cells_rel = "_km_centroids", "_km_cells"
+        head = "WITH "
+    else:
+        ctes, final_c = _kmeans_ctes(spark)
+        centroids_rel, cells_rel = final_c, "cells"
+        head = "WITH " + ",\n    ".join(ctes) + ",\n    "
+    return f"""
+    {head}probes AS (
       SELECT query_id, cell FROM (
         SELECT q.vec_id AS query_id, ct.cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                                  ORDER BY {dist('q.embedding', 'ct.centroid')} ASC, ct.cell) AS prk
+                                  ORDER BY {_dist('q.embedding', 'ct.centroid', spark)} ASC, ct.cell) AS prk
         FROM embeddings q
-        JOIN {final_c} ct ON q.vec_id < {N_QUERIES}
+        JOIN {centroids_rel} ct ON q.vec_id < {N_QUERIES}
       ) p WHERE prk <= {NPROBE}
-    )"""
-    )
-    with_block = ",\n    ".join(ctes)
-    return f"""
-    WITH {with_block},
+    ),
     scored AS (
       SELECT p.query_id, c.vec_id AS cand_id, {cos} AS cos_sim
       FROM probes p
-      JOIN cells c ON c.cell = p.cell
+      JOIN {cells_rel} c ON c.cell = p.cell
       JOIN embeddings q ON q.vec_id = p.query_id
       WHERE c.vec_id <> p.query_id
     ),
@@ -190,7 +227,7 @@ def _ivf_sql(spark: bool) -> str:
     """
 
 
-_register("ann_ivf_topk", _ivf_sql(True), _ivf_sql(False))
+_register_kmeans_query("ann_ivf_topk", _ivf_sql(True), _ivf_sql(False))
 
 
 # ---------------------------------------------------------------------------
@@ -327,24 +364,28 @@ SEM_COS_MIN = 0.4  # tuned to this corpus's planted near-dups (cos ~0.45)
 
 def _semdedup_sql(spark: bool) -> str:
     cos = cosine("a.embedding", "b.embedding", spark=spark)
-    ctes, _ = _kmeans_ctes(spark)
-    with_block = ",\n    ".join(ctes)
+    if spark:
+        cells_rel = "_km_cells"  # materialized index (see _kmeans_views)
+        head = "WITH "
+    else:
+        ctes, _ = _kmeans_ctes(spark)
+        cells_rel = "cells"
+        head = "WITH " + ",\n    ".join(ctes) + ",\n    "
     return f"""
-    WITH {with_block},
-    dup_pairs AS (
+    {head}dup_pairs AS (
       SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS kept_id
-      FROM cells a
-      JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      FROM {cells_rel} a
+      JOIN {cells_rel} b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE {cos} >= {SEM_COS_MIN}
       GROUP BY b.vec_id
     )
     SELECT c.vec_id, CAST(c.cell AS INT) AS cell,
            CASE WHEN d.dup_id IS NULL THEN 1 ELSE 0 END AS keep,
            d.kept_id
-    FROM cells c
+    FROM {cells_rel} c
     LEFT JOIN dup_pairs d ON c.vec_id = d.dup_id
     ORDER BY c.vec_id
     """
 
 
-_register("semdedup_clusters", _semdedup_sql(True), _semdedup_sql(False))
+_register_kmeans_query("semdedup_clusters", _semdedup_sql(True), _semdedup_sql(False))
