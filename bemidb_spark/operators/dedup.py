@@ -259,18 +259,32 @@ def _simhash_pairs_sql(spark: bool) -> str:
         f"bit_count(a.c{c} ^ b.c{c})" if spark else f"bit_count(xor(a.c{c}, b.c{c}))"
         for c in range(N_CHUNKS)
     )
-    chunk_joins = "\n      UNION\n".join(
-        f"      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b"
-        f" FROM fp a JOIN fp b ON a.c{c} = b.c{c} AND a.doc_id < b.doc_id"
-        for c in range(N_CHUNKS)
-    )
+    chunk_arr = ", ".join(f"c{c}" for c in range(N_CHUNKS))
+    if spark:
+        chunkrows = (
+            "SELECT doc_id, pos AS chunk_no, v FROM fp "
+            f"LATERAL VIEW posexplode(array({chunk_arr})) t AS pos, v"
+        )
+    else:
+        chunkrows = (
+            "SELECT doc_id, u.i - 1 AS chunk_no, u.v AS v FROM "
+            f"(SELECT doc_id, [{chunk_arr}] AS cs FROM fp) m, "
+            "LATERAL (SELECT unnest(cs) AS v, generate_subscripts(cs, 1) AS i) u"
+        )
+    # ONE join on exploded (chunk_no, value) rows — the N-way UNION of
+    # per-chunk self-joins re-inlined the token-explode aggregation per
+    # reference (same Catalyst CTE-inlining pathology as _minhash_sql)
     return f"""
     WITH tok AS ({tok}),
     hashed AS (SELECT doc_id, {h_lo} AS hlo, {h_hi} AS hhi FROM tok),
     bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
     fp AS (SELECT doc_id, {', '.join(chunk_exprs)} FROM bits),
+    chunkrows AS ({chunkrows}),
     cands AS (
-{chunk_joins}
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunkrows a
+      JOIN chunkrows b ON a.chunk_no = b.chunk_no AND a.v = b.v
+                      AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b, CAST({xor_hamming} AS INT) AS hamming
     FROM cands c
@@ -361,18 +375,32 @@ def _embedding_sql(spark: bool) -> str:
             d = dot_fold("embedding", arr(_hyperplane(j)), spark=spark)
             bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
         band_cols.append(" + ".join(bits) + f" AS band{b}")
-    band_pairs = "\n      UNION\n".join(
-        f"      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b"
-        f" FROM sigs a JOIN sigs b ON a.band{b} = b.band{b} AND a.vec_id < b.vec_id"
-        for b in range(LSH_BANDS)
-    )
+    band_arr = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+    if spark:
+        bandrows = (
+            "SELECT vec_id, pos AS band_no, bucket FROM sigs "
+            f"LATERAL VIEW posexplode(array({band_arr})) t AS pos, bucket"
+        )
+    else:
+        bandrows = (
+            "SELECT vec_id, u.i - 1 AS band_no, u.b AS bucket FROM "
+            f"(SELECT vec_id, [{band_arr}] AS bs FROM sigs) m, "
+            "LATERAL (SELECT unnest(bs) AS b, generate_subscripts(bs, 1) AS i) u"
+        )
+    # single join on exploded (band_no, bucket) rows — not 8 inlined
+    # self-joins (CTE-inlining re-evaluated the 32 hyperplane folds per
+    # reference; same pathology as _minhash_sql)
     return f"""
     WITH sigs AS (
       SELECT vec_id, {', '.join(band_cols)}
       FROM embeddings
     ),
+    bandrows AS ({bandrows}),
     cands AS (
-{band_pairs}
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
     )
     SELECT c.vec_a, c.vec_b, {cos} AS cos_sim
     FROM cands c
