@@ -304,34 +304,43 @@ _register_sql("range_join_close_events", _range_join(True), _range_join(False))
 # funnel analysis: ordered view -> click -> purchase conversion
 # ---------------------------------------------------------------------------
 _FUNNEL_SQL = """
-    WITH v AS (
-      SELECT user_id, MIN(ts) AS t1 FROM events
-      WHERE event_type = 'view' GROUP BY user_id
+    WITH w1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+      FROM events
     ),
-    c AS (
-      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-      JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
-      WHERE e.event_type = 'click' GROUP BY e.user_id
+    w2 AS (
+      SELECT user_id, ts, event_type, t1,
+             MIN(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+               OVER (PARTITION BY user_id) AS t2
+      FROM w1
     ),
-    p AS (
-      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-      JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
-      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    w3 AS (
+      SELECT user_id, t1, t2,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+               OVER (PARTITION BY user_id) AS t3
+      FROM w2
+    ),
+    per_user AS (
+      SELECT user_id, MAX(t1) AS t1, MAX(t2) AS t2, MAX(t3) AS t3
+      FROM w3 GROUP BY user_id
     )
-    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS step_view,
-           CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS step_click,
-           CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS step_purchase,
-           CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
-             / (SELECT COUNT(*) FROM v) AS view_to_click,
-           CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
-             / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    SELECT CAST(COUNT(t1) AS BIGINT) AS step_view,
+           CAST(COUNT(t2) AS BIGINT) AS step_click,
+           CAST(COUNT(t3) AS BIGINT) AS step_purchase,
+           CAST(COUNT(t2) AS DOUBLE) / COUNT(t1) AS view_to_click,
+           CAST(COUNT(t3) AS DOUBLE) / COUNT(t2) AS click_to_purchase
+    FROM per_user
 """
 
-# Ordered-funnel shape at scale: each step is one shuffle on user_id against
-# the (shrinking) per-user min table from the previous step; Spark reuses the
-# user_id partitioning across the three joins. No window over the full event
-# stream, no per-user loop. Integer counts ratioed in one double division
-# keep both engines bit-identical.
+# Ordered funnel in ONE scan: first-view, first-click-after-view, and
+# first-purchase-after-click are chained unbounded windows over the same
+# user_id partitioning (one shuffle total; Spark plans all three windows in
+# a single exchange), then a per-user collapse + global conditional counts.
+# The previous 3-CTE + 5-scalar-subquery form re-inlined each step's chain
+# per reference (14 FileScans vs 1 here). Integer counts ratioed in one
+# double division keep both engines bit-identical.
 _register_sql("funnel_view_click_purchase", _FUNNEL_SQL)
 
 
