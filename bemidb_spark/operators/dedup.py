@@ -551,24 +551,24 @@ def _incremental_sql(spark: bool) -> str:
     if spark:
         hint = "/*+ REPARTITION(32) */ "
         ex = (
-            "SELECT doc_id, "
+            "SELECT doc_id, source, "
             + hash_int("s", spark=True, salt="mh")
             + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
         )
         bandrows = (
-            "SELECT doc_id, pos AS band_no, digest FROM mh "
+            "SELECT doc_id, source, pos AS band_no, digest FROM mh "
             f"LATERAL VIEW posexplode(array({', '.join(digests)})) t AS pos, digest"
         )
     else:
         hint = ""
         ex = (
-            "SELECT doc_id, "
+            "SELECT doc_id, source, "
             + hash_int("unnest(sh)", spark=False, salt="mh")
             + " AS h FROM docs"
         )
         bandrows = (
-            "SELECT doc_id, u.i - 1 AS band_no, u.d AS digest FROM "
-            f"(SELECT doc_id, [{', '.join(digests)}] AS ds FROM mh) m, "
+            "SELECT doc_id, source, u.i - 1 AS band_no, u.d AS digest FROM "
+            f"(SELECT doc_id, source, [{', '.join(digests)}] AS ds FROM mh) m, "
             "LATERAL (SELECT unnest(ds) AS d, "
             "generate_subscripts(ds, 1) AS i) u"
         )
@@ -584,17 +584,15 @@ def _incremental_sql(spark: bool) -> str:
       {ex}
     ),
     mh AS (
-      SELECT doc_id, {aggs} FROM ex GROUP BY doc_id
+      SELECT doc_id, source, {aggs} FROM ex GROUP BY doc_id, source
     ),
     bandrows AS (
       {bandrows}
     ),
     cands AS (
       SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
-      FROM (SELECT r.* FROM bandrows r JOIN docs d ON d.doc_id = r.doc_id
-            WHERE d.source = '{BATCH_SOURCE}') b
-      JOIN (SELECT r.* FROM bandrows r JOIN docs d ON d.doc_id = r.doc_id
-            WHERE d.source <> '{BATCH_SOURCE}') c
+      FROM (SELECT * FROM bandrows WHERE source = '{BATCH_SOURCE}') b
+      JOIN (SELECT * FROM bandrows WHERE source <> '{BATCH_SOURCE}') c
         ON b.band_no = c.band_no AND b.digest = c.digest
     ),
     verified AS (
