@@ -1,0 +1,43 @@
+"""Physical-plan regression audit: FileScan counts stay bounded.
+
+Spark inlines every CTE reference, so a WITH subtree referenced N times
+plans N times — the round-3 audit caught minhash banding at 18 FileScans
+(8 s -> 150 s at SF0.1), the funnel at 14, and IVF/SemDeDup re-running the
+whole k-means chain per reference. These bounds pin the fixed shapes;
+plan-building only (no execution), so the whole file runs in seconds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# entry -> max allowed parquet FileScans in the executed plan
+SCAN_BOUNDS = {
+    "dedup_minhash_lsh": 4,
+    "dedup_incremental_batch": 5,
+    "dedup_edit_distance": 6,
+    "dedup_simhash_pairs": 4,
+    "dedup_embedding_cosine": 4,
+    "funnel_view_click_purchase": 1,
+    "semdedup_clusters": 0,   # reads the materialized _km_cells views
+    "ann_ivf_topk": 3,        # probe/query/candidate sides of embeddings
+    "exact_substring_dedup": 2,
+    "dedup_exact": 1,
+    "text_quality": 1,
+    "cdc_apply_changes": 2,   # ordered CTE feeds stats + last-change sides
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BOUNDS))
+def test_scan_count_bounded(spark, sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    fn = entry_mod.queries()[name]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = plan.count("FileScan parquet")
+    assert scans <= SCAN_BOUNDS[name], (
+        f"{name}: {scans} FileScans (bound {SCAN_BOUNDS[name]}) — a CTE "
+        f"reference is re-inlining an expensive subtree; see README "
+        f"'CTE-inlining audit'"
+    )
