@@ -60,6 +60,12 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Parquet scans: vectorized reader + filter/column pushdown are defaults,
         # pinned here so a config drift can't silently disable them.
+        # Footers carry Iceberg field ids for EXTERNAL readers
+        # (writer._with_field_ids), and schema inference round-trips that
+        # metadata into the read schema — which then REFUSES id-less files
+        # (direct appends, streaming staging) unless missing ids fall back
+        # to by-name resolution. ignoreMissing is that fallback.
+        .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", "false")
