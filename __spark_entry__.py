@@ -38,6 +38,16 @@ _MODULES = [
 # 1-2 are listed first (the r1-failing-then-fixed array_agg_types leads),
 # followed by entries last checked in r1 only, then the r2-green tail.
 _PRIORITY = [
+    # added after the r2 driver run (no CORRECTNESS row ever) — head of the
+    # window so round 3 produces their first driver rows
+    "embedding_norm_filter",
+    "doc_chunk_overlap",
+    "exact_substring_dedup",
+    "semdedup_clusters",
+    "cdc_apply_changes",
+    "mm_resize",
+    "text_bm25_topk",
+    "shuffle_shard_assign",
     "array_agg_types",
     # never driver-checked (r1, r2)
     "string_agg_ordered",
@@ -66,11 +76,7 @@ _PRIORITY = [
     "export_shard_manifest",
     "source_overlap_matrix",
     "vocab_coverage_score",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_audio_chunks",
     "asof_join_purchase_view",
-    "sample_hash_bernoulli",
     "sample_stratified_per_lang",
     "ngram_top_bigrams",
     "sketch_event_profile",
@@ -85,13 +91,12 @@ _PRIORITY = [
     "streaming_dedup_keys",
     "streaming_click_purchase_join",
     "streaming_stateful_user_profiles",
-    # added after the r2 driver run (never driver-checked)
-    "embedding_norm_filter",
-    "doc_chunk_overlap",
-    "exact_substring_dedup",
-    "semdedup_clusters",
-    "cdc_apply_changes",
-    "mm_resize",
+    # rotated just past the 50-entry window this round (pytest-pinned
+    # deterministic fakes / hash filters) — first in line next round
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "sample_hash_bernoulli",
     # checked in r1 only (green there), not re-checked in r2
     "interval_bucketing",
     "json_extract_bucket",

@@ -402,6 +402,41 @@ _register("export_shard_manifest", _shard_manifest_sql(True), _shard_manifest_sq
 
 
 # ---------------------------------------------------------------------------
+# deterministic training shuffle: global order without a global sort
+# ---------------------------------------------------------------------------
+SHUF_SHARDS = 64
+
+
+def _shuffle_assign_sql(spark: bool) -> str:
+    """Epoch-shuffle materialization: every doc gets a (shard, pos) training
+    order derived ONLY from md5(doc_id, salt) — reproducible across engines,
+    runs, cluster sizes, and input partitionings, which is what makes a
+    training run resumable and an ablation re-creatable. The global
+    permutation is (shard asc, pos asc): hash buckets the docs into shards,
+    the within-shard rank orders by the full hash. No global sort anywhere —
+    one shuffle on shard_id, then a per-shard window; shards are sized to the
+    training-file unit (~1-4 GB each at 100 TB, the same granularity the
+    export writer uses), so each window partition is one output file's worth.
+    Changing the salt re-deals the whole permutation (a new epoch)."""
+    h = hash_int("CAST(doc_id AS STRING)" if spark else "CAST(doc_id AS VARCHAR)",
+                 spark=spark, salt="epoch0")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {h} AS k FROM documents
+    )
+    SELECT doc_id,
+           CAST(k % {SHUF_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY k % {SHUF_SHARDS}
+                                   ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    ORDER BY shard, pos
+    """
+
+
+_register("shuffle_shard_assign", _shuffle_assign_sql(True), _shuffle_assign_sql(False))
+
+
+# ---------------------------------------------------------------------------
 # cross-source overlap matrix: provenance duplicate accounting
 # ---------------------------------------------------------------------------
 def _source_overlap_sql(spark: bool) -> str:

@@ -310,12 +310,25 @@ _register("ann_hard_negatives", _hard_negatives_sql(True), _hard_negatives_sql(F
 # embedding hygiene filter: corpus-relative norm outliers (training-data
 # prep: degenerate/outlier vectors poison contrastive batches and ANN
 # recall). The reference median is the EXACT lower-median order statistic
-# (picked by row_number, no interpolation) so both engines agree
-# bit-for-bit; the corpus stat is one 1-row aggregate broadcast back over
-# the vectors — per-row math otherwise, no data shuffle at 100 TB.
+# (picked by rank, no interpolation) so both engines agree bit-for-bit;
+# the corpus stat is one 1-row aggregate broadcast back over the vectors —
+# per-row math otherwise, no data shuffle at 100 TB.
+#
+# Scale note (Spark side): a bare `ROW_NUMBER() OVER (ORDER BY l2)` would
+# funnel the WHOLE corpus through one WindowExec partition. Instead the
+# Spark plan finds the same order statistic in two phases: (1) bucket every
+# norm into NB fixed-width buckets over [min, max] (bucketing is monotone in
+# l2, so per-bucket rank + count-below-bucket == global rank), cumulative
+# counts over the <=NB bucket rows locate the bucket holding rank r; (2) rank
+# ONLY that bucket's rows (~N/NB of the corpus) to pick the element. The
+# DuckDB oracle keeps the direct one-window form — identical RESULT, and the
+# cross-engine gate proves the two formulations select the same element.
 # ---------------------------------------------------------------------------
-def _norm_filter_sql(spark: bool) -> str:
-    norm = dot_fold("embedding", "embedding", spark=spark)
+_NORM_NB = 65536  # median buckets; the only windowed slice is ~N/NB rows
+
+
+def _norm_filter_oracle_sql() -> str:
+    norm = dot_fold("embedding", "embedding", spark=False)
     return f"""
     WITH norms AS (
       SELECT vec_id, label, CAST(sqrt({norm}) AS DOUBLE) AS l2
@@ -344,7 +357,78 @@ def _norm_filter_sql(spark: bool) -> str:
     """
 
 
-_register("embedding_norm_filter", _norm_filter_sql(True), _norm_filter_sql(False))
+def _norm_filter_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of embedding_norm_filter: same lower-median order statistic
+    as the oracle, found in staged jobs instead of one global window.
+
+    Stage 1: 1-row corpus aggregate (n, min, max, target rank r).
+    Stage 2: bucket counts over NB fixed-width buckets (bucketing is monotone
+      in l2, so count-below-bucket + in-bucket rank == global rank); the
+      cumulative-count window runs over <=NB rows and locates the bucket
+      holding rank r.
+    Stage 3: rank ONLY that bucket's rows (~N/NB of the corpus) and pick the
+      element at r - below.
+    Stage 4: one per-row scan with the median embedded as an exact literal
+      (repr round-trips doubles losslessly).
+
+    The three intermediate results are 1-row aggregates — driver collects of
+    bounded size, the blessed pattern — and no WindowExec ever sees more than
+    max(NB, N/NB) rows.  A single `ROW_NUMBER() OVER (ORDER BY l2)` would
+    instead move the whole corpus through one partition.
+    """
+    register_views(spark, sf_dir)
+    nb = _NORM_NB
+    norm = dot_fold("embedding", "embedding", spark=True)
+    norms_sql = (
+        f"SELECT vec_id, label, CAST(sqrt({norm}) AS DOUBLE) AS l2 FROM embeddings"
+    )
+    tgt = spark.sql(
+        f"""SELECT COUNT(*) AS n, MIN(l2) AS lo, MAX(l2) AS hi,
+                   CAST(floor((COUNT(*) + 1) / 2.0) AS BIGINT) AS r
+            FROM ({norms_sql})"""
+    ).collect()[0]
+    if tgt["n"] == 0:
+        med = float("nan")
+    elif tgt["hi"] == tgt["lo"]:
+        med = tgt["lo"]
+    else:
+        lo, hi, r = repr(tgt["lo"]), repr(tgt["hi"]), tgt["r"]
+        bucket = (
+            f"LEAST({nb - 1}, CAST(floor((l2 - CAST({lo} AS DOUBLE)) / "
+            f"(CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {nb}) AS INT))"
+        )
+        mb = spark.sql(
+            f"""SELECT b, cum - c AS below FROM (
+                  SELECT b, COUNT(*) AS c,
+                         SUM(COUNT(*)) OVER (ORDER BY b
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+                  FROM (SELECT {bucket} AS b FROM ({norms_sql})) GROUP BY b
+                ) WHERE cum >= {r} AND cum - c < {r}"""
+        ).collect()[0]
+        med = spark.sql(
+            f"""SELECT l2 FROM (
+                  SELECT l2, ROW_NUMBER() OVER (ORDER BY l2) AS rib
+                  FROM (SELECT l2, {bucket} AS b FROM ({norms_sql}))
+                  WHERE b = {mb['b']}
+                ) WHERE rib = {r} - {mb['below']}"""
+        ).collect()[0]["l2"]
+    med_lit = "CAST('NaN' AS DOUBLE)" if med != med else f"CAST({med!r} AS DOUBLE)"
+    return spark.sql(
+        f"""SELECT vec_id,
+                   l2 AS l2_norm,
+                   {med_lit} AS med_l2,
+                   CASE WHEN l2 = 0.0 THEN 1 ELSE 0 END AS is_degenerate,
+                   CASE WHEN l2 > 0.0
+                         AND l2 >= 0.5 * {med_lit}
+                         AND l2 <= 2.0 * {med_lit}
+                        THEN 1 ELSE 0 END AS keep
+            FROM ({norms_sql})
+            ORDER BY vec_id"""
+    )
+
+
+QUERIES["embedding_norm_filter"] = _norm_filter_spark
+ORACLES["embedding_norm_filter"] = _norm_filter_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

