@@ -275,11 +275,19 @@ def _tag_for(sql: str, n_rows: int) -> str:
     return head
 
 
+_EXHAUSTED = object()  # iterator-drained sentinel (never a Row)
+
+
 @dataclass
 class _Prepared:
     sql: str
     params: list[str | None] = field(default_factory=list)
-    result: tuple[DataFrame, list] | None = None  # (df, collected rows)
+    # (df, live row iterator) — rows stream partition-at-a-time from the
+    # executors (toLocalIterator); the portal never buffers the result set
+    # on the driver, so `SELECT * FROM huge` over the wire is O(partition)
+    # driver memory, matching how Postgres itself streams DataRows.
+    result: tuple[DataFrame, object] | None = None
+    pending: object | None = None  # look-ahead row held across suspensions
     sent: int = 0  # rows already streamed (portal suspension cursor)
     result_formats: list[int] = field(default_factory=list)  # Bind codes
 
@@ -359,9 +367,12 @@ class _Conn:
             )
         self._send(b"T", payload)
 
-    def _send_rows(self, df: DataFrame, rows: list, formats: list[int] | None = None) -> int:
+    def _send_rows(self, df: DataFrame, rows, formats: list[int] | None = None) -> int:
+        """Encode and send DataRows from any row iterable (list or live
+        ``toLocalIterator``) — counting as it streams, never materializing."""
         fields = df.schema.fields
         fmts = _resolve_formats(formats or [], len(fields))
+        n = 0
         for row in rows:
             payload = struct.pack("!H", len(fields))
             for v, f, fmt in zip(row, fields, fmts):
@@ -375,7 +386,15 @@ class _Conn:
                 else:
                     payload += struct.pack("!i", len(b)) + b
             self._send(b"D", payload)
-        return len(rows)
+            n += 1
+        return n
+
+    @staticmethod
+    def _row_stream(df: DataFrame):
+        """Partition-at-a-time row iterator: driver memory stays O(one
+        partition) regardless of result size (pg streams DataRows the same
+        way). Prefetch pipelines the next partition behind the socket writes."""
+        return iter(df.toLocalIterator(prefetchPartitions=True))
 
     # --------------------------------------------------------------- startup
     def handshake(self) -> bool:
@@ -461,13 +480,11 @@ class _Conn:
             self._send(b"C", tag.encode() + b"\x00")  # DML: no result set
             return
         t0 = time.monotonic()
-        rows = df.collect()
+        self._send_row_description(df)
+        n = self._send_rows(df, self._row_stream(df))
         from bemidb_spark.pgcompat.session import record_statement_stats
 
-        record_statement_stats(sql, time.monotonic() - t0, len(rows),
-                               count_call=False)
-        self._send_row_description(df)
-        n = self._send_rows(df, rows)
+        record_statement_stats(sql, time.monotonic() - t0, n, count_call=False)
         self._send(b"C", (tag or _tag_for(sql, n)).encode() + b"\x00")
 
     # ------------------------------------------------------------- COPY OUT
@@ -488,21 +505,22 @@ class _Conn:
         csv = re.search(r"\bCSV\b|FORMAT\s+CSV", opts, re.IGNORECASE) is not None
         header = csv and re.search(r"\bHEADER(\s+TRUE|\s*\)|\s|$)", opts, re.IGNORECASE) is not None
         df = self.session.execute(query)
-        rows = df.collect()
         fields = list(df.schema.fields)
         ncols = len(fields)
         self._send(b"H", struct.pack("!BH", 0, ncols) + struct.pack(f"!{ncols}H", *([0] * ncols)))
         if header:
             self._send(b"d", (",".join(_csv_field(f.name) for f in fields) + "\n").encode())
-        for row in rows:
+        n = 0
+        for row in self._row_stream(df):  # bulk export streams, never buffers
             vals = [_encode_value(row[i], fields[i].dataType, fields[i]) for i in range(ncols)]
             if csv:
                 line = ",".join("" if v is None else _csv_field(v) for v in vals)
             else:
                 line = "\t".join("\\N" if v is None else _copy_text_escape(v) for v in vals)
             self._send(b"d", (line + "\n").encode())
+            n += 1
         self._send(b"c", b"")
-        self._send(b"C", f"COPY {len(rows)}".encode() + b"\x00")
+        self._send(b"C", f"COPY {n}".encode() + b"\x00")
 
     # -------------------------------------------------------------- COPY IN
     # Beyond-reference bulk load: `COPY table [(cols)] FROM STDIN` appends
@@ -801,14 +819,17 @@ class _Conn:
                 err.sqlstate = "34000"
                 raise err
             # Describe executes and caches — reference query_handler.go:205-209
+            # (DML runs here for its tag; SELECT results stay a live stream)
             df = self.session.execute(target.sql)
             if getattr(df, "_pg_tag", None) is not None and not getattr(
                 df, "_pg_returning", False
             ):
-                target.result = (df, [])
+                target.result = (df, iter(()))
                 self._send(b"n", b"")  # DML without RETURNING: no result set
                 return
-            target.result = (df, df.collect())
+            target.result = (df, self._row_stream(df))
+            target.pending = None
+            target.sent = 0
             self._send_row_description(df, target.result_formats)
         elif msg_type == b"E":  # Execute [portal name] [max rows]
             name_end = body.index(b"\x00")
@@ -829,9 +850,10 @@ class _Conn:
                 ):
                     self._send(b"C", df._pg_tag.encode() + b"\x00")
                     return
-                portal.result = (df, df.collect())
+                portal.result = (df, self._row_stream(df))
+                portal.pending = None
                 portal.sent = 0
-            df, rows = portal.result
+            df, row_iter = portal.result
             tag = getattr(df, "_pg_tag", None)
             if tag is not None and not getattr(df, "_pg_returning", False):
                 self._send(b"C", tag.encode() + b"\x00")  # DML ran at Describe
@@ -839,17 +861,31 @@ class _Conn:
                 return
             # Execute's max-rows field: stream at most that many rows and
             # suspend the portal if more remain (reference
-            # query_handler.go:218-238); 0 = no limit.
-            remaining = rows[portal.sent:]
-            batch = remaining[:max_rows] if max_rows > 0 else remaining
-            self._send_rows(df, batch, portal.result_formats)
-            portal.sent += len(batch)
-            if portal.sent < len(rows):
+            # query_handler.go:218-238); 0 = no limit. The portal holds a live
+            # iterator + one look-ahead row across suspensions — never the
+            # result set.
+            def _batch():
+                sent = 0
+                while max_rows <= 0 or sent < max_rows:
+                    if portal.pending is not None:
+                        row, portal.pending = portal.pending, None
+                    else:
+                        row = next(row_iter, _EXHAUSTED)
+                        if row is _EXHAUSTED:
+                            return
+                    yield row
+                    sent += 1
+
+            portal.sent += self._send_rows(df, _batch(), portal.result_formats)
+            nxt = next(row_iter, _EXHAUSTED) if portal.pending is None else portal.pending
+            if nxt is not _EXHAUSTED:
+                portal.pending = nxt
                 self._send(b"s", b"")  # PortalSuspended
             else:
                 done_tag = tag or _tag_for(portal.sql, portal.sent)
                 self._send(b"C", done_tag.encode() + b"\x00")
                 portal.result = None
+                portal.pending = None
                 portal.sent = 0
         elif msg_type == b"S":  # Sync
             self._send_ready()

@@ -54,7 +54,11 @@ def _with_field_ids(df: DataFrame) -> DataFrame:
     """
     return df.select(
         *[
-            F.col(f.name).alias(f.name, metadata={"parquet.field.id": i})
+            # merge, don't replace: the field's pg_type / logical-type tags
+            # must survive alongside the injected id
+            F.col(f.name).alias(
+                f.name, metadata={**f.metadata, "parquet.field.id": i}
+            )
             for i, f in enumerate(df.schema.fields, start=1)
         ]
     )
