@@ -581,3 +581,17 @@ def test_transaction_rollback_over_wire(copy_server):
         c.query("DROP TABLE wire_txn")
     finally:
         c.close()
+
+
+def test_large_result_streams_all_partitions(client):
+    """A multi-partition result set streams completely through the simple-
+    query path (rows arrive partition-at-a-time via toLocalIterator — the
+    driver never buffers the result; regression for the streaming refactor).
+    The tag's row count must match the true cardinality."""
+    r = client.query("SELECT l_orderkey, l_linenumber FROM lineitem")
+    assert r["errors"] == []
+    n = len(r["rows"])
+    assert n >= 6_000  # full lineitem at the fixture SF
+    assert r["tags"] == [f"SELECT {n}"]
+    # spot-check content integrity at both ends of the stream
+    assert all(len(row) == 2 for row in (r["rows"][0], r["rows"][-1]))
