@@ -48,6 +48,7 @@ _PRIORITY = [
     "mm_resize",
     "text_bm25_topk",
     "shuffle_shard_assign",
+    "sample_weighted_reservoir",
     "array_agg_types",
     # never driver-checked (r1, r2)
     "string_agg_ordered",

@@ -114,6 +114,62 @@ _register_sql("sample_stratified_per_lang", _stratified(True), _stratified(False
 
 
 # ---------------------------------------------------------------------------
+# weighted reservoir sample per source (Efraimidis–Spirakis A-ES): each doc
+# draws u from its id-hash, sorts by the key -ln(u)/w — a size-biased but
+# reproducible pick (here w = n_chars: longer docs proportionally likelier,
+# the "sample by token mass, not doc count" curation shape). Deterministic:
+# same corpus + salt => same sample on any engine/cluster/partitioning.
+#
+# Scale shape (Spark side): top-k per group via TWO phases — rank within
+# (source, 64-way hash shard) first, keep k per shard, then rank the
+# <=64·k survivors per source. No window partition ever exceeds
+# max(|source|/64, 64·k) rows, vs the naive per-source window that funnels
+# a whole source (TBs for a web crawl) through one partition. The DuckDB
+# oracle keeps the direct single-window form — the top-k of per-shard
+# top-ks is provably the same set.
+# ---------------------------------------------------------------------------
+WEIGHTED_K = 10
+_WS_SHARDS = 64
+
+
+def _weighted_sample(spark: bool) -> str:
+    h = (
+        "CAST(conv(substring(md5(concat('s3:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+        if spark
+        else "CAST('0x' || substr(md5(concat('s3:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)"
+    )
+    key = f"-ln((h + 1) / 4294967296.0) / n_chars"
+    base = f"SELECT source, doc_id, n_chars, {h} AS h FROM documents WHERE n_chars > 0"
+    if spark:
+        ranked = f"""
+      SELECT source, doc_id, n_chars, es_key FROM (
+        SELECT source, doc_id, n_chars, es_key,
+               ROW_NUMBER() OVER (PARTITION BY source, shard
+                                  ORDER BY es_key, doc_id) AS rk1
+        FROM (SELECT source, doc_id, n_chars, {key} AS es_key,
+                     pmod(h, {_WS_SHARDS}) AS shard
+              FROM ({base}))
+      ) WHERE rk1 <= {WEIGHTED_K}"""
+    else:
+        ranked = f"""
+      SELECT source, doc_id, n_chars, {key} AS es_key FROM ({base})"""
+    return f"""
+    SELECT source, doc_id, n_chars, rk
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY es_key, doc_id) AS rk
+      FROM ({ranked})
+    ) final
+    WHERE rk <= {WEIGHTED_K}
+    ORDER BY source, rk
+    """
+
+
+_register_sql("sample_weighted_reservoir", _weighted_sample(True), _weighted_sample(False))
+
+
+# ---------------------------------------------------------------------------
 # corpus n-gram statistics: global top-20 bigrams
 # ---------------------------------------------------------------------------
 def _ngram_top(spark: bool) -> str:

@@ -87,3 +87,21 @@ def test_range_join_is_equi_join(spark, sf_dir):
     df = relational_ext.QUERIES["range_join_close_events"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
+    """A-ES sampling: exactly K docs per source, and the size bias is real —
+    the sampled docs' mean n_chars exceeds the corpus mean (w = n_chars).
+    Two-phase top-k must equal the oracle's single-window form (gate covers
+    bit-parity; here we pin the statistical property)."""
+    from bemidb_spark.operators import relational_ext as rx
+
+    rows = rx.QUERIES["sample_weighted_reservoir"](spark, sf_dir).collect()
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+        assert 1 <= r.rk <= rx.WEIGHTED_K
+    assert all(n == rx.WEIGHTED_K for n in per_source.values())
+    sampled_mean = sum(r.n_chars for r in rows) / len(rows)
+    corpus = spark.sql("SELECT avg(n_chars) AS m FROM documents").collect()[0].m
+    assert sampled_mean > corpus  # size-biased by construction
