@@ -93,17 +93,33 @@ _register_sql("sample_hash_bernoulli", _SAMPLE_SPARK, _SAMPLE_DUCK)
 # stratified sample: k docs per language, chosen by hash order (reproducible)
 # ---------------------------------------------------------------------------
 def _stratified(spark: bool) -> str:
+    """k docs per language in hash order. The Spark side uses two-phase
+    top-k (rank within (lang, 64-way hash shard) first, then rank the
+    <=64·k survivors per lang) — a handful of languages over a 100 TB corpus
+    would otherwise each funnel through ONE window partition. The oracle
+    keeps the direct single-window form; the top-k of per-shard top-ks is
+    the same set."""
     h = (
         "CAST(conv(substring(md5(concat('s2:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT)"
         if spark
         else "CAST('0x' || substr(md5(concat('s2:', CAST(doc_id AS VARCHAR))), 1, 8) AS BIGINT)"
     )
+    if spark:
+        inner = f"""
+      SELECT lang, doc_id, h FROM (
+        SELECT lang, doc_id, h,
+               ROW_NUMBER() OVER (PARTITION BY lang, pmod(h, 64)
+                                  ORDER BY h, doc_id) AS rk1
+        FROM (SELECT lang, doc_id, {h} AS h FROM documents)
+      ) WHERE rk1 <= {STRATUM_K}"""
+    else:
+        inner = f"SELECT lang, doc_id, {h} AS h FROM documents"
     return f"""
     SELECT lang, doc_id
     FROM (
       SELECT lang, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {h}, doc_id) AS rk
-      FROM documents
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+      FROM ({inner})
     ) ranked
     WHERE rk <= {STRATUM_K}
     ORDER BY lang, doc_id

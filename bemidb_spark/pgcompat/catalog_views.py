@@ -15,14 +15,18 @@ transpiler routes ``pg_catalog.pg_class`` → ``pg_class`` etc. (B3/B4).
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import SparkSession
 
 from bemidb_spark.sources.catalog import Catalog
 
-PG_USER = "bemidb"
-PG_DATABASE = "bemidb"
+# The reference reads both from config/env (config.go:61); tests there run
+# with user "user". Overridable so a deployment (or the parity harness)
+# matches its source cluster's identity.
+PG_USER = os.environ.get("BEMIDB_SPARK_USER", "bemidb")
+PG_DATABASE = os.environ.get("BEMIDB_SPARK_DATABASE", "bemidb")
 
 _SPARK_TO_PG_TYPE = {
     "boolean": "bool",
@@ -47,6 +51,24 @@ def pg_type_name(spark_type: str) -> str:
     if t.startswith("array"):
         return "_" + pg_type_name(t[6:-1])
     return _SPARK_TO_PG_TYPE.get(t, "text")
+
+
+# logical source-type tags → the udt_name introspection reports for the
+# stored column (matches the reference's stored-type reporting for types it
+# widens: time/timetz → time µs-long, json/jsonb → json string,
+# pg_schema_column.go:49-99)
+_TAG_UDT = {
+    "time": "time", "timetz": "time", "json": "json", "jsonb": "json",
+    "_json": "_json", "_jsonb": "_json",
+}
+
+
+def _udt_name(spark_type: str, pg_tag: str | None) -> str:
+    if pg_tag:
+        mapped = _TAG_UDT.get(pg_tag)
+        if mapped:
+            return mapped
+    return pg_type_name(spark_type)
 
 
 # pg type name -> (oid, SQL-standard display name used by format_type()).
@@ -77,6 +99,67 @@ def pg_type_oid(pg_name: str) -> int:
     return _PG_TYPE_INFO.get(pg_name, _PG_TYPE_INFO["text"])[0]
 
 
+# Always-empty pg_catalog tables, column-for-column with the reference's boot
+# DDL (query_remapper_table.go:275-293) so any client introspection query
+# against them returns zero rows instead of erroring.
+_EMPTY_TABLES: dict[str, str] = {
+    "pg_inherits": "inhrelid bigint, inhparent bigint, inhseqno int, inhdetachpending boolean",
+    "pg_shdescription": "objoid bigint, classoid bigint, description string",
+    "pg_statio_user_tables": (
+        "relid bigint, schemaname string, relname string, heap_blks_read bigint, "
+        "heap_blks_hit bigint, idx_blks_read bigint, idx_blks_hit bigint, "
+        "toast_blks_read bigint, toast_blks_hit bigint, tidx_blks_read bigint, "
+        "tidx_blks_hit bigint"
+    ),
+    "pg_replication_slots": (
+        "slot_name string, plugin string, slot_type string, datoid bigint, "
+        "database string, temporary boolean, active boolean, active_pid int, "
+        "xmin bigint, catalog_xmin bigint, restart_lsn string, "
+        "confirmed_flush_lsn string, wal_status string, safe_wal_size bigint, "
+        "two_phase boolean, conflicting boolean"
+    ),
+    "pg_stat_gssapi": (
+        "pid int, gss_authenticated boolean, principal string, "
+        "encrypted boolean, credentials_delegated boolean"
+    ),
+    "pg_auth_members": (
+        "oid string, roleid bigint, member bigint, grantor bigint, "
+        "admin_option boolean, inherit_option boolean, set_option boolean"
+    ),
+    "pg_opclass": (
+        "oid bigint, opcmethod bigint, opcname string, opcnamespace bigint, "
+        "opcowner bigint, opcfamily bigint, opcintype bigint, "
+        "opcdefault boolean, opckeytype bigint"
+    ),
+    "pg_policy": (
+        "oid bigint, polname string, polrelid bigint, polcmd string, "
+        "polpermissive boolean, polroles bigint, polqual string, polwithcheck string"
+    ),
+    "pg_statistic_ext": (
+        "oid bigint, stxrelid bigint, stxname string, stxnamespace bigint, "
+        "stxowner bigint, stxstattarget int, stxkeys bigint, stxkind string, "
+        "stxexprs string"
+    ),
+    "pg_publication": (
+        "oid bigint, pubname string, pubowner bigint, puballtables boolean, "
+        "pubinsert boolean, pubupdate boolean, pubdelete boolean, "
+        "pubtruncate boolean, pubviaroot boolean"
+    ),
+    "pg_publication_rel": (
+        # prattrs is an int2vector in pg — typed as an array so clients'
+        # `prattrs::int2[]` casts and element access analyze cleanly
+        "oid bigint, prpubid bigint, prrelid bigint, prqual string, "
+        "prattrs array<smallint>"
+    ),
+    "pg_publication_namespace": "oid bigint, pnpubid bigint, pnnspid bigint",
+    "pg_rewrite": (
+        "oid bigint, rulename string, ev_class bigint, ev_type string, "
+        "ev_enabled string, is_instead boolean, ev_qual string, ev_action string"
+    ),
+    "pg_enum": "oid bigint, enumtypid bigint, enumsortorder float, enumlabel string",
+}
+
+
 def format_type_case_sql(oid_expr: str) -> str:
     """CASE expression mapping a type oid to pg's format_type() display name —
     the inline-fold emulation of the reference's format_type macro
@@ -90,23 +173,33 @@ def format_type_case_sql(oid_expr: str) -> str:
 
 
 def _table_inventory(spark: SparkSession, catalog: Catalog | None) -> list[tuple]:
-    """(schema, table, [(col, sparktype, nullable)]) for catalog + temp views."""
+    """(schema, table, [(col, sparktype, nullable, pg_tag)]) for catalog +
+    temp views. pg_tag is the logical source-type tag (time/json/interval/…)
+    the write path records, or None."""
     out = []
     if catalog is not None:
         for key, entry in catalog.tables().items():
             schema, table = key.split(".", 1)
-            cols = [(c["name"], c["type"], c.get("nullable", True)) for c in entry["columns"]]
+            cols = [(c["name"], c["type"], c.get("nullable", True), c.get("pg"))
+                    for c in entry["columns"]]
             out.append((schema, table, cols))
     seen = {t for _, t, _ in out}
     for tbl in spark.catalog.listTables():
+        if tbl.name == "user":  # emulation view (`SELECT * FROM user`), not a table
+            continue
         if tbl.tableType == "TEMPORARY" and not tbl.name.startswith(("pg_", "information_schema_")):
             if tbl.name in seen or "_" in tbl.name and tuple(tbl.name.split("_", 1)) in {
                 (sch, t) for sch, t, _ in out
             }:
                 continue
+            try:
+                fields = spark.table(tbl.name).schema.fields
+            except Exception:  # noqa: BLE001 — view over a dropped relation
+                continue
             cols = [
-                (c.name, c.dataType.lower(), c.nullable)
-                for c in spark.catalog.listColumns(tbl.name)
+                (f.name, f.dataType.simpleString(), f.nullable,
+                 f.metadata.get("pg_type"))
+                for f in fields
             ]
             out.append(("public", tbl.name, cols))
     return out
@@ -191,7 +284,11 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     bind_catalog_tables(spark, catalog)
     inventory = _table_inventory(spark, catalog)
 
-    schemas = sorted({s for s, _, _ in inventory} | {"public", "pg_catalog", "information_schema"})
+    # pg_namespace lists only user-visible schemas — the reference filters its
+    # engine's system schemas the same way (query_remapper_table.go:309-310),
+    # and psql's own \d queries exclude pg_catalog/information_schema by name
+    # anyway, so hiding them here matches both pg tooling and the reference.
+    schemas = sorted({s for s, _, _ in inventory} | {"public"})
     spark.createDataFrame(
         [(2200 + i, s, 10) for i, s in enumerate(schemas)],
         "oid bigint, nspname string, nspowner bigint",
@@ -213,9 +310,7 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         for i, (s, t, cols) in enumerate(inventory)
     ]
     spark.createDataFrame(
-        classes
-        or [(0, "", 0, "", 0.0, 0, False, 0, False, False, False, False,
-             False, 0, "", "", 0, 0, 0)],
+        classes,
         "oid bigint, relname string, relnamespace bigint, relkind string, "
         "reltuples double, relowner bigint, relhasindex boolean, relchecks int, "
         "relhasrules boolean, relhastriggers boolean, relrowsecurity boolean, "
@@ -226,45 +321,98 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
 
     attrs = []
     for i, (s, t, cols) in enumerate(inventory):
-        for pos, (cname, ctype, nullable) in enumerate(cols, start=1):
+        for pos, (cname, ctype, nullable, _pg) in enumerate(cols, start=1):
             pg_name = pg_type_name(ctype)
             attrs.append(
                 (16384 + i, cname, pos, pg_name, not nullable,
                  pg_type_oid(pg_name), -1, False, False, "", "", 0)
             )
     spark.createDataFrame(
-        attrs or [(0, "", 0, "", False, 0, 0, False, False, "", "", 0)],
+        attrs,
         "attrelid bigint, attname string, attnum int, atttypname string, "
         "attnotnull boolean, atttypid bigint, atttypmod int, attisdropped boolean, "
         "atthasdef boolean, attidentity string, attgenerated string, attcollation bigint",
     ).createOrReplaceTempView("pg_attribute")
 
+    # pg_type: oid/name plus typlen (pg's fixed sizes; -1 = varlena) — psql,
+    # pgAdmin, and drivers key on these (reference unions the same rows onto
+    # DuckDB's builtin pg_type, query_remapper_table.go:346-...).
+    _TYPLEN = {"bool": 1, "char": 1, "int2": 2, "int4": 4, "oid": 4,
+               "float4": 4, "date": 4, "int8": 8, "float8": 8, "time": 8,
+               "timestamp": 8, "timestamptz": 8, "timetz": 12, "interval": 16,
+               "uuid": 16, "name": 64}
     spark.createDataFrame(
-        [(oid, name, 0) for name, (oid, _) in sorted(_PG_TYPE_INFO.items(), key=lambda kv: kv[1][0])]
-        or [(0, "", 0)],
-        "oid bigint, typname string, typcollation bigint",
+        [(oid, name, 0, _TYPLEN.get(name, -1), 11,
+          "b" if not name.startswith("_") else "b")
+         for name, (oid, _) in sorted(_PG_TYPE_INFO.items(), key=lambda kv: kv[1][0])],
+        "oid bigint, typname string, typcollation bigint, typlen int, "
+        "typnamespace bigint, typtype string",
     ).createOrReplaceTempView("pg_type")
 
-    spark.createDataFrame(
-        [(10, PG_USER, True)], "usesysid bigint, usename string, usesuper boolean"
+    # pg_user / pg_roles / pg_shadow carry pg's full column sets in pg's
+    # column order (reference seeds identical views,
+    # query_remapper_table.go:298-306).
+    spark.sql(
+        f"SELECT '{PG_USER}' AS usename, CAST(10 AS BIGINT) AS usesysid, "
+        "true AS usecreatedb, true AS usesuper, true AS userepl, "
+        "true AS usebypassrls, '' AS passwd, "
+        "CAST(NULL AS TIMESTAMP) AS valuntil, "
+        "CAST(NULL AS ARRAY<STRING>) AS useconfig"
     ).createOrReplaceTempView("pg_user")
-    spark.createDataFrame(
-        [(10, PG_USER, True, True, True)],
-        "oid bigint, rolname string, rolsuper boolean, rolcanlogin boolean, rolcreatedb boolean",
+    spark.sql(
+        f"SELECT CAST(10 AS BIGINT) AS oid, '{PG_USER}' AS rolname, "
+        "true AS rolsuper, true AS rolinherit, true AS rolcreaterole, "
+        "true AS rolcreatedb, true AS rolcanlogin, false AS rolreplication, "
+        "CAST(-1 AS INT) AS rolconnlimit, CAST(NULL AS STRING) AS rolpassword, "
+        "CAST(NULL AS TIMESTAMP) AS rolvaliduntil, false AS rolbypassrls, "
+        "CAST(NULL AS ARRAY<STRING>) AS rolconfig"
     ).createOrReplaceTempView("pg_roles")
-    spark.createDataFrame(
-        [(1, PG_DATABASE, 10, "UTF8")],
-        "oid bigint, datname string, datdba bigint, encoding string",
+    spark.sql(
+        f"SELECT CAST(16388 AS BIGINT) AS oid, '{PG_DATABASE}' AS datname, "
+        "CAST(10 AS BIGINT) AS datdba, CAST(6 AS INT) AS encoding, "
+        "'c' AS datlocprovider, false AS datistemplate, true AS datallowconn, "
+        "CAST(-1 AS INT) AS datconnlimit, CAST(722 AS BIGINT) AS datfrozenxid, "
+        "CAST(1 AS INT) AS datminmxid, CAST(1663 AS BIGINT) AS dattablespace, "
+        "'en_US.UTF-8' AS datcollate, 'en_US.UTF-8' AS datctype, "
+        "'en_US.UTF-8' AS datlocale, CAST(NULL AS STRING) AS daticurules, "
+        "CAST(NULL AS STRING) AS datcollversion, "
+        "CAST(NULL AS ARRAY<STRING>) AS datacl"
     ).createOrReplaceTempView("pg_database")
     spark.createDataFrame(
         [("server_version", "17.0"), ("search_path", '"$user", public'),
-         ("timezone", "UTC"), ("max_connections", "100")],
+         ("timezone", "UTC"), ("max_connections", "100"),
+         ("default_null_order", "nulls_last")],
         "name string, setting string",
     ).createOrReplaceTempView("pg_settings")
-    spark.createDataFrame(
-        [(e, n) for e, n in [("plpgsql", "1.0")]],
-        "extname string, extversion string",
+    spark.sql(
+        "SELECT CAST(13823 AS BIGINT) AS oid, 'plpgsql' AS extname, "
+        "CAST(10 AS BIGINT) AS extowner, CAST(11 AS BIGINT) AS extnamespace, "
+        "false AS extrelocatable, '1.0' AS extversion, "
+        "CAST(NULL AS ARRAY<STRING>) AS extconfig, "
+        "CAST(NULL AS ARRAY<STRING>) AS extcondition"
     ).createOrReplaceTempView("pg_extension")
+    # `SELECT * FROM user` (reference: CREATE VIEW user AS SELECT config.User)
+    spark.sql(f"SELECT '{PG_USER}' AS user").createOrReplaceTempView("user")
+    # pg_proc: one representative row (clients mostly LEFT JOIN or LIMIT it;
+    # pg_get_userbyid folds to the configured user regardless of proowner)
+    spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS oid, 'version' AS proname, "
+        "CAST(11 AS BIGINT) AS pronamespace, CAST(10 AS BIGINT) AS proowner"
+    ).createOrReplaceTempView("pg_proc")
+    # Static empty tables — shape-faithful to the reference's boot DDL
+    # (query_remapper_table.go:275-293); clients SELECT them and expect
+    # zero rows, never errors.
+    for name, ddl in _EMPTY_TABLES.items():
+        spark.createDataFrame([], ddl).createOrReplaceTempView(name)
+    # pg_tablespace: the single default tablespace (clients LEFT JOIN it and
+    # scan it — one row, like the engine default the reference surfaces)
+    # (oid 0 / NULL name mirrors the reference's engine row, which neither
+    # joins pg_database.dattablespace nor carries a name on the wire)
+    spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS oid, CAST(NULL AS STRING) AS spcname, "
+        "CAST(10 AS BIGINT) AS spcowner, CAST(NULL AS STRING) AS spcacl, "
+        "CAST(NULL AS STRING) AS spcoptions"
+    ).createOrReplaceTempView("pg_tablespace")
 
     # --- psql \d support set (B5 breadth: reference query_remapper_table.go
     # :275-712 seeds pg_index/pg_matviews/pg_shadow/pg_collation/pg_am/... ) ---
@@ -280,9 +428,11 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
                               CAST(NULL AS INT), CAST(NULL AS BOOLEAN),
                               CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
                               CAST(NULL AS BOOLEAN), CAST(NULL AS BOOLEAN),
-                              CAST(NULL AS ARRAY<INT>))
+                              CAST(NULL AS ARRAY<INT>), CAST(NULL AS BOOLEAN),
+                              CAST(NULL AS ARRAY<BIGINT>))
             AS t(indexrelid, indrelid, indnatts, indisunique, indisprimary,
-                 indisvalid, indisclustered, indisreplident, indkey) WHERE 1 = 0
+                 indisvalid, indisclustered, indisreplident, indkey,
+                 indnullsnotdistinct, indclass) WHERE 1 = 0
     """).createOrReplaceTempView("pg_index")
     spark.sql("""
         SELECT * FROM VALUES (CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
@@ -298,9 +448,15 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
             AS t(oid, conname, connamespace, conrelid, conindid, contype,
                  condeferrable, condeferred, convalidated) WHERE 1 = 0
     """).createOrReplaceTempView("pg_constraint")
-    spark.createDataFrame(
-        [(100, "default", "d"), (950, "C", "c"), (951, "POSIX", "c")],
-        "oid bigint, collname string, collprovider string",
+    # exactly the reference's single default-collation row
+    # (query_remapper_table.go:305)
+    spark.sql(
+        "SELECT CAST(100 AS BIGINT) AS oid, 'default' AS collname, "
+        "CAST(11 AS BIGINT) AS collnamespace, CAST(10 AS BIGINT) AS collowner, "
+        "'d' AS collprovider, true AS collisdeterministic, "
+        "CAST(-1 AS INT) AS collencoding, CAST(NULL AS STRING) AS collcollate, "
+        "CAST(NULL AS STRING) AS collctype, CAST(NULL AS STRING) AS colliculocale, "
+        "CAST(NULL AS STRING) AS collicurules, CAST(NULL AS STRING) AS collversion"
     ).createOrReplaceTempView("pg_collation")
     # pg_shadow: passwd carries a real SCRAM verifier for the server's user,
     # shaped like the reference's row (query_handler_test.go:1466).
@@ -308,17 +464,20 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
 
     verifier = build_verifier(PG_USER, salt=b"bemidb-spark-ini", iterations=4096)
     spark.createDataFrame(
-        [(PG_USER, 10, True, True, False, False, verifier, None)],
+        [(PG_USER, 10, False, False, True, False, verifier, None, None)],
         "usename string, usesysid bigint, usecreatedb boolean, usesuper boolean, "
-        "userepl boolean, usebypassrls boolean, passwd string, valuntil timestamp",
+        "userepl boolean, usebypassrls boolean, passwd string, valuntil timestamp, "
+        "useconfig array<string>",
     ).createOrReplaceTempView("pg_shadow")
+    _MV_DDL = (
+        "schemaname string, matviewname string, matviewowner string, "
+        "tablespace string, hasindexes boolean, ispopulated boolean, definition string"
+    )
     spark.createDataFrame(
         [(s, t, PG_USER, None, False, True,
           catalog.matview_definition("matviews", t) if catalog is not None else "")
-         for s, t, _ in inventory if t in matview_names]
-        or [("", "", "", None, False, False, "")],
-        "schemaname string, matviewname string, matviewowner string, "
-        "tablespace string, hasindexes boolean, ispopulated boolean, definition string",
+         for s, t, _ in inventory if t in matview_names],
+        _MV_DDL,
     ).createOrReplaceTempView("pg_matviews")
 
     view_defs = {}
@@ -327,32 +486,42 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
                      for k, e in catalog.views().items()}
     spark.createDataFrame(
         [(s, t, PG_USER, view_defs.get(t, ""))
-         for s, t, _ in inventory if t in view_names]
-        or [("", "", "", "")],
+         for s, t, _ in inventory if t in view_names],
         "schemaname string, viewname string, viewowner string, definition string",
     ).createOrReplaceTempView("pg_views")
+    # pg's full 26-column shape; relid/n_live_tup values match the
+    # reference's upsert (query_remapper_table.go:216-230: relid '123456',
+    # n_live_tup 1, everything else 0/NULL).
     stat_rows = [
-        (16384 + i, s, t, 0, 0, 0, 0, 0, 0, 0)
+        (123456, s, t, 0, None, 0, 0, None, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0,
+         None, None, None, None, 0, 0, 0, 0)
         for i, (s, t, cols) in enumerate(inventory)
     ]
     spark.createDataFrame(
-        stat_rows or [(0, "", "", 0, 0, 0, 0, 0, 0, 0)],
+        stat_rows,
         "relid bigint, schemaname string, relname string, seq_scan bigint, "
-        "seq_tup_read bigint, idx_scan bigint, idx_tup_fetch bigint, "
-        "n_live_tup bigint, n_dead_tup bigint, n_mod_since_analyze bigint",
+        "last_seq_scan timestamp, seq_tup_read bigint, idx_scan bigint, "
+        "last_idx_scan timestamp, idx_tup_fetch bigint, n_tup_ins bigint, "
+        "n_tup_upd bigint, n_tup_del bigint, n_tup_hot_upd bigint, "
+        "n_tup_newpage_upd bigint, n_live_tup bigint, n_dead_tup bigint, "
+        "n_mod_since_analyze bigint, n_ins_since_vacuum bigint, "
+        "last_vacuum timestamp, last_autovacuum timestamp, "
+        "last_analyze timestamp, last_autoanalyze timestamp, "
+        "vacuum_count bigint, autovacuum_count bigint, analyze_count bigint, "
+        "autoanalyze_count bigint",
     ).createOrReplaceTempView("pg_stat_user_tables")
-    # pg_stat_activity: monitoring clients (psql \watch, dashboards, pgAdmin)
-    # poll it on connect. One synthetic active-backend row for this session;
-    # per-connection detail lives in the wire server, which the shared Spark
-    # views can't see — a static plausible row keeps those tools working.
-    spark.sql(
-        "SELECT CAST(16384 AS BIGINT) AS datid, "
-        f"'{PG_DATABASE}' AS datname, CAST(1 AS INT) AS pid, "
-        f"CAST(10 AS BIGINT) AS usesysid, '{PG_USER}' AS usename, "
-        "'bemidb' AS application_name, CAST(NULL AS STRING) AS client_addr, "
-        "CAST(NULL AS TIMESTAMP) AS backend_start, "
-        "CAST(NULL AS TIMESTAMP) AS query_start, "
-        "'active' AS state, '' AS query, 'client backend' AS backend_type"
+    # pg_stat_activity: always empty (the reference's is too,
+    # query_remapper_table.go:284) — per-connection state lives in the wire
+    # server; monitoring clients get zero rows, never an error.
+    spark.createDataFrame(
+        [],
+        "datid bigint, datname string, pid int, usesysid bigint, "
+        "usename string, application_name string, client_addr string, "
+        "client_hostname string, client_port int, backend_start timestamp, "
+        "xact_start timestamp, query_start timestamp, state_change timestamp, "
+        "wait_event_type string, wait_event string, state string, "
+        "backend_xid bigint, backend_xmin bigint, query string, "
+        "backend_type string",
     ).createOrReplaceTempView("pg_stat_activity")
     # pg_locks: always empty (no lock manager — reads are snapshot-isolated
     # by the catalog pointer swap); monitoring dashboards poll it.
@@ -369,33 +538,50 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         "CAST(0 AS BIGINT) AS blks_hit, CAST(0 AS BIGINT) AS tup_returned, "
         "CAST(0 AS BIGINT) AS tup_fetched, CAST(0 AS BIGINT) AS tup_inserted"
     ).createOrReplaceTempView("pg_stat_database")
-    # pg_get_keywords() is remapped to this view (reference installs it as a
-    # table macro, query_remapper_function.go:96-112).
+    # pg_get_keywords() is remapped to this view; 5-column pg shape with the
+    # reference's constant catcode/barelabel fills (the reference forwards
+    # its engine's keyword list the same way,
+    # query_remapper_function.go:96-112: every row 'U'/TRUE/'can be bare
+    # label'). 'abort' leads, as in pg's own keyword table.
     spark.createDataFrame(
-        [(w, "R", "reserved") for w in
-         ["all", "and", "any", "as", "asc", "between", "by", "case", "cast",
-          "check", "create", "cross", "current_date", "current_time",
-          "current_timestamp", "current_user", "default", "desc", "distinct",
-          "else", "end", "except", "false", "from", "group", "having", "in",
-          "inner", "intersect", "into", "is", "join", "left", "like", "limit",
-          "not", "null", "on", "or", "order", "outer", "primary", "right",
-          "select", "table", "then", "to", "true", "union", "unique", "user",
-          "using", "when", "where", "with"]],
-        "word string, catcode string, catdesc string",
+        [(w, "U", True, "unreserved", "can be bare label") for w in
+         ["abort", "absolute", "access", "action", "add", "admin", "after",
+          "all", "alter", "analyze", "and", "any", "as", "asc", "begin",
+          "between", "by", "cascade", "case", "cast", "check", "close",
+          "column", "commit", "copy", "create", "cross", "current_date",
+          "current_time", "current_timestamp", "current_user", "cursor",
+          "database", "deallocate", "declare", "default", "delete", "desc",
+          "distinct", "drop", "else", "end", "escape", "except", "execute",
+          "exists", "explain", "false", "fetch", "filter", "first", "from",
+          "full", "group", "having", "in", "index", "inner", "insert",
+          "intersect", "interval", "into", "is", "join", "key", "last",
+          "left", "like", "limit", "not", "null", "offset", "on", "or",
+          "order", "outer", "over", "partition", "prepare", "primary",
+          "recursive", "references", "release", "rename", "reset", "right",
+          "rollback", "savepoint", "schema", "select", "set", "show",
+          "table", "then", "to", "true", "truncate", "union", "unique",
+          "update", "user", "using", "values", "view", "when", "where",
+          "window", "with"]],
+        "word string, catcode string, barelabel boolean, catdesc string, "
+        "baredesc string",
     ).createOrReplaceTempView("pg_keywords_view")
 
-    # information_schema (B6)
+    # information_schema (B6) — pg's full 12-column tables shape
     spark.createDataFrame(
-        [(PG_DATABASE, s, t, "VIEW" if t in view_names else "BASE TABLE")
-         for s, t, _ in inventory]
-        or [("", "", "", "")],
-        "table_catalog string, table_schema string, table_name string, table_type string",
+        [(PG_DATABASE, s, t, "VIEW" if t in view_names else "BASE TABLE",
+          None, None, None, None, None, "YES", "NO", None)
+         for s, t, _ in inventory],
+        "table_catalog string, table_schema string, table_name string, "
+        "table_type string, self_referencing_column_name string, "
+        "reference_generation string, user_defined_type_catalog string, "
+        "user_defined_type_schema string, user_defined_type_name string, "
+        "is_insertable_into string, is_typed string, commit_action string",
     ).createOrReplaceTempView("information_schema_tables")
 
     info_cols = []
     for s, t, cols in inventory:
-        for pos, (cname, ctype, nullable) in enumerate(cols, start=1):
-            udt = pg_type_name(ctype)
+        for pos, (cname, ctype, nullable, pg_tag) in enumerate(cols, start=1):
+            udt = _udt_name(ctype, pg_tag)
             display = _PG_TYPE_INFO.get(udt.lstrip("_"), (0, "text"))[1]
             if udt.startswith("_"):
                 display = "ARRAY"  # information_schema spells arrays this way
@@ -414,7 +600,10 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     # surface BI tools touch (constraints are structurally empty — this
     # engine enforces none, exactly like the reference's analytics replica)
     spark.createDataFrame(
-        [(PG_DATABASE, s, PG_USER) for s in schemas],
+        # schemata lists system schemas too (pg does; pg_namespace above is
+        # the user-visible subset)
+        [(PG_DATABASE, s, PG_USER)
+         for s in sorted(set(schemas) | {"pg_catalog", "information_schema"})],
         "catalog_name string, schema_name string, schema_owner string",
     ).createOrReplaceTempView("information_schema_schemata")
     mv_rows = []

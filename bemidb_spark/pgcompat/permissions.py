@@ -33,7 +33,12 @@ from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
-_PERM_RE = re.compile(r"/\*\s*BEMIDB_PERMISSIONS\s*(\{.*?\})\s*\*/", re.DOTALL)
+_PERM_RE = re.compile(
+    # both comment shapes: /*BEMIDB_PERMISSIONS {…}*/ and the reference's
+    # fenced /*BEMIDB_PERMISSIONS {…} BEMIDB_PERMISSIONS*/ (query_remapper.go)
+    r"/\*\s*BEMIDB_PERMISSIONS\s*(\{.*?\})\s*(?:BEMIDB_PERMISSIONS\s*)?\*/",
+    re.DOTALL,
+)
 _SHADOW_LOCK = threading.Lock()
 
 
@@ -82,6 +87,36 @@ def shadowed_permissions(spark: SparkSession, perms: dict[str, list[str]]):
                         # denied: reference's SELECT NULL WHERE FALSE shape
                         pruned = spark.sql("SELECT NULL AS denied WHERE FALSE")
                     pruned.createOrReplaceTempView(name)
+            # Introspection surfaces obey the same map: the permissions JSON
+            # is a visibility whitelist (reference query_remapper.go:70-77) —
+            # information_schema lists ONLY the mapped tables, and only their
+            # permitted columns.
+            from pyspark.sql import functions as F
+
+            for view, col_filter in (
+                ("information_schema_tables", None),
+                ("information_schema_columns", "column_name"),
+            ):
+                try:
+                    original = spark.table(view)
+                except Exception:  # noqa: BLE001
+                    continue
+                saved[view] = original
+                cond = F.lit(False)
+                for qualified, cols in perms.items():
+                    if not cols:
+                        continue  # denied table: never listed
+                    schema, table = (
+                        qualified.split(".", 1) if "." in qualified
+                        else ("public", qualified)
+                    )
+                    row_ok = (F.col("table_schema") == schema) & (
+                        F.col("table_name") == table
+                    )
+                    if col_filter is not None:
+                        row_ok = row_ok & F.col(col_filter).isin(cols)
+                    cond = cond | row_ok
+                original.where(cond).createOrReplaceTempView(view)
             yield
         finally:
             for name, original in saved.items():

@@ -28,9 +28,10 @@ from bemidb_spark.pgcompat.transpiler import transpile
 from bemidb_spark.sources import matview
 from bemidb_spark.sources.catalog import Catalog
 
-VERSION_STRING = (
-    "PostgreSQL 17.0, compiled by bemidb-spark (Apache Spark), 64-bit"
-)
+# Byte-for-byte the reference's version() banner
+# (query_remapper_function.go:37) — clients parse this string, and a drop-in
+# replacement must present the same surface.
+VERSION_STRING = "PostgreSQL 17.0, compiled by BemiDB"
 
 # SETs the reference silently accepts and no-ops (query_remapper.go:19-29).
 _KNOWN_NOOP_SETS = {
@@ -214,6 +215,9 @@ class PgSession:
             "client_encoding": "UTF8",
             "max_connections": "100",
             "transaction_isolation": "read committed",
+            # engine default surfaced by pg_show_all_settings (reference
+            # forwards its engine's setting of the same name)
+            "default_null_order": "nulls_last",
         }
         register_pg_catalog(spark, catalog)
 
@@ -840,13 +844,35 @@ class PgSession:
         sql = re.sub(
             r"current_setting\s*\(\s*'([^']+)'\s*\)", setting_repl, sql, flags=re.IGNORECASE
         )
+        # FROM pg_is_in_recovery(): the table-function form yields one row
+        # with a same-named column (reference table macro,
+        # query_remapper_function.go:72) — must run before the scalar fold
+        # below turns the call into a bare literal.
+        sql = re.sub(
+            r"(FROM\s+)(?:pg_catalog\s*\.\s*)?pg_is_in_recovery\s*\(\s*\)",
+            r"\1(SELECT false AS pg_is_in_recovery)",
+            sql,
+            flags=re.IGNORECASE,
+        )
+        # Folds that erase the function name need an explicit alias when the
+        # call is itself a select-list item — pg names the output column
+        # after the function (B15).
+        for fname, pat in (("version", r"version\s*\(\s*\)"),
+                           ("pg_backend_pid", r"pg_backend_pid\s*\(\s*\)")):
+            sql = re.sub(
+                rf"(SELECT\s+|,\s*)({pat})"
+                rf"(?=\s*(?:,|FROM\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b|;|\s*$))",
+                rf"\1\2 AS {fname}",
+                sql,
+                flags=re.IGNORECASE,
+            )
         replacements = {
             r"\bversion\s*\(\s*\)": f"'{VERSION_STRING}'",
             r"\bcurrent_database\s*\(\s*\)": f"'{PG_DATABASE}'",
             r"\bcurrent_schema\s*\(\s*\)": "'public'",
             r"\bcurrent_user\b": f"'{PG_USER}'",
             r"\bsession_user\b": f"'{PG_USER}'",
-            r"\bpg_backend_pid\s*\(\s*\)": "CAST(1 AS INT)",
+            r"\bpg_backend_pid\s*\(\s*\)": "CAST(0 AS INT)",
             r"\bpg_is_in_recovery\s*\(\s*\)": "false",
             r"\bpg_postmaster_start_time\s*\(\s*\)": "current_timestamp()",
             # monitoring/replication probes: fixed values for an analytics
@@ -1070,13 +1096,27 @@ class PgSession:
                 for k in list(self.catalog.tables()) + list(self.catalog.views())
                 if "." in k
             ]
+            # both spellings: schema.table and "schema"."table" (clients
+            # double-quote fully-qualified refs, incl. 3-part column refs)
+            alts = []
+            for k in sorted(keys):
+                schema, table = k.split(".", 1)
+                alts.append(re.escape(k))
+                alts.append(re.escape(f'"{schema}"."{table}"'))
             self._qualify_re = (
-                re.compile(
-                    r"\b(" + "|".join(re.escape(k) for k in sorted(keys)) + r")\b"
-                )
+                re.compile(r'(?:\b|(?="))(' + "|".join(alts) + r")(?![\w\"])")
                 if keys else None
             )
             self._qualify_re_version = version
         if self._qualify_re is None or "." not in sql:
             return sql
-        return self._qualify_re.sub(lambda m: m.group(1).replace(".", "_"), sql)
+        # never rewrite inside string literals ('"schema"."table"'::regclass
+        # carries the quoted form as DATA) — split on literals, substitute
+        # only the SQL segments between them
+        parts = re.split(r"('(?:[^']|'')*')", sql)
+        return "".join(
+            p if i % 2 else self._qualify_re.sub(
+                lambda m: m.group(1).replace('"', "").replace(".", "_"), p
+            )
+            for i, p in enumerate(parts)
+        )

@@ -125,6 +125,8 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
         if pgtype == "interval":
             # '1 week'::interval → INTERVAL '1 week'
             return f"INTERVAL {expr}"
+        if m.group(3):  # x::type[] — array cast keeps the element type
+            return f"CAST({expr} AS ARRAY<{spark_type}>)"
         return f"CAST({expr} AS {spark_type})"
 
     pattern = re.compile(
@@ -173,17 +175,31 @@ def _rewrite_paren_casts(sql: str) -> str:
 
 
 def _rewrite_json_ops(sql: str) -> str:
-    """a ->> 'k' / a -> 'k' / a ? 'k' → get_json_object forms."""
-    base = rf"({_IDENT}(?:\.{_IDENT})*|\)|\x00\d+\x00)"
-    # placeholders stand in for the key literals; resolve key text lazily via \x00 refs
+    """``a -> 'k'`` / ``a ->> 'k'`` / chains thereof / ``a ? 'k'``.
+
+    pg semantics via Spark's variant type: ``->`` returns the element AS
+    JSON (strings stay quoted, objects compact) = ``to_json(variant_get)``;
+    ``->>`` returns the unwrapped text = ``CAST(variant_get AS STRING)``.
+    A whole chain ``a->'k1'->>'k2'`` collapses into ONE variant_get with a
+    concatenated path (constant-folded by Catalyst), which also fixes the
+    old per-step rewrite that mangled chained operators. A no-op ``::json``/
+    ``::jsonb`` cast on the base is absorbed."""
+    base = rf"({_IDENT}(?:\.{_IDENT})*|\x00\d+\x00)"
+
+    def repl(m: re.Match) -> str:
+        expr, ops = m.group(1), m.group(2)
+        steps = re.findall(r"(->>|->)\s*(\x00\d+\x00)", ops)
+        path_parts = ["'$'"] + [
+            f"'.', trim(BOTH '''' FROM {ph})" for _, ph in steps
+        ]
+        path = "concat(" + ", ".join(path_parts) + ")"
+        getter = f"try_variant_get(parse_json({expr}), {path})"
+        return (f"CAST({getter} AS STRING)" if steps[-1][0] == "->>"
+                else f"to_json({getter})")
+
     sql = re.sub(
-        base + r"\s*->>\s*(\x00\d+\x00)",
-        r"get_json_object(\1, concat('$.', trim(BOTH '''' FROM \2)))",
-        sql,
-    )
-    sql = re.sub(
-        base + r"\s*->\s*(\x00\d+\x00)",
-        r"get_json_object(\1, concat('$.', trim(BOTH '''' FROM \2)))",
+        base + r"(?:\s*::\s*jsonb?\b)?((?:\s*->>?\s*\x00\d+\x00)+)",
+        repl,
         sql,
     )
     sql = re.sub(
@@ -215,11 +231,238 @@ def _rewrite_any_string_array(sql: str, literals: list[str]) -> str:
     )
 
 
-def _rewrite_functions(sql: str) -> str:
-    # encode(sha256(x), 'hex') → sha2(x, 256): placeholder is the 'hex' literal
+_RENAMED_FUNCS = (
+    "to_char", "jsonb_object_agg", "json_object_agg", "json_build_object",
+    "jsonb_build_object", "json_array_elements", "jsonb_array_elements",
+    "jsonb_pretty", "jsonb_array_length", "jsonb_extract_path_text",
+    "row_to_json", "string_to_array", "array_to_string", "array_upper",
+    "array_length", "strpos",
+)
+_BAL2 = r"(?:[^()]|\((?:[^()]|\([^()]*\))*\))*"
+
+
+def _alias_renamed_funcs(sql: str) -> str:
+    """pg names an unaliased select item after its function (B15); later
+    rewrites rename these functions, so pin the pg name with an explicit
+    alias while the original spelling is still visible. Only fires when the
+    call is itself a whole select-list item with no alias."""
+    for fn in _RENAMED_FUNCS:
+        sql = re.sub(
+            rf"(SELECT\s+|,\s*)({fn}\s*\({_BAL2}\))"
+            rf"(?=\s*(?:,|FROM\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|UNION\b|;|\s*$))",
+            rf"\1\2 AS {fn}",
+            sql,
+            flags=re.IGNORECASE,
+        )
+    return sql
+
+
+def _rewrite_ref_funcs(sql: str, literals: list[str]) -> str:
+    """Literal-aware remaps mirroring reference macros the generic function
+    table can't express (query_remapper_function.go:17-72)."""
+
+    def _lit(ph: str) -> str:
+        return literals[int(ph.strip("\x00"))][1:-1]  # strip quotes
+
+    def _new_ph(text: str) -> str:
+        literals.append("'" + text.replace("'", "''") + "'")
+        return f"\x00{len(literals) - 1}\x00"
+
+    # jsonb_pretty('…'::jsonb) — constant-fold literal args to pg/DuckDB's
+    # 4-space pretty form
+    def pretty(m: re.Match) -> str:
+        import json as _json
+
+        try:
+            return _new_ph(_json.dumps(_json.loads(_lit(m.group(1))), indent=4))
+        except Exception:  # noqa: BLE001 — non-JSON literal: leave as-is
+            return m.group(0)
+
     sql = re.sub(
-        r"encode\s*\(\s*sha256\s*\(([^()]*)\)\s*,\s*\x00\d+\x00\s*\)",
+        r"jsonb_pretty\s*\(\s*(\x00\d+\x00)\s*(?:::\s*jsonb?)?\s*\)",
+        pretty,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # '…'::jsonb / ::json literal casts normalize to compact JSON (DuckDB's
+    # JSON type renders compact; pg jsonb also normalizes)
+    def compact(m: re.Match) -> str:
+        import json as _json
+
+        try:
+            return _new_ph(
+                _json.dumps(_json.loads(_lit(m.group(1))), separators=(",", ":"))
+            )
+        except Exception:  # noqa: BLE001
+            return m.group(1)
+
+    sql = re.sub(r"(\x00\d+\x00)\s*::\s*JSONB\b", compact, sql, flags=re.IGNORECASE)
+    # jsonb_extract_path_text(x, 'k1'[, 'k2'…]) / (x, VARIADIC ARRAY['k'])
+    def extract_path(m: re.Match) -> str:
+        src = m.group(1)
+        keys = re.findall(r"\x00\d+\x00", m.group(2))
+        path = "$." + ".".join(_lit(k) for k in keys)
+        return f"get_json_object({src}, {_new_ph(path)})"
+
+    sql = re.sub(
+        r"jsonb?_extract_path_text\s*\(\s*([^,()]+?)\s*,\s*"
+        r"((?:VARIADIC\s+)?(?:ARRAY\s*\[|array\s*\()?\s*\x00\d+\x00"
+        r"(?:\s*,\s*\x00\d+\x00)*\s*[\]\)]?)\s*\)",
+        extract_path,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # array_to_string('[1, 2, 3]', sep): string-literal first arg is parsed
+    # as a JSON array (DuckDB's implicit VARCHAR→LIST cast)
+    def a2s_literal(m: re.Match) -> str:
+        if not _lit(m.group(1)).lstrip().startswith("["):
+            return m.group(0)
+        return f"array_join(from_json({m.group(1)}, 'array<string>'),"
+
+    sql = re.sub(
+        r"array_to_string\s*\(\s*(\x00\d+\x00)\s*,",
+        a2s_literal,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # 'ns.func'::regproc — pg renders regproc without the namespace
+    sql = re.sub(
+        r"(\x00\d+\x00)\s*::\s*(?:pg_catalog\s*\.\s*)?regproc\b",
+        lambda m: _new_ph(_lit(m.group(1)).rsplit(".", 1)[-1]),
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # json_build_object with literal keys: emit keys in sorted order (DuckDB's
+    # json_object sorts keys; pg clients see that ordering from the reference)
+    def build_sorted(m: re.Match) -> str:
+        args = _split_top_level(m.group(2))
+        if len(args) % 2 or not all(
+            re.fullmatch(r"\x00\d+\x00", args[i].strip()) for i in range(0, len(args), 2)
+        ):
+            return m.group(0)
+        pairs = sorted(
+            (args[i].strip(), args[i + 1].strip()) for i in range(0, len(args), 2)
+        )
+        pairs.sort(key=lambda kv: _lit(kv[0]))
+        inner = ", ".join(f"{k}, {v}" for k, v in pairs)
+        return f"{m.group(1)}({inner})"
+
+    sql = re.sub(
+        rf"(jsonb?_build_object)\s*\(({_BAL2})\)",
+        build_sorted,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # unaliased select-item `x -> 'k'` / `x ->> 'k'`: the reference names the
+    # output column `<col>_<key>` (its remapper's generated alias); pin it
+    # before the operator rewrite erases the spelling
+    def json_item_alias(m: re.Match) -> str:
+        key = re.sub(r"\W", "_", _lit(m.group(4)))
+        return f"{m.group(1)}{m.group(2)} AS {m.group(3)}_{key}"
+
+    sql = re.sub(
+        rf"(SELECT\s+|,\s*)(({_IDENT})\s*(?:::\s*jsonb?\s*)?->>?\s*(\x00\d+\x00))"
+        rf"(?=\s*(?:,|FROM\b))",
+        json_item_alias,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # pg array literal cast to an array type: '{a,b}'::text[] → array('a','b')
+    def pg_array_cast(m: re.Match) -> str:
+        body = _lit(m.group(1))
+        if not (body.startswith("{") and body.endswith("}")):
+            return m.group(0)
+        items = [v.strip().strip('"') for v in body[1:-1].split(",") if v.strip()]
+        if m.group(2).lower() in ("int2", "int4", "int8", "int", "integer", "bigint"):
+            return "array(" + ", ".join(items) + ")"
+        return "array(" + ", ".join(_new_ph(v) for v in items) + ")"
+
+    sql = re.sub(
+        r"(\x00\d+\x00)\s*::\s*(?:pg_catalog\s*\.\s*)?"
+        r"(text|varchar|int2|int4|int8|int|integer|bigint|name)\s*\[\s*\]",
+        pg_array_cast,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # FORMAT(…)::regclass — a computed (non-literal) regclass stays
+    # unresolved → NULL, exactly like the reference, whose parse-time
+    # regclass rewrite only folds constants (parser_type_cast.go:90-206)
+    sql = re.sub(
+        r"(FORMAT\s*\((?:[^()]|\([^()]*\))*\))\s*::\s*regclass\b",
+        r"CAST(NULL AS BIGINT)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # single-row VALUES with a column-aliased derived table → plain SELECT
+    # (lets pg-isms inside the row, e.g. '…'::regclass scalar subqueries,
+    # survive — Spark rejects subqueries in VALUES)
+    def values_row(m: re.Match) -> str:
+        vals = _split_top_level(m.group(1))
+        cols = [c.strip() for c in m.group(3).split(",")]
+        if len(vals) != len(cols):
+            return m.group(0)
+        items = ", ".join(f"{v.strip()} AS {c}" for v, c in zip(vals, cols))
+        return f"(SELECT {items}) {m.group(2)}"
+
+    sql = re.sub(
+        rf"\(\s*VALUES\s*\(({_BAL2})\)\s*\)\s+(\w+)\s*\(([^()]*)\)",
+        values_row,
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a comma-separated arg list at paren/bracket depth 0."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur or out:
+        out.append("".join(cur))
+    return out
+
+
+def _rewrite_functions(sql: str) -> str:
+    # encode(sha256(x), 'hex'[::text]) → sha2(x, 256): placeholder is the
+    # 'hex' literal, optionally cast (clients send both spellings)
+    sql = re.sub(
+        r"encode\s*\(\s*sha256\s*\(([^()]*)\)\s*,\s*\x00\d+\x00\s*(?:::\s*\w+)?\s*\)",
         r"sha2(\1, 256)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # jsonb_array_length → Spark's builtin (reference macro maps the same,
+    # query_remapper_function.go:45)
+    sql = re.sub(
+        r"\bjsonb_array_length\s*\(", "json_array_length(", sql, flags=re.IGNORECASE
+    )
+    # agg FILTER on rewritten-to-composite aggregates: jsonb_agg(x) FILTER
+    # (WHERE c) — Spark's FILTER clause can't attach to the to_json wrapper,
+    # so fold the predicate into the collected expression (collect_list skips
+    # NULLs, which is exactly pg's FILTER semantics here)
+    def jsonb_agg_filter(m: re.Match) -> str:
+        elem, cond = m.group(1), m.group(2)
+        if "->>" not in elem and "->" in elem:
+            # the element is already JSON text (`->` keeps quoting) —
+            # assemble the array textually instead of double-encoding
+            return (f"concat('[', concat_ws(',', "
+                    f"collect_list(CASE WHEN ({cond}) THEN ({elem}) END)), ']')")
+        # the space after to_json( keeps this already-balanced form out of
+        # _balance_double_open's "to_json(collect_list(" marker below
+        return f"to_json( collect_list(CASE WHEN ({cond}) THEN ({elem}) END))"
+
+    sql = re.sub(
+        rf"\b(?:jsonb_agg|json_agg)\s*\(({_BAL2})\)\s*FILTER\s*\(\s*WHERE\s+({_BAL2})\)",
+        jsonb_agg_filter,
         sql,
         flags=re.IGNORECASE,
     )
@@ -398,10 +641,18 @@ def _rewrite_pg_macros(sql: str) -> str:
     these as engine macros, query_remapper_function.go:14-112). Runs on the
     string-shielded text; inserted literals survive unshielding because only
     \\x00N\\x00 placeholders are resolved."""
-    from bemidb_spark.pgcompat.catalog_views import format_type_case_sql
+    from bemidb_spark.pgcompat.catalog_views import PG_USER, format_type_case_sql
 
+    # set_config(name, value, is_local) returns the value (reference macro,
+    # query_remapper_function.go:35) — capture before the generic folds
+    sql = re.sub(
+        r"set_config\s*\(\s*[^,()]+,\s*([^,()]+),\s*[^()]+\)",
+        r"\1",
+        sql,
+        flags=re.IGNORECASE,
+    )
     simple = {
-        r"pg_get_userbyid\s*\([^()]*\)": "'bemidb'",
+        r"pg_get_userbyid\s*\([^()]*\)": f"'{PG_USER}'",
         r"pg_table_is_visible\s*\([^()]*\)": "true",
         r"pg_function_is_visible\s*\([^()]*\)": "true",
         r"pg_get_expr\s*\([^()]*\)": "CAST(NULL AS STRING)",
@@ -411,10 +662,20 @@ def _rewrite_pg_macros(sql: str) -> str:
         r"pg_get_triggerdef\s*\([^()]*\)": "''",
         r"pg_get_partkeydef\s*\([^()]*\)": "CAST(NULL AS STRING)",
         r"pg_get_statisticsobjdef_columns\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_viewdef\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_function_identity_arguments\s*\([^()]*\)": "''",
+        r"pg_tablespace_location\s*\([^()]*\)": "''",
+        r"pg_encoding_to_char\s*\([^()]*\)": "'UTF8'",
+        r"pg_cancel_backend\s*\([^()]*\)": "true",
+        r"pg_relation_is_publishable\s*\([^()]*\)": "CAST(NULL AS BOOLEAN)",
+        r"has_database_privilege\s*\([^()]*\)": "true",
+        r"has_schema_privilege\s*\([^()]*\)": "true",
+        r"has_table_privilege\s*\([^()]*\)": "true",
         r"pg_(?:total_relation|relation|table|indexes)_size\s*\([^()]*\)": "CAST(0 AS BIGINT)",
         r"pg_size_pretty\s*\((?:[^()]|\([^()]*\))*\)": "'0 bytes'",
         r"(?:obj|col|shobj)_description\s*\([^()]*\)": "CAST(NULL AS STRING)",
-        r"pg_get_keywords\s*\(\s*\)": "pg_keywords_view",
+        # table alias preserves `pg_get_keywords.word`-style qualified refs
+        r"pg_get_keywords\s*\(\s*\)": "pg_keywords_view AS pg_get_keywords",
     }
     for pat, repl in simple.items():
         sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
@@ -433,12 +694,41 @@ def _rewrite_pg_macros(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
-    # aclexplode(acl) -> empty grant table (we model a single superuser).
+    # aclexplode in FROM position: a set-returning call over NULL acls
+    # yields zero rows (pg semantics; we model a single superuser with NULL
+    # acls)
+    sql = re.sub(
+        r"\b(FROM|JOIN|,)\s*aclexplode\s*\([^()]*\)",
+        r"\1 (SELECT CAST(NULL AS BIGINT) AS grantor, "
+        r"CAST(NULL AS BIGINT) AS grantee, "
+        r"CAST(NULL AS STRING) AS privilege_type, "
+        r"CAST(NULL AS BOOLEAN) AS is_grantable WHERE FALSE)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # aclexplode(acl) -> NULL grant struct (we model a single superuser with
+    # NULL acls, like the reference's json(NULL) macro result) — composite
+    # field access (d).grantee then yields NULL per field.
     sql = re.sub(
         r"aclexplode\s*\([^()]*\)",
-        "(SELECT CAST(NULL AS BIGINT) AS grantor, CAST(NULL AS BIGINT) AS grantee, "
-        "CAST(NULL AS STRING) AS privilege_type, CAST(NULL AS BOOLEAN) AS is_grantable "
-        "WHERE 1 = 0)",
+        "CAST(NULL AS STRUCT<grantee: STRING, grantor: STRING, "
+        "is_grantable: STRING, privilege_type: STRING>)",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # (information_schema._pg_expandarray(arr)).x / .n — the composite-access
+    # form psql's \d index queries use: a per-element generator in the select
+    # list (pg: setof (x, n); n is the 1-based position).
+    def expand_field(m: re.Match) -> str:
+        arr, field, alias = m.group(1), m.group(2).lower(), m.group(3)
+        gen = (f"explode({arr})" if field == "x"
+               else f"explode(transform({arr}, (_v, _i) -> CAST(_i + 1 AS INT)))")
+        return f"{gen}{alias or ' AS ' + field}"
+
+    sql = re.sub(
+        r"\(\s*(?:information_schema\s*\.\s*)?_pg_expandarray\s*"
+        r"\(((?:[^()]|\([^()]*\))+)\)\s*\)\s*\.\s*(x|n)\b(\s+AS\s+\w+)?",
+        expand_field,
         sql,
         flags=re.IGNORECASE,
     )
@@ -450,6 +740,8 @@ def _rewrite_pg_macros(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # pg composite-field access `(d).field` -> struct access `d.field`
+    sql = re.sub(rf"\(\s*({_IDENT})\s*\)\s*\.\s*({_IDENT})", r"\1.\2", sql)
     # COLLATE clauses have no Spark equivalent; our collation is binary.
     sql = re.sub(
         rf"\s+COLLATE\s+(?:pg_catalog\.)?(?:{_IDENT}|`[^`]*`|\x00\d+\x00)",
@@ -462,14 +754,30 @@ def _rewrite_array_sublink(sql: str) -> str:
     """ARRAY(SELECT x FROM ... ORDER BY x) -> array_sort(collect_list(x))
     scalar subquery (the sorted sublink form clients actually send; pg's
     ARRAY sublink, parser reference query_remapper_select.go ARRAY handling).
-    Unordered or differently-ordered sublinks are left for Spark to reject
-    loudly rather than silently reordering."""
-    return re.sub(
+    The general ordered form (ORDER BY a different key) sorts a (key, value)
+    struct array and projects the values back out; an unordered sublink is a
+    plain collect_list."""
+    sql = re.sub(
         r"ARRAY\s*\(\s*SELECT\s+(\w+(?:\.\w+)?)\s+FROM\s+(.*?)\s+ORDER\s+BY\s+\1\s*\)",
         r"(SELECT array_sort(collect_list(\1)) FROM \2)",
         sql,
         flags=re.IGNORECASE | re.DOTALL,
     )
+    sql = re.sub(
+        r"ARRAY\s*\(\s*SELECT\s+((?:[^()]|\([^()]*\))+?)\s+FROM\s+(.*?)"
+        r"\s+ORDER\s+BY\s+(\w+(?:\.\w+)?)\s*\)",
+        r"(SELECT transform(array_sort(collect_list(struct(\3 AS _o, \1 AS _v))), "
+        r"s -> s._v) FROM \2)",
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    sql = re.sub(
+        r"ARRAY\s*\(\s*SELECT\s+((?:[^()]|\([^()]*\))+?)\s+FROM\s+((?:[^()]|\([^()]*\))*?)\s*\)",
+        r"(SELECT collect_list(\1) FROM \2)",
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    return sql
 
 
 def _rewrite_array_literal(sql: str) -> str:
@@ -489,7 +797,7 @@ def _rewrite_array_literal(sql: str) -> str:
         sql = sql[:m.start()] + "array(" + sql[m.end():i - 1] + ")" + sql[i:]
 
 
-_SRF_ARGS = r"((?:[^()\x00]|\x00\d+\x00|\([^()]*\))*)"
+_SRF_ARGS = r"((?:[^()\x00]|\x00\d+\x00|\((?:[^()]|\([^()]*\))*\))*)"
 
 
 def _rewrite_srf(sql: str) -> str:
@@ -506,7 +814,7 @@ def _rewrite_srf(sql: str) -> str:
         return (f"{kw} (SELECT explode(sequence({args})) AS {col}) AS {alias}")
 
     sql = re.sub(
-        rf"\b(FROM|JOIN|,)\s*generate_series\s*\({_SRF_ARGS}\)"
+        rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?generate_series\s*\({_SRF_ARGS}\)"
         rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
         series_from,
         sql,
@@ -559,17 +867,43 @@ def _rewrite_srf(sql: str) -> str:
     def json_elems_from(m: re.Match) -> str:
         kw, args = m.group(1), m.group(3)
         alias = m.group(4) or "jsonb_array_elements"
-        col = m.group(5) or "value"
+        # pg: this SRF returns setof json (a scalar), so a bare table alias
+        # names the output COLUMN too; default column name is `value`
+        col = m.group(5) or m.group(4) or "value"
+        # elements pass through the variant type so each row is canonical
+        # compact JSON (what pg/DuckDB emit), not a raw substring; the _text
+        # variant unwraps scalars to bare text instead
+        unwrap = "CAST(_v AS STRING)" if m.group(2).lower().endswith("_text") else "to_json(_v)"
+        elems = f"transform(from_json({args}, 'array<variant>'), _v -> {unwrap})"
         # pg auto-LATERALs SRFs in FROM; Spark needs the keyword for a
         # correlated derived table after a comma/JOIN
         lat = " LATERAL" if kw.strip() in (",", "JOIN", "join") else ""
-        return (f"{kw}{lat} (SELECT explode(from_json({args}, 'array<string>')) "
+        return (f"{kw}{lat} (SELECT explode({elems}) "
                 f"AS {col}) AS {alias}")
 
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?(jsonb?_array_elements(?:_text)?)\s*\({_SRF_ARGS}\)"
         rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
         json_elems_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+    # select-list form: SELECT json_array_elements('[…]') — a generator
+    # expression named after the function (pg's default output name), unless
+    # _alias_renamed_funcs already pinned an alias
+    def json_elems_sel(m: re.Match) -> str:
+        fn, args = m.group(1), m.group(2)
+        unwrap = "CAST(_v AS STRING)" if fn.lower().endswith("_text") else "to_json(_v)"
+        base = (f"explode(transform(from_json({args}, 'array<variant>'), "
+                f"_v -> {unwrap}))")
+        tail = m.string[m.end():]
+        has_alias = re.match(r"\s+AS\s", tail, re.IGNORECASE) is not None
+        return base if has_alias else f"{base} AS {fn.lower()}"
+
+    sql = re.sub(
+        rf"\b(jsonb?_array_elements(?:_text)?)\s*\({_SRF_ARGS}\)",
+        json_elems_sel,
         sql,
         flags=re.IGNORECASE,
     )
@@ -1189,12 +1523,16 @@ def transpile(sql: str) -> str:
     shielded, literals = _shield_strings(sql)
     shielded = _rewrite_quoted_idents(shielded)
     shielded = _alias_bare_literals(shielded)
+    shielded = _alias_renamed_funcs(shielded)
+    # main.<fn>( — clients address the reference's macro schema directly
+    shielded = re.sub(r"\bmain\s*\.\s*(?=\w+\s*\()", "", shielded, flags=re.IGNORECASE)
     shielded = _rewrite_tables(shielded)
     shielded = _rewrite_distinct_on(shielded)
     shielded = _rewrite_array_sublink(shielded)
     shielded = _rewrite_array_literal(shielded)
     shielded = _rewrite_srf(shielded)
     shielded = _rewrite_pg_macros(shielded)
+    shielded = _rewrite_ref_funcs(shielded, literals)
     shielded = _rewrite_functions(shielded)
     shielded = _rewrite_to_char(shielded, literals)
     shielded = _rewrite_string_to_array(shielded, literals)
@@ -1220,6 +1558,22 @@ def transpile(sql: str) -> str:
         r"\bFOR\s+(?:NO\s+KEY\s+)?(?:UPDATE|KEY\s+SHARE|SHARE)"
         r"(?:\s+OF\s+[\w.\s,\"]+?)?(?:\s+NOWAIT|\s+SKIP\s+LOCKED)?\s*(?=;|\)|$)",
         "",
+        shielded,
+        flags=re.IGNORECASE,
+    )
+    # pg folds unquoted identifiers to lowercase — column aliases included
+    # (`AS CASE` → column "case"); quoted ones are backticked by now and
+    # unaffected. CAST type names (also written after AS) are left alone.
+    _TYPEISH = {
+        "string", "bigint", "int", "integer", "smallint", "tinyint", "long",
+        "double", "float", "real", "decimal", "numeric", "boolean", "date",
+        "timestamp", "timestamp_ntz", "binary", "array", "map", "struct",
+        "varchar", "char", "interval", "variant", "byte", "short", "void",
+    }
+    shielded = re.sub(
+        r"\bAS\s+([A-Za-z_][A-Za-z0-9_]*)",
+        lambda m: m.group(0) if m.group(1).lower() in _TYPEISH
+        else "AS " + m.group(1).lower(),
         shielded,
         flags=re.IGNORECASE,
     )

@@ -106,11 +106,25 @@ def _encode_value(v, dt: T.DataType, field: T.StructField | None = None) -> str 
     if isinstance(dt, T.BinaryType):
         return "\\x" + bytes(v).hex()
     if isinstance(dt, T.TimestampNTZType | T.TimestampType):
-        return v.strftime("%Y-%m-%d %H:%M:%S") + (
+        text = v.strftime("%Y-%m-%d %H:%M:%S") + (
             f".{v.microsecond:06d}".rstrip("0") if v.microsecond else ""
         )
+        # a COMPUTED timestamptz (no stored-column pg tag) renders with its
+        # UTC offset, exactly like the reference's engine output
+        # (query_handler_test.go date_trunc golden: "… 00:00:00+00:00");
+        # STORED timestamptz columns lost their zone at ingest in the
+        # reference and render naive — the pg tag marks those.
+        if isinstance(dt, T.TimestampType) and not pg:
+            text += "+00:00"
+        return text
     if isinstance(dt, T.DateType):
         return v.isoformat()
+    if isinstance(dt, T.DayTimeIntervalType):
+        total_us = round(v.total_seconds() * 1_000_000)
+        days, rem = divmod(total_us, 86_400_000_000)
+        return f"0 months {days} days {rem} microseconds"
+    if isinstance(dt, T.YearMonthIntervalType):
+        return f"{int(v)} months 0 days 0 microseconds"
     if isinstance(dt, T.ArrayType):
         inner = ",".join(
             "NULL" if x is None else _array_elem(_encode_value(x, dt.elementType))
@@ -124,7 +138,9 @@ def _array_elem(s: str | None) -> str:
     if s is None:
         return "NULL"
     if s == "" or any(c in s for c in ' ,{}"\\'):
-        return '"' + s.replace("\\", "\\\\").replace('"', '\\"') + '"'
+        # CSV-style quoting — embedded quotes double — matching the
+        # reference's array writer (response_handler.go:332-369)
+        return '"' + s.replace('"', '""') + '"'
     return s
 
 

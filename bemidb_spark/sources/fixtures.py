@@ -52,7 +52,7 @@ _COLUMNS: list[tuple[str, str, str | None, str | None]] = [
     ("point_column", "point", "(37.347301483154,45.002101898193)", None),
     ("inet_column", "inet", "192.168.0.1", None),
     ("json_column", "json", '{"key": "value"}', None),
-    ("jsonb_column", "jsonb", '{"key": "value", "nestedKey": {"key": "value"}}', "{}"),
+    ("jsonb_column", "jsonb", '{"key": "value", "nestedKey": { "key": "value" }}', "{}"),
     ("array_text_column", "_text", "{one,two,three}", None),
     ("array_int_column", "_int4", "{1,2,3}", "{}"),
     ("array_jsonb_column", "_jsonb",

@@ -34,7 +34,12 @@ from bemidb_spark.sources.catalog import Catalog
 
 def _columns_meta(df: DataFrame) -> list[dict]:
     return [
-        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+        {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable,
+         # logical pg type tag (time/timetz/interval/json/...) — the catalog
+         # carries it so introspection (udt_name, wire OIDs) can report the
+         # SOURCE type a storage-widened column came from (the reference
+         # stores the same in its catalog's columns JSONB)
+         **({"pg": f.metadata["pg_type"]} if f.metadata.get("pg_type") else {})}
         for f in df.schema.fields
     ]
 

@@ -121,7 +121,9 @@ def test_wire_bool_bytea_array_rendering(wire_client):
         "t",
         "\\x48656c6c6f",
         "{1,2,3}",
-        '{"{\\"key\\": \\"value1\\"}","{\\"key\\": \\"value2\\"}"}',
+        # CSV-style array-element quoting: embedded quotes double
+        # (reference response_handler.go:332-369)
+        '{"{""key"": ""value1""}","{""key"": ""value2""}"}',
     ]]
 
 

@@ -1,0 +1,78 @@
+"""Documented deviations from the reference's golden corpus
+(query_handler_test.go) — every entry is a DELIBERATE divergence, each more
+pg-faithful or more precise than the reference's behavior (or an
+engine-internal identifier that cannot meaningfully match). The parity
+harness (tools/ref_parity.py) treats these as expected mismatches (DEV) and
+fails on anything else. README §Deviations carries the same list in prose.
+
+Key → substring of the corpus query; value → why we diverge.
+"""
+
+_EXACT_INTS = (
+    "exact integer rendering: the reference routes DECIMAL(38,0)-stored "
+    "int8/hugeint/xid8 through Go float64 and emits scientific notation "
+    "with precision loss (query_handler_test.go:774-791); we keep the exact "
+    "value, as pg does"
+)
+_UDT_PRESERVED = (
+    "udt_name reports the TRUE pg type: the reference reports its own "
+    "storage-widened type (int8→numeric, timestamptz→timestamp after "
+    "dropping the zone); we preserve int8/timestamptz"
+)
+
+DEVIATIONS: dict[str, str] = {
+    "LEFT JOIN pg_extension ON rel.oid": (
+        "relation oids are engine-assigned (ours 16384+, the reference "
+        "leaks DuckDB's internal 1978); no client semantics attach to the "
+        "specific number"
+    ),
+    "FROM information_schema.tables WHERE table_schema = 'postgres'": (
+        "table_catalog reports the configured database name; the reference "
+        "leaks DuckDB's in-memory catalog name 'memory'"
+    ),
+    "column_name = 'int8_column'": _UDT_PRESERVED,
+    "column_name = 'timestamptz_column'": _UDT_PRESERVED,
+    "column_name = 'timestamptz_ms_column'": _UDT_PRESERVED,
+    "SELECT int8_column FROM postgres.test_table": _EXACT_INTS,
+    "SELECT hugeint_column FROM postgres.test_table": _EXACT_INTS,
+    "SELECT xid8_column FROM postgres.test_table": _EXACT_INTS,
+    "float4_column = 3.14": (
+        "pg semantics: float4 = 3.14 promotes the column to float8 "
+        "(3.1400001049…) ≠ 3.14, so pg returns no row; the reference's "
+        "engine casts the literal DOWN to float and matches"
+    ),
+    "float4_column != 3.14": (
+        "same float4-vs-double comparison rule as float4_column = 3.14"
+    ),
+    "SELECT numeric_column FROM postgres.test_table WHERE bool_column = FALSE": (
+        "numeric text keeps the declared scale (-12345.00), as pg renders "
+        "it; the reference's engine trims trailing zeros"
+    ),
+    "numeric_column_without_precision IS NOT": (
+        "scale-preserving numeric rendering (see numeric_column deviation)"
+    ),
+    "date_column LIMIT 1 OFFSET 1": (
+        "far-future dates clamp at year 9999 (Python/Spark proleptic "
+        "calendar limit; README §Deviations) — the reference stores year "
+        "20025 verbatim"
+    ),
+    "SELECT interval_column FROM postgres.test_table": (
+        "stored intervals render pg-style ('1 months 2 days 3601000001 "
+        "microseconds'); the reference leaks its raw µs decimal through "
+        "float64 ('2.806201000001e+12')"
+    ),
+    "rolname = current_user": (
+        "current_user folds to the configured database user, so pg_roles "
+        "returns that user's row — pg behavior; the reference's engine-level "
+        "current_user differs from its configured user and matches nothing"
+    ),
+    "nsp.oid = 1980": (
+        "namespace oids are engine-assigned (ours 2200+); 1980 is a DuckDB "
+        "internal id with no portable meaning"
+    ),
+    "WITH schema AS": (
+        "the reference renames the alias to schema_ to dodge an engine "
+        "keyword clash (SURVEY B14) and that leaks into its output column "
+        "name; pg (and we) return the alias as written"
+    ),
+}
