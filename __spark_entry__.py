@@ -92,6 +92,11 @@ _PRIORITY = [
     "streaming_dedup_keys",
     "streaming_click_purchase_join",
     "streaming_stateful_user_profiles",
+    # added in round 3 after the rotation above (no CORRECTNESS row yet);
+    # queue directly behind the never-checked block
+    "dedup_cluster_survivors",
+    "mixture_temperature_weights",
+    "seq_len_buckets",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -263,6 +263,70 @@ QUERIES["dedup_dup_clusters"] = _dup_clusters_spark
 ORACLES["dedup_dup_clusters"] = _DUP_CLUSTERS_DUCK
 
 
+def _cluster_survivors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best survivor selection over the duplicate clusters: detect →
+    cluster → pick ONE canonical document per cluster by quality (longest
+    `n_chars`, doc_id tie-break) and mark the rest for dropping. This is the
+    retention *policy* step every production dedup pipeline runs after
+    clustering (keeping the longest/highest-quality member, not an arbitrary
+    min-id); `dedup_dup_clusters`' is_canonical is the graph label, this is
+    the quality decision. One window over the (small) clustered subset — the
+    unclustered corpus never enters the plan."""
+    from pyspark.sql.window import Window
+
+    clusters = _dup_clusters_spark(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            "n_chars",
+            F.when(F.col("rk") == 1, 1).otherwise(0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTER_SURVIVORS_DUCK = f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql(False)})),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id),
+    ranked AS (
+      SELECT l.doc_id, l.cluster_id, s.cluster_size, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                                ORDER BY d.n_chars DESC, l.doc_id) AS rk
+      FROM labels l
+      JOIN sizes s ON l.cluster_id = s.cluster_id
+      JOIN documents d ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, cluster_id, cluster_size, n_chars,
+           CASE WHEN rk = 1 THEN 1 ELSE 0 END AS keep
+    FROM ranked
+    ORDER BY doc_id
+"""
+
+QUERIES["dedup_cluster_survivors"] = _cluster_survivors_spark
+ORACLES["dedup_cluster_survivors"] = _CLUSTER_SURVIVORS_DUCK
+
+
 # ---------------------------------------------------------------------------
 # sequence packing: token-budget contiguous bin-packing for training batches
 # ---------------------------------------------------------------------------

@@ -514,3 +514,97 @@ def _vocab_coverage_sql(spark: bool) -> str:
 
 
 _register("vocab_coverage_score", _vocab_coverage_sql(True), _vocab_coverage_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling (multilingual-LM style, T = 0.5)
+# ---------------------------------------------------------------------------
+TEMP_FP_SCALE = 140737488355328  # 2^47: fixed-point scale for the normalizer
+
+
+def _temperature_sql(spark: bool) -> str:
+    """Temperature sampling weights per (source, lang): p_i ∝ share_i^T with
+    T = 1/2 — the standard way multilingual/multi-source LM training upsamples
+    low-resource groups without letting any group dominate (T=1 keeps natural
+    proportions, T→0 goes uniform; sqrt is the common middle ground).
+    Complements `mixture_resample_weights` (capped uniform target): this one
+    is a smooth power-law reweighting, that one a hard cap.
+
+    Determinism across engines: share_i is one exact integer division;
+    share^0.5 is SQRT — the only *IEEE-exact* power, which is why T = 1/2 is
+    implemented with SQRT and not POWER (libm pow is not correctly rounded on
+    either engine). The normalizer Σ sqrt(share) would be an order-dependent
+    float sum, so each sqrt is fixed-point quantized (×2^47, ~15 significant
+    digits — beyond double's ulp at these magnitudes) and summed as exact
+    BIGINTs. One aggregate over the corpus, a groups-count-sized table out —
+    at 100 TB the weights broadcast back onto the corpus like any sampler
+    table."""
+    ntok = ("size(split(text, ' '))" if spark else "len(string_split(text, ' '))")
+    share = "CAST(g.n_tokens AS DOUBLE) / t.tot_tokens"
+    return f"""
+    WITH g AS (
+      SELECT source, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM({ntok}) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT SUM(n_tokens) AS tot_tokens FROM g),
+    scaled AS (
+      SELECT g.source, g.lang, g.n_docs, g.n_tokens,
+             {share} AS actual_share,
+             CAST(FLOOR(SQRT({share}) * {TEMP_FP_SCALE}) AS BIGINT) AS s_fp
+      FROM g CROSS JOIN tot t
+    ),
+    norm AS (SELECT SUM(s_fp) AS sum_fp FROM scaled)
+    SELECT s.source, s.lang, s.n_docs, s.n_tokens, s.actual_share,
+           CAST(s.s_fp AS DOUBLE) / n.sum_fp AS temp_share,
+           (CAST(s.s_fp AS DOUBLE) / n.sum_fp) / s.actual_share AS sampling_factor
+    FROM scaled s CROSS JOIN norm n
+    ORDER BY s.source, s.lang
+    """
+
+
+_register("mixture_temperature_weights", _temperature_sql(True), _temperature_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# sequence-length histogram: power-of-2 buckets + padding-waste accounting
+# ---------------------------------------------------------------------------
+LEN_BUCKETS = [16, 32, 64, 128, 256, 512, 1024, 2048]
+
+
+def _len_buckets_sql(spark: bool) -> str:
+    """Token-length distribution in power-of-2 buckets, with the padding
+    waste a padded-batch loader would pay per bucket (bucket_size − n_tokens
+    summed) — the diagnostic that decides between padding and packing and
+    sizes `pack_sequences_budget`'s budget. The bucket assignment is an
+    integer CASE cascade (no log2: float log of an exact power boundary is
+    an ulp hazard across engines); one map-side-combinable aggregate, an
+    8-row table out."""
+    ntok = (
+        "CAST(size(split(text, ' ')) AS BIGINT)" if spark
+        else "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    )
+    cascade = " ".join(f"WHEN n <= {b} THEN {b}" for b in LEN_BUCKETS)
+    return f"""
+    WITH toks AS (SELECT doc_id, {ntok} AS n FROM documents),
+    b AS (
+      SELECT doc_id, n,
+             CASE {cascade} ELSE {LEN_BUCKETS[-1] * 2} END AS bucket
+      FROM toks
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS all_docs,
+                   SUM(n) AS all_tokens FROM b)
+    SELECT b.bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(b.n) AS bucket_tokens,
+           SUM(b.bucket - b.n) AS pad_tokens,
+           CAST(COUNT(*) AS DOUBLE) / t.all_docs AS doc_share,
+           CAST(SUM(b.n) AS DOUBLE) / t.all_tokens AS token_share
+    FROM b CROSS JOIN tot t
+    GROUP BY b.bucket, t.all_docs, t.all_tokens
+    ORDER BY b.bucket
+    """
+
+
+_register("seq_len_buckets", _len_buckets_sql(True), _len_buckets_sql(False))

@@ -1015,8 +1015,11 @@ def _alias_bare_literals(sql: str) -> str:
     otherwise name the column after the literal's content, which is
     indistinguishable from a column reference post-hoc). Depth-aware so
     literals inside IN (...) / function args are untouched."""
-    # token stream: placeholders, parens, commas, words
-    tokens = list(re.finditer(r"\x00\d+\x00|\(|\)|,|\b[A-Za-z_]\w*\b", sql))
+    # token stream: placeholders, parens/brackets, commas, words.
+    # Brackets count toward depth too: commas inside ARRAY[ 'a', f(x) ]
+    # (rewritten to array(...) only later) are element separators, not
+    # select-list separators.
+    tokens = list(re.finditer(r"\x00\d+\x00|[()\[\]]|,|\b[A-Za-z_]\w*\b", sql))
     # select-list depth tracking: a SELECT at depth d opens a list that ends
     # at FROM (same d) or at the ')' closing depth d
     select_depths: list[int] = []
@@ -1024,9 +1027,9 @@ def _alias_bare_literals(sql: str) -> str:
     insertions: list[int] = []  # positions where ' AS `?column?`' goes
     for i, t in enumerate(tokens):
         tx = t.group(0)
-        if tx == "(":
+        if tx in ("(", "["):
             depth += 1
-        elif tx == ")":
+        elif tx in (")", "]"):
             if select_depths and select_depths[-1] == depth:
                 select_depths.pop()
             depth -= 1

@@ -193,6 +193,14 @@ def parse_pg_array(text: str) -> list[str | None]:
                 i += 2
                 continue
             if ch == '"':
+                # `""` inside a quoted element is a literal quote (the
+                # CSV-doubling convention the wire encoder and the
+                # reference's encoding/csv writer emit); a lone `"` closes.
+                # pg's own output (`\"`) takes the backslash branch above.
+                if i + 1 < len(body) and body[i + 1] == '"':
+                    cur.append('"')
+                    i += 2
+                    continue
                 in_quotes = False
             else:
                 cur.append(ch)

@@ -138,9 +138,12 @@ def _array_elem(s: str | None) -> str:
     if s is None:
         return "NULL"
     if s == "" or any(c in s for c in ' ,{}"\\'):
-        # CSV-style quoting — embedded quotes double — matching the
-        # reference's array writer (response_handler.go:332-369)
-        return '"' + s.replace('"', '""') + '"'
+        # Embedded quotes double (CSV-style, matching the reference's
+        # encoding/csv array writer, response_handler.go:332-369 — golden-
+        # pinned); backslashes escape pg-style `\\` — the reference leaves
+        # them raw, which no pg client can parse back (encoding/csv never
+        # escapes backslash). parse_pg_array accepts both conventions.
+        return '"' + s.replace("\\", "\\\\").replace('"', '""') + '"'
     return s
 
 
