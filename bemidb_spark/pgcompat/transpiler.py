@@ -78,18 +78,39 @@ _CASTABLE = rf"(?:'(?:[^']|'')*'|\({_IDENT}(?:\.{_IDENT})*\)|{_IDENT}(?:\.{_IDEN
 
 
 def _shield_strings(sql: str) -> tuple[str, list[str]]:
-    """Replace string literals with placeholders so rules can't touch them."""
+    """Replace string literals with placeholders so rules can't touch them.
+
+    Captures both plain literals and pg escape-strings (``E'...'``, the E
+    kept in the stored text so _unshield can tell them apart)."""
     literals: list[str] = []
 
     def repl(m: re.Match) -> str:
         literals.append(m.group(0))
         return f"\x00{len(literals) - 1}\x00"
 
-    return re.sub(r"'(?:[^']|'')*'", repl, sql), literals
+    return re.sub(r"(?<![A-Za-z0-9_\x00])[Ee]'(?:[^']|'')*'|'(?:[^']|'')*'",
+                  repl, sql), literals
 
 
 def _unshield(sql: str, literals: list[str]) -> str:
-    return re.sub(r"\x00(\d+)\x00", lambda m: literals[int(m.group(1))], sql)
+    """Restore shielded literals with pg semantics intact.
+
+    pg defaults to standard_conforming_strings: ``'\\d+'`` is the two chars
+    backslash-d (and DuckDB agrees), while Spark's literal parser applies
+    C-style escapes (``'\\d'`` → ``d`` — silently corrupting every regex a
+    pg client sends). So plain literals get their backslashes doubled here —
+    the single escaping point for BOTH user literals and rule-generated ones
+    (whose stored text is likewise verbatim content). ``E'...'`` strings,
+    where pg itself applies C-style escapes, drop the E and keep the body
+    for Spark's own escape processing (same \\n/\\t/\\\\ core)."""
+
+    def restore(m: re.Match) -> str:
+        lit = literals[int(m.group(1))]
+        if lit[0] in "Ee":
+            return lit[1:]
+        return lit.replace("\\", "\\\\")
+
+    return re.sub(r"\x00(\d+)\x00", restore, sql)
 
 
 def _rewrite_casts(sql: str, literals: list[str]) -> str:
@@ -393,24 +414,80 @@ def _rewrite_ref_funcs(sql: str, literals: list[str]) -> str:
         sql,
         flags=re.IGNORECASE,
     )
-    # single-row VALUES with a column-aliased derived table → plain SELECT
-    # (lets pg-isms inside the row, e.g. '…'::regclass scalar subqueries,
-    # survive — Spark rejects subqueries in VALUES)
-    def values_row(m: re.Match) -> str:
-        vals = _split_top_level(m.group(1))
-        cols = [c.strip() for c in m.group(3).split(",")]
-        if len(vals) != len(cols):
-            return m.group(0)
-        items = ", ".join(f"{v.strip()} AS {c}" for v, c in zip(vals, cols))
-        return f"(SELECT {items}) {m.group(2)}"
-
-    sql = re.sub(
-        rf"\(\s*VALUES\s*\(({_BAL2})\)\s*\)\s+(\w+)\s*\(([^()]*)\)",
-        values_row,
-        sql,
-        flags=re.IGNORECASE,
-    )
+    sql = _rewrite_values_table(sql)
     return sql
+
+
+def _rewrite_values_table(sql: str) -> str:
+    """Column-aliased derived-table VALUES → UNION ALL of SELECTs.
+
+    ``(VALUES (r1…), (r2…)) t(c1, c2)`` becomes ``(SELECT r1c1 AS c1, …
+    UNION ALL SELECT r2c1 AS c1, …) t``. pg allows arbitrary expressions in
+    VALUES rows; Spark's inline tables reject anything it can't constant-
+    fold at analysis time (NULLIF, COALESCE over it, subqueries such as the
+    ``::regclass`` rewrite's scalar lookup), so every aliased VALUES table
+    is rewritten. Depth-aware scan, any expression nesting (the previous
+    regex capped at two paren levels and silently skipped deeper rows)."""
+    pat = re.compile(r"\(\s*VALUES\s*\(", re.IGNORECASE)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if not m:
+            return sql
+        rows = []
+        i = m.end() - 1  # at the '(' opening the first row
+        k = i
+        ok = True
+        while True:
+            depth, j = 0, i
+            while j < len(sql):
+                if sql[j] == "(":
+                    depth += 1
+                elif sql[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= len(sql):
+                ok = False
+                break
+            rows.append(sql[i + 1:j])
+            k = j + 1
+            while k < len(sql) and sql[k].isspace():
+                k += 1
+            if k < len(sql) and sql[k] == ",":
+                k += 1
+                while k < len(sql) and sql[k].isspace():
+                    k += 1
+                if k < len(sql) and sql[k] == "(":
+                    i = k
+                    continue
+                ok = False
+            break
+        if not ok or k >= len(sql) or sql[k] != ")":
+            pos = m.end()
+            continue
+        am = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(([^()]*)\)", sql[k + 1:],
+                      re.IGNORECASE)
+        if not am:
+            pos = m.end()
+            continue
+        alias = am.group(1)
+        cols = [c.strip() for c in am.group(2).split(",")]
+        split_rows = [_split_top_level(r) for r in rows]
+        if any(len(vals) != len(cols) for vals in split_rows):
+            pos = m.end()
+            continue
+        selects = " UNION ALL ".join(
+            "SELECT " + ", ".join(
+                f"{v.strip()} AS {c}" for v, c in zip(vals, cols)
+            )
+            for vals in split_rows
+        )
+        replacement = f"({selects}) {alias}"
+        end = k + 1 + am.end()
+        sql = sql[:m.start()] + replacement + sql[end:]
+        pos = m.start() + len(replacement)
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -595,10 +672,10 @@ def _rewrite_string_to_array(sql: str, literals: list[str]) -> str:
         expr, ph = m.group(1), m.group(2)
         lit = literals[int(ph.strip("\x00"))]
         delim = lit[1:-1].replace("''", "'")
-        # regex-escape for split(), then double the backslashes because
-        # Spark's string-literal parser itself consumes backslash escapes
+        # regex-escape for split(); _unshield doubles backslashes for
+        # Spark's literal parser (single escaping point for all literals)
         literals.append(
-            "'" + re.escape(delim).replace("\\", "\\\\").replace("'", "''") + "'")
+            "'" + re.escape(delim).replace("'", "''") + "'")
         return f"split({expr}, \x00{len(literals) - 1}\x00)"
 
     return re.sub(

@@ -716,11 +716,11 @@ class _Conn:
             if p is None:
                 val = "NULL"
             else:
-                # Spark string literals treat backslash as an escape (unlike
-                # pg standard_conforming_strings), so double it BEFORE the
-                # quote doubling or a param like C:\x corrupts / escapes the
-                # literal.
-                val = "'" + p.replace("\\", "\\\\").replace("'", "''") + "'"
+                # Splice as a pg-conforming literal (quotes doubled,
+                # backslashes verbatim): every execute path transpiles, and
+                # the transpiler's _unshield is the single point that doubles
+                # backslashes for Spark's escape-processing literal parser.
+                val = "'" + p.replace("'", "''") + "'"
             sql = sql.replace(f"${idx}", val)
         return sql
 
