@@ -58,6 +58,14 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
     cached = _CACHE.get(key)
     if cached is not None:
         return cached
+    # Size-aware execution profile for the dataset this session is binding
+    # to (small input → AQE off + reduced shuffle parallelism; large input →
+    # scale defaults). See session.apply_input_size_policy.
+    from bemidb_spark.session import apply_input_size_policy
+
+    apply_input_size_policy(
+        spark, [f"{sf_dir}/{name}.parquet" for name in TABLES]
+    )
     out = {}
     for name in TABLES:
         path = f"{sf_dir}/{name}.parquet"
