@@ -190,9 +190,24 @@ class PgSession:
     # bench) repeat a small set of statements; unbounded growth is a leak.
     PLAN_CACHE_MAX = 256
 
-    def __init__(self, spark: SparkSession, catalog: Catalog | None = None) -> None:
-        self.spark = spark
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog | None = None,
+        isolate: bool = False,
+    ) -> None:
+        # isolate=True forks a sibling SparkSession (shared SparkContext and
+        # cached data, OWN SQLConf + temp-view namespace): pg's SET is
+        # session-local, so one wire client's `SET timezone` must not change
+        # another client's timestamp rendering — with a shared SparkSession
+        # it would (spark.sql.session.timeZone is per-SQLConf). The wire
+        # server passes isolate=True per connection; data views published by
+        # the embedder (tables.register_views global temp views) are bridged
+        # into the fork's namespace here.
+        self.spark = spark.newSession() if isolate else spark
         self.catalog = catalog
+        if isolate:
+            self._bridge_parent_views(spark)
         # Statement-text -> analyzed DataFrame. Re-executing a cached
         # DataFrame reuses its QueryExecution (analysis + optimization +
         # physical planning are computed once per Dataset), which is what a
@@ -219,7 +234,22 @@ class PgSession:
             # forwards its engine's setting of the same name)
             "default_null_order": "nulls_last",
         }
-        register_pg_catalog(spark, catalog)
+        register_pg_catalog(self.spark, catalog)
+
+    def _bridge_parent_views(self, parent: SparkSession) -> None:
+        """Alias the embedder's global temp views into this forked session."""
+        try:
+            tables = parent.catalog.listTables("global_temp")
+        except Exception:  # noqa: BLE001 — no global temp DB yet
+            return
+        for t in tables:
+            ns = list(t.namespace or [])
+            if ns != ["global_temp"] or not t.name.isidentifier():
+                continue  # parent-local temp views are not reachable here
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {t.name} "
+                f"AS SELECT * FROM global_temp.{t.name}"
+            )
 
     # ------------------------------------------------------------------ SET
     def _handle_set(self, sql: str) -> DataFrame:
@@ -1055,6 +1085,9 @@ class PgSession:
                 version = self.catalog.version()
                 if version != self._catalog_version:
                     self.invalidate_plans()
+                    # re-bind catalog views on THIS session: another
+                    # session's DDL only touched its own view namespace
+                    register_pg_catalog(self.spark, self.catalog)
                     self._catalog_version = version
             cacheable = perms is None and "pg_stat_statements" not in stripped.lower()
             cached = self._plan_cache.get(stripped) if cacheable else None

@@ -329,7 +329,12 @@ class _Conn:
         self.backend_pid, self.backend_secret = (
             server.register_backend(self) if server else (1, 0))
         self.job_group = f"pgwire-{self.backend_pid}"
-        self.session = PgSession(spark, catalog)
+        # Each connection gets an isolated engine session (pg SET semantics
+        # are session-local; see PgSession isolate docstring). All of this
+        # backend's engine calls go through the fork, so COPY rebinds and
+        # DDL refreshes land in the namespace its queries actually read.
+        self.session = PgSession(spark, catalog, isolate=True)
+        self.spark = self.session.spark
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
 

@@ -84,4 +84,9 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
     dfs = load_tables(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
+        # Also publish as a global temp view: isolated per-connection
+        # sessions (PgSession isolate=True — forked via newSession for pg's
+        # session-local SET semantics) bridge these into their own view
+        # namespace at startup.
+        df.createOrReplaceGlobalTempView(name)
     return dfs

@@ -34,6 +34,25 @@ def client(server):
     c.close()
 
 
+def test_set_timezone_is_session_local(server):
+    # pg SET is session-local: one client's timezone must not change another
+    # client's timestamp rendering (each backend runs an isolated forked
+    # SparkSession — PgSession isolate=True).
+    a = MiniPgClient(server.host, server.port)
+    b = MiniPgClient(server.host, server.port)
+    try:
+        q = "SELECT ('2024-06-01 12:00:00+00'::timestamptz)::text AS t"
+        assert a.query(q)["rows"] == [["2024-06-01 12:00:00"]]
+        assert a.query("SET timezone TO 'America/New_York'")["errors"] == []
+        assert a.query(q)["rows"] == [["2024-06-01 08:00:00"]]
+        assert b.query(q)["rows"] == [["2024-06-01 12:00:00"]]  # unaffected
+        # data views bridged into the isolated session
+        assert a.query("SELECT count(*) AS n FROM region")["rows"] == [["5"]]
+    finally:
+        a.close()
+        b.close()
+
+
 def test_startup_sequence(server):
     c = MiniPgClient(server.host, server.port)
     types = [t for t, _ in c.startup_messages]
