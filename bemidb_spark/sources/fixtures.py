@@ -88,4 +88,7 @@ def register_test_table(spark: SparkSession, catalog=None) -> DataFrame:
         # parquet roundtrip drops field metadata; restore the pg-typed schema
         df = spark.createDataFrame(df.rdd, test_table_schema())
     df.createOrReplaceTempView("test_table")
+    # publish for isolated per-connection sessions (PgSession isolate=True
+    # bridges global temp views — same contract as tables.register_views)
+    df.createOrReplaceGlobalTempView("test_table")
     return df

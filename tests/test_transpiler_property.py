@@ -160,6 +160,53 @@ def test_scalar_expr_matches_duckdb(pg, duck, expr):
     assert _norm(spark_rows[0][0]) == _norm(duck_val), sql
 
 
+@st.composite
+def nation_pred(draw, depth=1):
+    """Random predicate over the `nation` table's columns (same parquet is
+    registered in both engines)."""
+    branch = draw(st.integers(min_value=0, max_value=4))
+    if branch == 0:
+        k = draw(st.integers(min_value=-1, max_value=30))
+        op = draw(st.sampled_from(["=", "<", "<=", ">", ">=", "<>"]))
+        return f"n_nationkey {op} {k}"
+    if branch == 1:
+        r = draw(st.integers(min_value=0, max_value=5))
+        return f"n_regionkey = {r}"
+    if branch == 2:
+        s = _str_lit(draw(_SAFE_TEXT))
+        op = draw(st.sampled_from(["<", ">", "="]))
+        return f"n_name {op} {s}"
+    if branch == 3:
+        lo = draw(st.integers(min_value=0, max_value=12))
+        hi = lo + draw(st.integers(min_value=0, max_value=12))
+        return f"n_nationkey BETWEEN {lo} AND {hi}"
+    if depth == 0:
+        return "n_nationkey >= 0"
+    a = draw(nation_pred(depth=depth - 1))
+    b = draw(nation_pred(depth=depth - 1))
+    op = draw(st.sampled_from(["AND", "OR"]))
+    neg = "NOT " if draw(st.booleans()) else ""
+    return f"{neg}({a} {op} {b})"
+
+
+@_SETTINGS
+@given(pred=nation_pred(), lim=st.integers(min_value=0, max_value=30))
+def test_table_filter_matches_duckdb(pg, duck, sf_dir, pred, lim):
+    # filter + projection + total order + limit over a real parquet table:
+    # exercises table binding, predicate transpilation, and top-k
+    sql = (
+        f"SELECT n_nationkey, n_name FROM nation WHERE {pred} "
+        f"ORDER BY n_nationkey LIMIT {lim}"
+    )
+    spark_rows = [tuple(r) for r in pg.execute(sql).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = duck.execute(sql).fetchall()
+    assert spark_rows == duck_rows, sql
+
+
 @_SETTINGS
 @given(c=cond_expr(), a=any_expr(), b=int_expr())
 def test_case_where_shape_matches_duckdb(pg, duck, c, a, b):
