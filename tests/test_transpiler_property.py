@@ -208,6 +208,30 @@ def test_table_filter_matches_duckdb(pg, duck, sf_dir, pred, lim):
 
 
 @_SETTINGS
+@given(
+    pred=nation_pred(),
+    agg=st.sampled_from(
+        ["COUNT(*)", "SUM(n_nationkey)", "MIN(n_name)", "MAX(n_nationkey)",
+         "COUNT(DISTINCT n_regionkey)"]
+    ),
+)
+def test_groupby_agg_matches_duckdb(pg, duck, sf_dir, pred, agg):
+    # grouped aggregation with HAVING over a real table: integer/string aggs
+    # only (bit-identical across engines)
+    sql = (
+        f"SELECT n_regionkey, {agg} AS v FROM nation WHERE {pred} "
+        f"GROUP BY n_regionkey HAVING COUNT(*) > 0 ORDER BY n_regionkey"
+    )
+    spark_rows = [tuple(r) for r in pg.execute(sql).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = duck.execute(sql).fetchall()
+    assert spark_rows == duck_rows, sql
+
+
+@_SETTINGS
 @given(c=cond_expr(), a=any_expr(), b=int_expr())
 def test_case_where_shape_matches_duckdb(pg, duck, c, a, b):
     # the composed SELECT shape the remapper sees most: computed column +

@@ -34,6 +34,35 @@ def client(server):
     c.close()
 
 
+def test_malformed_bytes_do_not_kill_server(server):
+    # A client sending garbage must not take the server down: the bad
+    # connection dies (or errors), and a NEW connection still works. The
+    # reference inherits this resilience from its protocol library; ours
+    # must prove it.
+    for garbage in (
+        b"\x00\x00\x00\x04",                     # length-only, no protocol
+        b"GET / HTTP/1.1\r\nHost: x\r\n\r\n",    # wrong protocol entirely
+        b"\x00\x00\x00\x08\x04\xd2\x16/" * 2,    # duplicated SSLRequest
+        b"\xff" * 64,                            # noise
+    ):
+        s = socket.create_connection((server.host, server.port), timeout=5)
+        try:
+            s.sendall(garbage)
+            s.settimeout(2)
+            try:
+                while s.recv(4096):
+                    pass
+            except (TimeoutError, ConnectionError, OSError):
+                pass
+        finally:
+            s.close()
+    c = MiniPgClient(server.host, server.port)
+    try:
+        assert c.query("SELECT 1 AS one")["rows"] == [["1"]]
+    finally:
+        c.close()
+
+
 def test_set_timezone_is_session_local(server):
     # pg SET is session-local: one client's timezone must not change another
     # client's timestamp rendering (each backend runs an isolated forked
