@@ -238,6 +238,63 @@ def _encode_binary(v, dt: T.DataType, field: T.StructField | None = None) -> byt
     return str(v).encode()
 
 
+_COPY_BIN_SIG = b"PGCOPY\n\xff\r\n\x00"
+
+
+def _decode_binary(raw: bytes, dt: T.DataType, field: T.StructField | None = None):
+    """Inverse of _encode_binary for COPY FROM BINARY cells → text form.
+
+    Returns the pg TEXT representation (the COPY IN pipeline casts text →
+    column type exactly as the text/CSV formats do, so all three formats
+    share one ingestion path)."""
+    import datetime as _dt
+
+    pg = _pg_type_of(field)
+    if pg:
+        if pg.startswith(("timetz", "time")) and not pg.startswith("timestamp"):
+            return str(struct.unpack("!q", raw)[0])
+        if pg == "interval":
+            micros, days, months = struct.unpack("!qii", raw)
+            total = micros + (days + months * 30) * 86_400_000_000
+            from bemidb_spark.pgcompat.types import render_interval
+
+            return render_interval(total)
+    if isinstance(dt, T.BooleanType):
+        return "true" if raw != b"\x00" else "false"
+    if isinstance(dt, T.BinaryType):
+        return "\\x" + raw.hex()
+    if isinstance(dt, T.LongType):
+        return str(struct.unpack("!q", raw)[0])
+    if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+        return str(struct.unpack("!i", raw)[0])
+    if isinstance(dt, T.FloatType):
+        return repr(struct.unpack("!f", raw)[0])
+    if isinstance(dt, T.DoubleType):
+        return repr(struct.unpack("!d", raw)[0])
+    if isinstance(dt, T.DecimalType):
+        from decimal import Decimal
+
+        ndigits, weight, sign, dscale = struct.unpack("!HhHH", raw[:8])
+        digits = struct.unpack(f"!{ndigits}H", raw[8:8 + 2 * ndigits])
+        # value = Σ digit[i] · 10000^(weight−i); negative exponents are the
+        # fractional base-10000 groups
+        val = Decimal(0)
+        for i, d in enumerate(digits):
+            val += Decimal(d) * (Decimal(10_000) ** (weight - i))
+        if sign == 0x4000:
+            val = -val
+        return str(val.quantize(Decimal(1).scaleb(-dscale)) if dscale else val)
+    if isinstance(dt, T.DateType):
+        days = struct.unpack("!i", raw)[0]
+        return (_dt.date(2000, 1, 1) + _dt.timedelta(days=days)).isoformat()
+    if isinstance(dt, T.TimestampNTZType | T.TimestampType):
+        micros = struct.unpack("!q", raw)[0]
+        return (
+            _dt.datetime(2000, 1, 1) + _dt.timedelta(microseconds=micros)
+        ).isoformat(sep=" ")
+    return raw.decode()
+
+
 def _resolve_formats(codes: list[int], ncols: int) -> list[int]:
     """Bind result-format semantics: [] = all text, [c] = c for every
     column, else one code per column."""
@@ -527,22 +584,43 @@ class _Conn:
             cols = tm.group(2).strip() if tm.group(2) else "*"
             query = f"SELECT {cols} FROM {tm.group(1)}"
         csv = re.search(r"\bCSV\b|FORMAT\s+CSV", opts, re.IGNORECASE) is not None
+        binary = re.search(r"\bBINARY\b|FORMAT\s+BINARY", opts, re.IGNORECASE) is not None
         header = csv and re.search(r"\bHEADER(\s+TRUE|\s*\)|\s|$)", opts, re.IGNORECASE) is not None
         df = self.session.execute(query)
         fields = list(df.schema.fields)
         ncols = len(fields)
-        self._send(b"H", struct.pack("!BH", 0, ncols) + struct.pack(f"!{ncols}H", *([0] * ncols)))
-        if header:
-            self._send(b"d", (",".join(_csv_field(f.name) for f in fields) + "\n").encode())
+        fmt = 1 if binary else 0
+        self._send(b"H", struct.pack("!BH", fmt, ncols)
+                   + struct.pack(f"!{ncols}H", *([fmt] * ncols)))
         n = 0
-        for row in self._row_stream(df):  # bulk export streams, never buffers
-            vals = [_encode_value(row[i], fields[i].dataType, fields[i]) for i in range(ncols)]
-            if csv:
-                line = ",".join("" if v is None else _csv_field(v) for v in vals)
-            else:
-                line = "\t".join("\\N" if v is None else _copy_text_escape(v) for v in vals)
-            self._send(b"d", (line + "\n").encode())
-            n += 1
+        if binary:
+            # pg binary COPY: 11-byte signature + flags + extension length,
+            # then per row int16 field count and length-prefixed cells
+            # (format documented in pg's sql-copy page; cells are the same
+            # encodings the Bind binary result path emits)
+            self._send(b"d", _COPY_BIN_SIG + struct.pack("!ii", 0, 0))
+            for row in self._row_stream(df):
+                parts = [struct.pack("!h", ncols)]
+                for i in range(ncols):
+                    b = _encode_binary(row[i], fields[i].dataType, fields[i])
+                    parts.append(
+                        struct.pack("!i", -1) if b is None
+                        else struct.pack("!i", len(b)) + b
+                    )
+                self._send(b"d", b"".join(parts))
+                n += 1
+            self._send(b"d", struct.pack("!h", -1))  # file trailer
+        else:
+            if header:
+                self._send(b"d", (",".join(_csv_field(f.name) for f in fields) + "\n").encode())
+            for row in self._row_stream(df):  # bulk export streams, never buffers
+                vals = [_encode_value(row[i], fields[i].dataType, fields[i]) for i in range(ncols)]
+                if csv:
+                    line = ",".join("" if v is None else _csv_field(v) for v in vals)
+                else:
+                    line = "\t".join("\\N" if v is None else _copy_text_escape(v) for v in vals)
+                self._send(b"d", (line + "\n").encode())
+                n += 1
         self._send(b"c", b"")
         self._send(b"C", f"COPY {n}".encode() + b"\x00")
 
@@ -580,9 +658,11 @@ class _Conn:
             raise err
         opts = m.group(3) or ""
         csv = re.search(r"\bCSV\b|FORMAT\s+CSV", opts, re.IGNORECASE) is not None
+        binary = re.search(r"\bBINARY\b|FORMAT\s+BINARY", opts, re.IGNORECASE) is not None
         header = csv and re.search(r"\bHEADER(\s+TRUE|\s*\)|\s|$)", opts, re.IGNORECASE) is not None
         n = len(cols)
-        self._send(b"G", struct.pack("!BH", 0, n) + struct.pack(f"!{n}H", *([0] * n)))
+        fmt = 1 if binary else 0
+        self._send(b"G", struct.pack("!BH", fmt, n) + struct.pack(f"!{n}H", *([fmt] * n)))
         chunks: list[bytes] = []
         while True:
             t, body = self._read_message()
@@ -600,13 +680,17 @@ class _Conn:
             else:
                 raise UnsupportedQueryError(
                     f"unexpected message {t!r} during COPY FROM STDIN")
-        data = b"".join(chunks).decode()
-        if csv:
+        if binary:
+            records = self._parse_copy_binary(
+                b"".join(chunks), [fields[c] for c in cols])
+        elif csv:
+            data = b"".join(chunks).decode()
             parsed = list(_csv.reader(io.StringIO(data)))
             if header and parsed:
                 parsed = parsed[1:]
             records = [[None if v == "" else v for v in row] for row in parsed if row]
         else:
+            data = b"".join(chunks).decode()
             records = []
             for line in data.split("\n"):
                 if line in ("", "\\."):
@@ -646,6 +730,43 @@ class _Conn:
         register_pg_catalog(self.spark, self.session.catalog)
         self.session.invalidate_plans()
         self._send(b"C", f"COPY {len(records)}".encode() + b"\x00")
+
+    def _parse_copy_binary(
+        self, data: bytes, col_fields: list[T.StructField]
+    ) -> list[list[str | None]]:
+        """Parse a pg binary-COPY stream into text-form records.
+
+        Signature + flags + extension, then per tuple: int16 field count and
+        length-prefixed cells (-1 = NULL); int16 -1 terminates. Cells decode
+        through _decode_binary into pg text form so all three COPY formats
+        share the text→column-type ingestion path."""
+        if not data.startswith(_COPY_BIN_SIG):
+            err = UnsupportedQueryError("COPY file signature not recognized")
+            err.sqlstate = "22P04"
+            raise err
+        pos = len(_COPY_BIN_SIG)
+        _flags, extlen = struct.unpack_from("!ii", data, pos)
+        pos += 8 + extlen
+        records: list[list[str | None]] = []
+        while pos + 2 <= len(data):
+            (nf,) = struct.unpack_from("!h", data, pos)
+            pos += 2
+            if nf == -1:
+                break
+            row: list[str | None] = []
+            for i in range(nf):
+                (ln,) = struct.unpack_from("!i", data, pos)
+                pos += 4
+                if ln == -1:
+                    row.append(None)
+                    continue
+                cell = data[pos:pos + ln]
+                pos += ln
+                f = col_fields[i] if i < len(col_fields) else None
+                row.append(_decode_binary(
+                    cell, f.dataType if f else T.StringType(), f))
+            records.append(row)
+        return records
 
     def _split_statements(self, sql: str) -> list[str]:
         """Split on top-level ';' — aware of '…' strings, $tag$…$tag$ dollar

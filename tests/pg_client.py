@@ -124,7 +124,7 @@ class MiniPgClient:
         if fail is not None:
             self._send(b"f", fail.encode() + b"\x00")
         else:
-            raw = data.encode()
+            raw = data if isinstance(data, bytes) else data.encode()
             for i in range(0, len(raw), chunk):
                 self._send(b"d", raw[i:i + chunk])
             self._send(b"c", b"")
@@ -162,7 +162,9 @@ class MiniPgClient:
                      "copy_data": [], "formats": []}
         for t, body in messages:
             if t == b"d":  # CopyData (COPY … TO STDOUT)
-                out["copy_data"].append(body.decode())
+                out["copy_data"].append(
+                    body.decode(errors="surrogateescape"))
+                out.setdefault("copy_raw", []).append(body)
                 continue
             if t == b"T":
                 (n,) = struct.unpack_from("!H", body, 0)

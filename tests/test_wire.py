@@ -340,6 +340,35 @@ def test_copy_out_csv_quoting(client):
     assert r["copy_data"] == ['"a,b","q""t",plain\n']
 
 
+def test_copy_out_binary(client):
+    """COPY … TO STDOUT (FORMAT BINARY): pg binary file format — signature,
+    flags, per-tuple field counts, length-prefixed cells, -1 trailer.
+    Verified with an independent parser written here, not the server's."""
+    r = client.query(
+        "COPY (SELECT 7::int8 AS a, 'xy' AS b, NULL::text AS c) "
+        "TO STDOUT (FORMAT BINARY)")
+    assert r["tags"] == ["COPY 1"] and r["errors"] == []
+    blob = b"".join(r["copy_raw"])
+    assert blob.startswith(b"PGCOPY\n\xff\r\n\x00")
+    pos = 11
+    flags, extlen = struct.unpack_from("!ii", blob, pos)
+    assert flags == 0 and extlen == 0
+    pos += 8
+    (nf,) = struct.unpack_from("!h", blob, pos)
+    pos += 2
+    assert nf == 3
+    cells = []
+    for _ in range(nf):
+        (ln,) = struct.unpack_from("!i", blob, pos)
+        pos += 4
+        cells.append(None if ln == -1 else blob[pos:pos + max(ln, 0)])
+        pos += max(ln, 0)
+    assert struct.unpack_from("!h", blob, pos)[0] == -1  # trailer
+    assert struct.unpack("!q", cells[0])[0] == 7
+    assert cells[1] == b"xy"
+    assert cells[2] is None
+
+
 # ---------------------------------------------------------------- COPY FROM
 @pytest.fixture(scope="module")
 def copy_server(spark, tmp_path_factory):
@@ -381,6 +410,36 @@ def test_copy_from_stdin_csv_header_subset_cols(copy_server):
         rows = c.query(
             "SELECT name, score FROM scores WHERE id >= 10 ORDER BY id")["rows"]
         assert rows == [["has,comma", None], ["plain", None]]
+    finally:
+        c.close()
+
+
+def test_copy_from_stdin_binary(copy_server):
+    """COPY table FROM STDIN (FORMAT BINARY): server decodes the pg binary
+    file format into the shared ingestion path."""
+    def cell(b: bytes | None) -> bytes:
+        return struct.pack("!i", -1) if b is None else struct.pack("!i", len(b)) + b
+
+    rows = [
+        [struct.pack("!q", 21), b"bin1", struct.pack("!d", 9.5)],
+        [struct.pack("!q", 22), b"bin2", None],
+    ]
+    payload = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+    for r in rows:
+        payload += struct.pack("!h", len(r)) + b"".join(cell(c) for c in r)
+    payload += struct.pack("!h", -1)
+    c = MiniPgClient(copy_server.host, copy_server.port)
+    try:
+        r = c.copy_in("COPY scores FROM STDIN (FORMAT BINARY)", payload)
+        assert r["errors"] == [] and r["tags"] == ["COPY 2"]
+        got = c.query(
+            "SELECT id, name, score FROM scores WHERE id IN (21, 22) ORDER BY id"
+        )["rows"]
+        assert got == [["21", "bin1", "9.5"], ["22", "bin2", None]]
+        # bad signature → 22P04, session survives
+        r = c.copy_in("COPY scores FROM STDIN (FORMAT BINARY)", b"NOTPG" * 4)
+        assert r["errors"] and r["errors"][0]["C"] == "22P04"
+        assert c.query("SELECT 1 AS ok")["errors"] == []
     finally:
         c.close()
 
