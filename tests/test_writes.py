@@ -177,6 +177,42 @@ def test_bucketed_delete_prunes_and_handles_emptied_bucket(spark, catalog):
     assert not any(p.startswith("_kb=2/") for p in after)  # emptied dir removed
 
 
+def test_crash_mid_rewrite_leaves_committed_state_intact(spark, tmp_path_factory):
+    """Crash-safety of the commit protocol: a writer that dies AFTER staging
+    its new data directory but BEFORE the pointer swap (and even one that
+    dies mid-atomic-write, leaving a temp pointer file) must not change what
+    readers see — the reference's `-bemidb-syncing` rename dance makes the
+    same promise (iceberg_table.go:46-70)."""
+    import os
+
+    from bemidb_spark.sources.catalog import Catalog
+    from bemidb_spark.sources.writer import read_table, replace_table
+
+    cat = Catalog(str(tmp_path_factory.mktemp("crash_wh")))
+    seed = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    replace_table(cat, "public", "t", seed)
+    v0 = cat.version()
+    rows0 = sorted(tuple(r) for r in read_table(spark, cat, "public", "t").collect())
+
+    # crash #1: staged-but-uncommitted rewrite (data written, no commit call)
+    stale = cat.new_location("public", "t")
+    spark.createDataFrame([(99, "zz")], "id bigint, v string") \
+        .write.mode("overwrite").parquet(stale)
+    assert cat.version() == v0  # no catalog change
+    got = sorted(tuple(r) for r in read_table(spark, cat, "public", "t").collect())
+    assert got == rows0
+
+    # crash #2: interrupted atomic pointer write (orphan temp file beside the
+    # catalog pointer, as mkstemp+no-rename leaves)
+    with open(os.path.join(str(cat.root), "_fswrite_interrupted.json"), "w") as fh:
+        fh.write('{"tables": {"CORRUPT": 1}')  # truncated JSON on purpose
+    reopened = Catalog(str(cat.root))  # fresh process re-opens the catalog
+    assert "public.t" in reopened.tables()
+    got = sorted(
+        tuple(r) for r in read_table(spark, reopened, "public", "t").collect())
+    assert got == rows0
+
+
 def test_snapshot_history_time_travel_and_inflight_readers(spark, catalog):
     from bemidb_spark.sources.writer import expire_snapshots, read_table_at
 
