@@ -397,7 +397,9 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
     # pg_get_userbyid folds to the configured user regardless of proowner)
     spark.sql(
         "SELECT CAST(1 AS BIGINT) AS oid, 'version' AS proname, "
-        "CAST(11 AS BIGINT) AS pronamespace, CAST(10 AS BIGINT) AS proowner"
+        "CAST(11 AS BIGINT) AS pronamespace, CAST(10 AS BIGINT) AS proowner, "
+        "'f' AS prokind, CAST(25 AS BIGINT) AS prorettype, "
+        "CAST(0 AS INT) AS pronargs, false AS proretset"
     ).createOrReplaceTempView("pg_proc")
     # Static empty tables — shape-faithful to the reference's boot DDL
     # (query_remapper_table.go:275-293); clients SELECT them and expect

@@ -741,6 +741,9 @@ def _rewrite_pg_macros(sql: str) -> str:
         r"pg_get_statisticsobjdef_columns\s*\([^()]*\)": "CAST(NULL AS STRING)",
         r"pg_get_viewdef\s*\([^()]*\)": "CAST(NULL AS STRING)",
         r"pg_get_function_identity_arguments\s*\([^()]*\)": "''",
+        r"pg_get_function_result\s*\([^()]*\)": "CAST(NULL AS STRING)",
+        r"pg_get_function_arguments\s*\([^()]*\)": "''",
+        r"pg_get_function_sqlbody\s*\([^()]*\)": "CAST(NULL AS STRING)",
         r"pg_tablespace_location\s*\([^()]*\)": "''",
         r"pg_encoding_to_char\s*\([^()]*\)": "'UTF8'",
         r"pg_cancel_backend\s*\([^()]*\)": "true",

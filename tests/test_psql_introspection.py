@@ -216,3 +216,26 @@ ORDER BY 1,2""").collect()
     assert all(r[2] == "view" for r in rows)
     pg.execute("DROP VIEW dv_view")
     pg.execute("DROP TABLE dv_base")
+
+
+def test_psql_df_runs_clean(pg):
+    """The literal SQL psql 16 sends for \\df: no user-defined functions
+    exist (the reference's function surface is boot macros only, never
+    exposed through pg_proc — B7), so the result is empty, not an error."""
+    rows = pg.execute(r"""SELECT n.nspname as "Schema",
+  p.proname as "Name",
+  pg_catalog.pg_get_function_result(p.oid) as "Result data type",
+  pg_catalog.pg_get_function_arguments(p.oid) as "Argument data types",
+ CASE p.prokind
+  WHEN 'a' THEN 'agg'
+  WHEN 'w' THEN 'window'
+  WHEN 'p' THEN 'proc'
+  ELSE 'func'
+ END as "Type"
+FROM pg_catalog.pg_proc p
+     LEFT JOIN pg_catalog.pg_namespace n ON n.oid = p.pronamespace
+WHERE pg_catalog.pg_function_is_visible(p.oid)
+      AND n.nspname <> 'pg_catalog'
+      AND n.nspname <> 'information_schema'
+ORDER BY 1, 2, 4""").collect()
+    assert rows == []
