@@ -232,6 +232,28 @@ def test_groupby_agg_matches_duckdb(pg, duck, sf_dir, pred, agg):
 
 
 @_SETTINGS
+@given(
+    y=st.integers(min_value=1990, max_value=2100),
+    mo=st.integers(min_value=1, max_value=12),
+    d=st.integers(min_value=1, max_value=28),
+    delta=st.integers(min_value=-1000, max_value=1000),
+    part=st.sampled_from(["YEAR", "MONTH", "DAY"]),
+)
+def test_date_arith_matches_duckdb(pg, duck, y, mo, d, delta, part):
+    # date ± int days and EXTRACT — identical integer/date semantics in pg,
+    # DuckDB, and Spark (avoids date_trunc, whose return TYPE differs)
+    lit = f"DATE '{y:04d}-{mo:02d}-{d:02d}'"
+    sql = (
+        f"SELECT ({lit} + {delta})::text AS moved, "
+        f"CAST(EXTRACT({part} FROM {lit} + {delta}) AS BIGINT) AS p, "
+        f"({lit} + {delta} > {lit}) AS gt"
+    )
+    spark_row = tuple(pg.execute(sql).collect()[0])
+    duck_row = duck.execute(sql).fetchone()
+    assert [_norm(v) for v in spark_row] == [_norm(v) for v in duck_row], sql
+
+
+@_SETTINGS
 @given(c=cond_expr(), a=any_expr(), b=int_expr())
 def test_case_where_shape_matches_duckdb(pg, duck, c, a, b):
     # the composed SELECT shape the remapper sees most: computed column +

@@ -14,6 +14,7 @@ from bemidb_spark.pgcompat.types import (
     MICROS_PER_DAY,
     parse_interval,
     parse_pg_array,
+    parse_pg_literal,
     parse_time,
     render_interval,
     render_time,
@@ -35,6 +36,28 @@ def test_time_render_parse_roundtrip(micros):
 def test_interval_render_parse_roundtrip(months, days, micros):
     total = (months * 30 + days) * MICROS_PER_DAY + micros
     assert parse_interval(render_interval(total)) == total
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.decimals(allow_nan=False, allow_infinity=False, places=6,
+                min_value=-10**12, max_value=10**12),
+    st.booleans(),
+    st.dates(),
+    st.binary(max_size=16),
+)
+def test_pg_literal_parse_typed(i, dec, b, day, blob):
+    # ingest-path literal parsing: the pg text form of each typed value
+    # parses back to the identical python value (mirrors the reference's
+    # CSV→typed conversion, iceberg_schema_column.go:210-335)
+    assert parse_pg_literal("int8", str(i)) == i
+    assert parse_pg_literal("numeric(30,6)", str(dec)) == dec
+    assert parse_pg_literal("bool", "t" if b else "f") is b
+    if day.year <= 9999:
+        assert parse_pg_literal("date", day.isoformat()) == day
+    assert parse_pg_literal("bytea", "\\x" + blob.hex()) == blob
+    assert parse_pg_literal("_int8", "{" + str(i) + ",NULL}") == [i, None]
 
 
 @settings(max_examples=200, deadline=None)
