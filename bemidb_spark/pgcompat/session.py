@@ -217,6 +217,8 @@ class PgSession:
         self._sql_prepared: dict[str, str] = {}  # SQL-level PREPARE bodies
         self._cursors: dict[str, _Cursor] = {}  # DECLARE'd server-side cursors
         self._txn: dict | None = None  # BEGIN-pinned catalog state + file sets
+        self._txn_open = False  # BEGIN seen (independent of catalog pinning)
+        self._txn_local_restore: dict[str, str | None] = {}  # SET LOCAL undo
         self._holds_txn_lock = False  # this session owns _TXN_WRITE_LOCK
         self._savepoints: dict[str, dict] = {}  # insertion-ordered pins
         self._catalog_version = catalog.version() if catalog is not None else 0
@@ -254,20 +256,44 @@ class PgSession:
     # ------------------------------------------------------------------ SET
     def _handle_set(self, sql: str) -> DataFrame:
         m = re.match(
-            r"\s*SET\s+(?:SESSION\s+|LOCAL\s+)?([A-Za-z_. ]+?)\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
+            r"\s*SET\s+(?:(SESSION|LOCAL)\s+)?([A-Za-z_. ]+?)\s*(?:=|TO)\s*(.+?)\s*;?\s*$",
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m:
-            name = m.group(1).strip().lower()
-            value = m.group(2).strip().strip("'\"")
-            if name == "timezone":
-                self.spark.conf.set("spark.sql.session.timeZone", value)
-            # Settings fold into statements (current_setting, timezone), so a
-            # change invalidates every cached plan built under the old value.
-            if self.settings.get(name) != value:
-                self.invalidate_plans()
-            self.settings[name] = value
+            scope = (m.group(1) or "").upper()
+            name = m.group(2).strip().lower()
+            value = m.group(3).strip().strip("'\"")
+            if scope == "LOCAL":
+                # pg: SET LOCAL lasts until COMMIT/ROLLBACK; outside a
+                # transaction block it takes no effect (pg issues a WARNING
+                # and discards it)
+                if not self._txn_open:
+                    return self.spark.range(0).selectExpr(
+                        "CAST(null AS STRING) AS set")
+                self._txn_local_restore.setdefault(
+                    name, self.settings.get(name))
+            self._apply_setting(name, value)
         return self.spark.range(0).selectExpr("CAST(null AS STRING) AS set")
+
+    def _apply_setting(self, name: str, value: str | None) -> None:
+        if name == "timezone":
+            self.spark.conf.set(
+                "spark.sql.session.timeZone", value if value is not None else "UTC")
+        # Settings fold into statements (current_setting, timezone), so a
+        # change invalidates every cached plan built under the old value.
+        if self.settings.get(name) != value:
+            self.invalidate_plans()
+        if value is None:
+            self.settings.pop(name, None)
+        else:
+            self.settings[name] = value
+
+    def _restore_local_sets(self) -> None:
+        """Transaction end: revert every SET LOCAL to its pre-SET value."""
+        for name, old in self._txn_local_restore.items():
+            self._apply_setting(name, old)
+        self._txn_local_restore = {}
+        self._txn_open = False
 
     # ----------------------------------------------------------------- SHOW
     def _handle_show(self, sql: str) -> DataFrame:
@@ -949,11 +975,14 @@ class PgSession:
             word = upper.split()[0]
             if word in ("BEGIN", "START"):
                 self._begin_txn()
+                self._txn_open = True
                 return self._ok("BEGIN")
             if word == "ROLLBACK":
                 self._rollback_txn()
                 self._close_txn_cursors()
+                self._restore_local_sets()
                 return self._ok("ROLLBACK")
+            self._restore_local_sets()
             self._txn = None  # COMMIT / END / DISCARD ALL: writes are durable
             self._savepoints = {}
             self._release_txn_lock()

@@ -770,3 +770,26 @@ def test_monitoring_function_folds(pg):
         "current_schemas(true) AS cs").collect()[0]
     assert row.t == 1000 and row.l == "0/0"
     assert row.cs == ["pg_catalog", "public"]
+
+
+def test_set_local_is_transaction_scoped(pg):
+    """pg SET LOCAL semantics: reverts at COMMIT/ROLLBACK; no effect outside
+    a transaction block; SET SESSION survives an inner SET LOCAL."""
+    def tz():
+        return pg.execute("SHOW timezone").collect()[0][0]
+
+    assert tz() == "UTC"
+    pg.execute("SET LOCAL timezone TO 'America/New_York'")  # outside txn
+    assert tz() == "UTC"
+    pg.execute("BEGIN")
+    pg.execute("SET LOCAL timezone TO 'America/New_York'")
+    assert tz() == "America/New_York"
+    pg.execute("COMMIT")
+    assert tz() == "UTC"
+    assert pg.spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    pg.execute("SET timezone TO 'Asia/Tokyo'")
+    pg.execute("BEGIN")
+    pg.execute("SET LOCAL timezone TO 'UTC'")
+    pg.execute("ROLLBACK")
+    assert tz() == "Asia/Tokyo"
+    pg.execute("SET timezone TO 'UTC'")
