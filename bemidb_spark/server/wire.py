@@ -21,6 +21,7 @@ concurrent queries schedule under FAIR — the engine's throughput path).
 
 from __future__ import annotations
 
+import contextlib
 import re
 import socket
 import struct
@@ -548,7 +549,67 @@ class _Conn:
         (length,) = struct.unpack("!I", self._recv_exact(4))
         return msg_type, self._recv_exact(length - 4)
 
+    def _timeout_ms(self) -> int:
+        """statement_timeout from session settings, pg value forms
+        (plain int = ms; or int + us/ms/s/min/h/d suffix); 0 = disabled."""
+        raw = str(self.session.settings.get("statement_timeout", "0")).strip()
+        m = re.match(r"^(\d+)\s*(us|ms|s|min|h|d)?$", raw, re.IGNORECASE)
+        if not m:
+            return 0
+        n = int(m.group(1))
+        unit = (m.group(2) or "ms").lower()
+        scale = {"us": 0.001, "ms": 1, "s": 1000, "min": 60_000,
+                 "h": 3_600_000, "d": 86_400_000}[unit]
+        return int(n * scale)
+
+    @contextlib.contextmanager
+    def _statement_deadline(self):
+        """Enforce statement_timeout: a timer cancels this backend's Spark
+        job group at the deadline (the same mechanism a CancelRequest uses),
+        and the resulting failure maps to pg's 57014 query_canceled."""
+        ms = self._timeout_ms()
+        if ms <= 0:
+            yield
+            return
+        fired = threading.Event()
+        done = threading.Event()
+
+        def _watchdog() -> None:
+            if done.wait(ms / 1000.0):
+                return
+            fired.set()
+            # cancelJobGroup only kills jobs that are RUNNING at call time —
+            # a statement still in planning would launch its jobs afterwards
+            # and run to completion. Keep canceling until the statement ends.
+            while not done.wait(0.25):
+                self.spark.sparkContext.cancelJobGroup(self.job_group)
+
+        watchdog = threading.Thread(target=_watchdog, daemon=True)
+        watchdog.start()
+        try:
+            # A statement that completes cleanly wins even if the deadline
+            # raced it (its last row was already on the wire); only a
+            # cancellation-induced failure maps to pg's query_canceled.
+            yield
+        except Exception:
+            if fired.is_set():
+                raise self._timeout_error() from None
+            raise
+        finally:
+            done.set()
+
+    @staticmethod
+    def _timeout_error() -> UnsupportedQueryError:
+        err = UnsupportedQueryError(
+            "canceling statement due to statement timeout")
+        err.sqlstate = "57014"
+        return err
+
     def _run_statement(self, sql: str) -> None:
+        with self._statement_deadline():
+            self._run_statement_inner(sql)
+
+    def _run_statement_inner(self, sql: str) -> None:
         if _COPY_OUT_RE.match(sql):
             self._run_copy_out(sql)
             return
@@ -977,61 +1038,8 @@ class _Conn:
             target.sent = 0
             self._send_row_description(df, target.result_formats)
         elif msg_type == b"E":  # Execute [portal name] [max rows]
-            name_end = body.index(b"\x00")
-            name = body[:name_end].decode()
-            (max_rows,) = struct.unpack_from("!i", body, name_end + 1)
-            portal = self.portals.get(name)
-            if portal is None:
-                err = UnsupportedQueryError(f'portal "{name}" does not exist')
-                err.sqlstate = "34000"
-                raise err
-            if not portal.sql.strip():
-                self._send(b"I", b"")  # EmptyQueryResponse
-                return
-            if portal.result is None:
-                df = self.session.execute(portal.sql)
-                if getattr(df, "_pg_tag", None) is not None and not getattr(
-                    df, "_pg_returning", False
-                ):
-                    self._send(b"C", df._pg_tag.encode() + b"\x00")
-                    return
-                portal.result = (df, self._row_stream(df))
-                portal.pending = None
-                portal.sent = 0
-            df, row_iter = portal.result
-            tag = getattr(df, "_pg_tag", None)
-            if tag is not None and not getattr(df, "_pg_returning", False):
-                self._send(b"C", tag.encode() + b"\x00")  # DML ran at Describe
-                portal.result = None
-                return
-            # Execute's max-rows field: stream at most that many rows and
-            # suspend the portal if more remain (reference
-            # query_handler.go:218-238); 0 = no limit. The portal holds a live
-            # iterator + one look-ahead row across suspensions — never the
-            # result set.
-            def _batch():
-                sent = 0
-                while max_rows <= 0 or sent < max_rows:
-                    if portal.pending is not None:
-                        row, portal.pending = portal.pending, None
-                    else:
-                        row = next(row_iter, _EXHAUSTED)
-                        if row is _EXHAUSTED:
-                            return
-                    yield row
-                    sent += 1
-
-            portal.sent += self._send_rows(df, _batch(), portal.result_formats)
-            nxt = next(row_iter, _EXHAUSTED) if portal.pending is None else portal.pending
-            if nxt is not _EXHAUSTED:
-                portal.pending = nxt
-                self._send(b"s", b"")  # PortalSuspended
-            else:
-                done_tag = tag or _tag_for(portal.sql, portal.sent)
-                self._send(b"C", done_tag.encode() + b"\x00")
-                portal.result = None
-                portal.pending = None
-                portal.sent = 0
+            with self._statement_deadline():
+                self._handle_execute(body)
         elif msg_type == b"S":  # Sync
             self._send_ready()
         elif msg_type == b"C":  # Close ('S' statement | 'P' portal)
@@ -1045,6 +1053,63 @@ class _Conn:
             pass
         else:
             raise UnsupportedQueryError(f"unsupported message type {msg_type!r}")
+
+    def _handle_execute(self, body: bytes) -> None:
+        name_end = body.index(b"\x00")
+        name = body[:name_end].decode()
+        (max_rows,) = struct.unpack_from("!i", body, name_end + 1)
+        portal = self.portals.get(name)
+        if portal is None:
+            err = UnsupportedQueryError(f'portal "{name}" does not exist')
+            err.sqlstate = "34000"
+            raise err
+        if not portal.sql.strip():
+            self._send(b"I", b"")  # EmptyQueryResponse
+            return
+        if portal.result is None:
+            df = self.session.execute(portal.sql)
+            if getattr(df, "_pg_tag", None) is not None and not getattr(
+                df, "_pg_returning", False
+            ):
+                self._send(b"C", df._pg_tag.encode() + b"\x00")
+                return
+            portal.result = (df, self._row_stream(df))
+            portal.pending = None
+            portal.sent = 0
+        df, row_iter = portal.result
+        tag = getattr(df, "_pg_tag", None)
+        if tag is not None and not getattr(df, "_pg_returning", False):
+            self._send(b"C", tag.encode() + b"\x00")  # DML ran at Describe
+            portal.result = None
+            return
+        # Execute's max-rows field: stream at most that many rows and
+        # suspend the portal if more remain (reference
+        # query_handler.go:218-238); 0 = no limit. The portal holds a live
+        # iterator + one look-ahead row across suspensions — never the
+        # result set.
+        def _batch():
+            sent = 0
+            while max_rows <= 0 or sent < max_rows:
+                if portal.pending is not None:
+                    row, portal.pending = portal.pending, None
+                else:
+                    row = next(row_iter, _EXHAUSTED)
+                    if row is _EXHAUSTED:
+                        return
+                yield row
+                sent += 1
+
+        portal.sent += self._send_rows(df, _batch(), portal.result_formats)
+        nxt = next(row_iter, _EXHAUSTED) if portal.pending is None else portal.pending
+        if nxt is not _EXHAUSTED:
+            portal.pending = nxt
+            self._send(b"s", b"")  # PortalSuspended
+        else:
+            done_tag = tag or _tag_for(portal.sql, portal.sent)
+            self._send(b"C", done_tag.encode() + b"\x00")
+            portal.result = None
+            portal.pending = None
+            portal.sent = 0
 
     @staticmethod
     def _decode_param(raw: bytes, fmt: int) -> str:

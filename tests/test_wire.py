@@ -34,6 +34,27 @@ def client(server):
     c.close()
 
 
+def test_statement_timeout_cancels_query(server):
+    # SET statement_timeout is ENFORCED: the watchdog cancels this backend's
+    # Spark job group at the deadline (re-arming until the statement ends,
+    # since cancelJobGroup only hits jobs already running), the client gets
+    # pg's 57014 query_canceled, and both this session and others live on.
+    a = MiniPgClient(server.host, server.port)
+    b = MiniPgClient(server.host, server.port)
+    try:
+        assert a.query("SET statement_timeout TO '300ms'")["errors"] == []
+        r = a.query(
+            "SELECT sum(x.l_quantity * y.l_quantity) AS s "
+            "FROM lineitem x CROSS JOIN lineitem y")
+        assert [e.get("C") for e in r["errors"]] == ["57014"]
+        a.query("SET statement_timeout TO '0'")
+        assert a.query("SELECT 1 AS one")["rows"] == [["1"]]
+        assert b.query("SELECT count(*) AS n FROM region")["rows"] == [["5"]]
+    finally:
+        a.close()
+        b.close()
+
+
 def test_malformed_bytes_do_not_kill_server(server):
     # A client sending garbage must not take the server down: the bad
     # connection dies (or errors), and a NEW connection still works. The
