@@ -262,7 +262,14 @@ class PgSession:
         if m:
             scope = (m.group(1) or "").upper()
             name = m.group(2).strip().lower()
-            value = m.group(3).strip().strip("'\"")
+            raw = m.group(3).strip()
+            if "," in raw:
+                # list-valued GUC (search_path): keep pg's display form —
+                # items comma-joined, double-quoted identifiers preserved
+                # (`"$user", public` SHOWs exactly as set)
+                value = ", ".join(p.strip() for p in raw.split(","))
+            else:
+                value = raw.strip("'\"")
             if scope == "LOCAL":
                 # pg: SET LOCAL lasts until COMMIT/ROLLBACK; outside a
                 # transaction block it takes no effect (pg issues a WARNING

@@ -793,3 +793,13 @@ def test_set_local_is_transaction_scoped(pg):
     pg.execute("ROLLBACK")
     assert tz() == "Asia/Tokyo"
     pg.execute("SET timezone TO 'UTC'")
+
+
+def test_set_search_path_list_value_preserved(pg):
+    """List-valued GUCs keep pg's display form: `"$user", public` SHOWs
+    exactly as set (quoted identifiers preserved, items comma-joined)."""
+    pg.execute('SET search_path = "$user", public')
+    assert pg.execute("SHOW search_path").collect()[0][0] == '"$user", public'
+    pg.execute("SET search_path TO 'myschema'")
+    assert pg.execute("SHOW search_path").collect()[0][0] == "myschema"
+    pg.execute('SET search_path = "$user", public')

@@ -233,6 +233,29 @@ def test_groupby_agg_matches_duckdb(pg, duck, sf_dir, pred, agg):
 
 @_SETTINGS
 @given(
+    s=_SAFE_TEXT,
+    t=_SAFE_TEXT,
+    n=st.integers(min_value=1, max_value=10),
+    pad=st.sampled_from(["x", "ab", " "]),
+)
+def test_string_funcs_match_duckdb(pg, duck, s, t, n, pad):
+    # string-function battery with identical semantics in pg/DuckDB/Spark:
+    # replace, position/strpos (1-based, 0 if absent), lpad/rpad, reverse,
+    # left/right with positive counts
+    sl, tl, pl = _str_lit(s), _str_lit(t), _str_lit(pad)
+    sql = (
+        f"SELECT replace({sl}, {tl}, 'Z') AS rep, "
+        f"position({tl} IN {sl}) AS pos, "
+        f"lpad({sl}, {n}, {pl}) AS lp, rpad({sl}, {n}, {pl}) AS rp, "
+        f"reverse({sl}) AS rev, left({sl}, {n}) AS l, right({sl}, {n}) AS r"
+    )
+    spark_row = tuple(pg.execute(sql).collect()[0])
+    duck_row = duck.execute(sql).fetchone()
+    assert [_norm(v) for v in spark_row] == [_norm(v) for v in duck_row], sql
+
+
+@_SETTINGS
+@given(
     y=st.integers(min_value=1990, max_value=2100),
     mo=st.integers(min_value=1, max_value=12),
     d=st.integers(min_value=1, max_value=28),
