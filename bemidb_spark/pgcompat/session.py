@@ -302,6 +302,12 @@ class PgSession:
         self._txn_local_restore = {}
         self._txn_open = False
 
+    def _restore_settings(self, snapshot: dict[str, str]) -> None:
+        """Revert the whole settings dict to a pinned snapshot (transactional
+        GUC semantics: rolled-back SETs — LOCAL or not — disappear)."""
+        for name in set(self.settings) | set(snapshot):
+            self._apply_setting(name, snapshot.get(name))
+
     # ----------------------------------------------------------------- SHOW
     def _handle_show(self, sql: str) -> DataFrame:
         m = re.match(r"\s*SHOW\s+([A-Za-z_.\"$ ]+?)\s*;?\s*$", sql, re.IGNORECASE)
@@ -575,7 +581,11 @@ class PgSession:
             loc = entry.get("location")
             if loc and fs.isdir(loc):
                 files[loc] = set(fs.walk_files(loc))
-        return {"state": state, "files": files}
+        # pg GUCs are transactional: plain SET inside a rolled-back
+        # transaction reverts too, and ROLLBACK TO SAVEPOINT reverts to the
+        # savepoint's settings — so every pin carries a settings snapshot
+        return {"state": state, "files": files,
+                "settings": dict(self.settings)}
 
     def _restore_pin(self, pinned: dict) -> None:
         from bemidb_spark.sources import fs
@@ -649,6 +659,8 @@ class PgSession:
             return  # pg: 'no transaction in progress' warning, then no-op
         try:
             self._restore_pin(self._txn)
+            if "settings" in self._txn:
+                self._restore_settings(self._txn["settings"])
         finally:
             self._txn = None
             self._savepoints = {}
@@ -691,6 +703,8 @@ class PgSession:
                 err.sqlstate = "3B001"
                 raise err
             self._restore_pin(pin)
+            if "settings" in pin:
+                self._restore_settings(pin["settings"])
             _drop_later(name, inclusive=False)
             return self._ok("ROLLBACK")
         m = re.match(r"RELEASE\s+(?:SAVEPOINT\s+)?([\w]+)\s*$", sql, re.IGNORECASE)

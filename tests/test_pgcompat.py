@@ -803,3 +803,27 @@ def test_set_search_path_list_value_preserved(pg):
     pg.execute("SET search_path TO 'myschema'")
     assert pg.execute("SHOW search_path").collect()[0][0] == "myschema"
     pg.execute('SET search_path = "$user", public')
+
+
+def test_gucs_are_transactional(pg):
+    """pg GUC semantics: a plain SET inside a rolled-back transaction
+    disappears; ROLLBACK TO SAVEPOINT reverts to the savepoint's settings;
+    a committed SET survives."""
+    def tz():
+        return pg.execute("SHOW timezone").collect()[0][0]
+
+    base = tz()
+    pg.execute("BEGIN")
+    pg.execute("SET timezone TO 'Asia/Tokyo'")
+    assert tz() == "Asia/Tokyo"
+    pg.execute("ROLLBACK")
+    assert tz() == base
+    pg.execute("BEGIN")
+    pg.execute("SET timezone TO 'Europe/Paris'")
+    pg.execute("SAVEPOINT s1")
+    pg.execute("SET timezone TO 'Asia/Tokyo'")
+    pg.execute("ROLLBACK TO SAVEPOINT s1")
+    assert tz() == "Europe/Paris"
+    pg.execute("COMMIT")
+    assert tz() == "Europe/Paris"
+    pg.execute(f"SET timezone TO '{base}'")
