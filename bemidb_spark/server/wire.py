@@ -580,8 +580,10 @@ class _Conn:
             fired.set()
             # cancelJobGroup only kills jobs that are RUNNING at call time —
             # a statement still in planning would launch its jobs afterwards
-            # and run to completion. Keep canceling until the statement ends.
-            while not done.wait(0.25):
+            # and run to completion. Keep canceling until the statement ends
+            # (tight interval: a short job could otherwise slip through
+            # between two cancel attempts).
+            while not done.wait(0.05):
                 self.spark.sparkContext.cancelJobGroup(self.job_group)
 
         watchdog = threading.Thread(target=_watchdog, daemon=True)

@@ -43,9 +43,11 @@ def test_statement_timeout_cancels_query(server):
     b = MiniPgClient(server.host, server.port)
     try:
         assert a.query("SET statement_timeout TO '300ms'")["errors"] == []
+        # triple cross join: minutes of work at any SF — the statement can
+        # never win the deadline race, making the cancel deterministic
         r = a.query(
-            "SELECT sum(x.l_quantity * y.l_quantity) AS s "
-            "FROM lineitem x CROSS JOIN lineitem y")
+            "SELECT sum(x.l_quantity * y.l_quantity * z.l_quantity) AS s "
+            "FROM lineitem x CROSS JOIN lineitem y CROSS JOIN lineitem z")
         assert [e.get("C") for e in r["errors"]] == ["57014"]
         a.query("SET statement_timeout TO '0'")
         assert a.query("SELECT 1 AS one")["rows"] == [["1"]]
