@@ -97,6 +97,7 @@ _PRIORITY = [
     "dedup_cluster_survivors",
     "mixture_temperature_weights",
     "seq_len_buckets",
+    "dedup_dup_spectrum",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -327,6 +327,56 @@ QUERIES["dedup_cluster_survivors"] = _cluster_survivors_spark
 ORACLES["dedup_cluster_survivors"] = _CLUSTER_SURVIVORS_DUCK
 
 
+def _dup_spectrum_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-multiplicity spectrum: how many clusters exist at each
+    size, and how many documents those clusters hold — the one-table summary
+    behind 'X% of the corpus is duplicated, mostly in pairs / mostly in one
+    giant near-dup family'. Drives dedup policy (pair-heavy corpora keep
+    `dedup_cluster_survivors`' keep-best; a giant cluster usually means a
+    boilerplate template to strip instead). Tiny aggregation over the
+    cluster assignment — scale cost is the clustering itself."""
+    clusters = _dup_clusters_spark(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            (F.count("*") / F.col("cluster_size")).cast("bigint").alias("n_clusters"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+_DUP_SPECTRUM_DUCK = f"""
+    WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM ({_minhash_sql(False)})),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a WHERE r.a <> u.b
+    ),
+    labels AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY cluster_size
+    ORDER BY cluster_size
+"""
+
+QUERIES["dedup_dup_spectrum"] = _dup_spectrum_spark
+ORACLES["dedup_dup_spectrum"] = _DUP_SPECTRUM_DUCK
+
+
 # ---------------------------------------------------------------------------
 # sequence packing: token-budget contiguous bin-packing for training batches
 # ---------------------------------------------------------------------------
