@@ -364,3 +364,59 @@ def _bm25_sql(spark: bool) -> str:
 
 
 _register("text_bm25_topk", _bm25_sql(True), _bm25_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# token-distribution entropy: repetition/diversity score per document
+# ---------------------------------------------------------------------------
+ENT_SCALE = 1_000_000  # micro-nat quantization (the unigram-LM trick)
+
+
+def _entropy_sql(spark: bool) -> str:
+    """Shannon entropy of each document's token distribution — the
+    complementary fluency signal to `repetition_filter` (hard thresholds)
+    and `unigram_logprob_score` (corpus-relative surprisal): low entropy =
+    the document repeats few distinct tokens (keyword stuffing, templated
+    spam), high entropy relative to length = natural prose.
+
+    H = ln(L) − Σ c·ln(c) / L over per-doc token counts c. Determinism: BOTH
+    terms are quantized to integer micro-nats (FLOOR of x·1e6 — ln itself is
+    correctly-rounded libm on both engines, pinned by the oracle gate; raw
+    double output drifted 1-2 ulp between engines through the closing
+    arithmetic), summed/divided as exact integers (truncating integer
+    division), so the reported entropy is a BIGINT micro-nat value that is
+    bit-identical everywhere. One shuffle on (doc_id, token); map-side
+    combinable — the same plan as any word count.
+    """
+    w = words("text", spark=spark)
+    if spark:
+        toks = (f"SELECT doc_id, w FROM (SELECT doc_id, {w} AS ws FROM documents) "
+                f"LATERAL VIEW explode(ws) t AS w")
+    else:
+        toks = f"SELECT doc_id, unnest({w}) AS w FROM documents"
+    return f"""
+    WITH toks AS ({toks}),
+    wc AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY doc_id, w
+    ),
+    per AS (
+      SELECT doc_id,
+             SUM(c) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             SUM(CAST(FLOOR(c * LN(CAST(c AS DOUBLE)) * {ENT_SCALE}) AS BIGINT))
+               AS s_micro
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_distinct,
+           CAST(FLOOR(LN(CAST(n_tokens AS DOUBLE)) * {ENT_SCALE}) AS BIGINT)
+             - CAST(s_micro {"DIV" if spark else "//"} n_tokens AS BIGINT)
+             AS entropy_micro
+    FROM per
+    ORDER BY doc_id
+    """
+
+
+_register("text_token_entropy", _entropy_sql(True), _entropy_sql(False))
