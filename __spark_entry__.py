@@ -98,6 +98,7 @@ _PRIORITY = [
     "mixture_temperature_weights",
     "seq_len_buckets",
     "dedup_dup_spectrum",
+    "text_token_entropy",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",
