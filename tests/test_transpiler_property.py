@@ -136,8 +136,11 @@ def duck():
     return duckdb.connect()
 
 
+import os
+
+# SPARK_GRAFT_FUZZ_EXAMPLES=300 runs a deeper sweep (CI default stays fast)
 _SETTINGS = settings(
-    max_examples=40,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "40")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
