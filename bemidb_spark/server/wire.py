@@ -1027,18 +1027,23 @@ class _Conn:
                 err.sqlstate = "34000"
                 raise err
             # Describe executes and caches — reference query_handler.go:205-209
-            # (DML runs here for its tag; SELECT results stay a live stream)
-            df = self.session.execute(target.sql)
-            if getattr(df, "_pg_tag", None) is not None and not getattr(
-                df, "_pg_returning", False
-            ):
-                target.result = (df, iter(()))
-                self._send(b"n", b"")  # DML without RETURNING: no result set
-                return
-            target.result = (df, self._row_stream(df))
-            target.pending = None
-            target.sent = 0
-            self._send_row_description(df, target.result_formats)
+            # (DML runs here for its tag; SELECT results stay a live stream).
+            # Under the statement deadline: with AQE, building the local
+            # iterator materializes shuffle query stages synchronously inside
+            # the blocking py4j call, so an unbounded query would hang the
+            # connection here, before Execute's own deadline could ever arm.
+            with self._statement_deadline():
+                df = self.session.execute(target.sql)
+                if getattr(df, "_pg_tag", None) is not None and not getattr(
+                    df, "_pg_returning", False
+                ):
+                    target.result = (df, iter(()))
+                    self._send(b"n", b"")  # DML without RETURNING: no result set
+                    return
+                target.result = (df, self._row_stream(df))
+                target.pending = None
+                target.sent = 0
+                self._send_row_description(df, target.result_formats)
         elif msg_type == b"E":  # Execute [portal name] [max rows]
             with self._statement_deadline():
                 self._handle_execute(body)
@@ -1143,6 +1148,8 @@ def _initial_packet(sock: socket.socket) -> tuple[str, tuple]:
     (postgres_server.go:226-232), classify CancelRequest vs StartupMessage."""
     while True:
         (length,) = struct.unpack("!I", _recv_exact_sock(sock, 4))
+        if length < 8:  # too short for even the protocol-code word
+            raise ConnectionResetError(f"malformed initial packet (length {length})")
         body = _recv_exact_sock(sock, length - 4)
         (code,) = struct.unpack("!I", body[:4])
         if code in (SSL_REQUEST, GSSENC_REQUEST):

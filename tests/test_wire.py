@@ -57,6 +57,21 @@ def test_statement_timeout_cancels_query(server):
         b.close()
 
 
+def test_statement_timeout_extended_protocol(server):
+    # the deadline also wraps extended-protocol Execute
+    c = MiniPgClient(server.host, server.port)
+    try:
+        c.query("SET statement_timeout TO '300ms'")
+        r = c.extended_query(
+            "SELECT sum(x.l_quantity * y.l_quantity * z.l_quantity) AS s "
+            "FROM lineitem x CROSS JOIN lineitem y CROSS JOIN lineitem z")
+        assert "57014" in [e.get("C") for e in r["errors"]]
+        c.query("SET statement_timeout TO '0'")
+        assert c.query("SELECT 1 AS one")["rows"] == [["1"]]
+    finally:
+        c.close()
+
+
 def test_malformed_bytes_do_not_kill_server(server):
     # A client sending garbage must not take the server down: the bad
     # connection dies (or errors), and a NEW connection still works. The
