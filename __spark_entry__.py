@@ -99,6 +99,7 @@ _PRIORITY = [
     "seq_len_buckets",
     "dedup_dup_spectrum",
     "text_token_entropy",
+    "sample_domain_cap",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

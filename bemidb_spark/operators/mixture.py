@@ -608,3 +608,58 @@ def _len_buckets_sql(spark: bool) -> str:
 
 
 _register("seq_len_buckets", _len_buckets_sql(True), _len_buckets_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# per-domain document cap: skew-safe two-phase top-N per source
+# ---------------------------------------------------------------------------
+DOMAIN_CAP = 10  # max docs any single source may contribute
+DOMAIN_SALT = 8  # phase-1 fan-out per source
+
+
+def _domain_cap_sql(spark: bool) -> str:
+    """Cap every source's contribution at DOMAIN_CAP docs, keeping its
+    longest documents (n_chars DESC, doc_id ties) — the over-represented-
+    domain guard every crawl-derived mixture applies before sampling.
+
+    The Spark plan is the skew-safe *two-phase* top-N: phase 1 ranks within
+    (source, doc_id % DOMAIN_SALT) so a mega-domain's rows spread over
+    DOMAIN_SALT reducers and each emits at most DOMAIN_CAP survivors; phase
+    2 ranks the <= CAP*SALT survivors per source exactly. Any global
+    top-CAP row is within its salt bucket's top-CAP, and doc_id uniqueness
+    makes the order total, so the result is bit-identical to the
+    single-phase window the DuckDB oracle runs. A single-phase
+    row_number() would funnel all rows of the hottest domain through one
+    task at 100 TB; here no task ever sees more than 1/DOMAIN_SALT of a
+    domain (phase 1) or CAP*SALT rows per domain (phase 2)."""
+    if spark:
+        return f"""
+        WITH salted AS (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source, doc_id % {DOMAIN_SALT}
+                                    ORDER BY n_chars DESC, doc_id) AS srn
+          FROM documents
+        ),
+        survivors AS (
+          SELECT doc_id, source, n_chars FROM salted WHERE srn <= {DOMAIN_CAP}
+        )
+        SELECT doc_id, source, n_chars, domain_rank FROM (
+          SELECT doc_id, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS domain_rank
+          FROM survivors
+        ) WHERE domain_rank <= {DOMAIN_CAP}
+        ORDER BY source, domain_rank
+        """
+    return f"""
+    SELECT doc_id, source, n_chars, domain_rank FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS domain_rank
+      FROM documents
+    ) WHERE domain_rank <= {DOMAIN_CAP}
+    ORDER BY source, domain_rank
+    """
+
+
+_register("sample_domain_cap", _domain_cap_sql(True), _domain_cap_sql(False))

@@ -134,3 +134,24 @@ def test_shuffle_assign_is_a_permutation(spark, sf_dir):
         assert 0 <= shard < mx.SHUF_SHARDS
         assert sorted(ps) == list(range(1, len(ps) + 1))
     assert len(by_shard) > mx.SHUF_SHARDS // 2  # hash actually spreads
+
+
+def test_domain_cap_respected_and_keeps_longest(spark, sf_dir):
+    """No source exceeds DOMAIN_CAP, ranks are dense 1..k per source, and
+    every kept doc is at least as long as every dropped doc of its source
+    (the two-phase salted plan must equal the exact per-source top-N)."""
+    rows = mx.QUERIES["sample_domain_cap"](spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    min_kept = {s: min(r.n_chars for r in rs) for s, rs in by_src.items()}
+    dropped = docs.join(
+        spark.createDataFrame([(r.doc_id,) for r in rows], "doc_id long"),
+        "doc_id", "left_anti").collect()
+    for s, rs in by_src.items():
+        assert len(rs) <= mx.DOMAIN_CAP
+        assert sorted(r.domain_rank for r in rs) == list(range(1, len(rs) + 1))
+    for d in dropped:
+        if d.source in min_kept:
+            assert d.n_chars <= min_kept[d.source]
