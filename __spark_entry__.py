@@ -100,6 +100,7 @@ _PRIORITY = [
     "dedup_dup_spectrum",
     "text_token_entropy",
     "sample_domain_cap",
+    "ann_recall_at_k",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

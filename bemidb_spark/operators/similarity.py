@@ -473,3 +473,70 @@ def _semdedup_sql(spark: bool) -> str:
 
 
 _register_kmeans_query("semdedup_clusters", _semdedup_sql(True), _semdedup_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k: the quality gauge for the approximate path — per query,
+# how much of the exact brute-force top-k the NPROBE-cell probe recovered.
+# This is the number an ANN deployment monitors when tuning NPROBE/N_CELLS;
+# a recall oracle keeps "make it faster" honest against "it stopped finding
+# the neighbors". Both arms are the registered pipelines verbatim (flat
+# renamed CTEs, no nesting): exact = broadcast-query cross-score + per-query
+# window; approx = probe the materialized k-means index. The join comparing
+# the two arms touches 2·TOP_K·N_QUERIES rows — driver-negligible at any
+# corpus scale; recall = hits/k is an exact small-int division, so the
+# DuckDB oracle is bit-identical.
+# ---------------------------------------------------------------------------
+def _recall_sql(spark: bool) -> str:
+    cos_q = cosine("q.embedding", "c.embedding", spark=spark)
+    cos_ivf = cosine("qq.embedding", "c.embedding", spark=spark)
+    if spark:
+        centroids_rel, cells_rel = "_km_centroids", "_km_cells"
+        head = "WITH "
+    else:
+        ctes, final_c = _kmeans_ctes(spark)
+        centroids_rel, cells_rel = final_c, "cells"
+        head = "WITH " + ",\n    ".join(ctes) + ",\n    "
+    return f"""
+    {head}ex_ranked AS (
+      SELECT query_id, cand_id, rk FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_q} DESC, c.vec_id) AS rk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      ) e WHERE rk <= {TOP_K}
+    ),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_dist('q.embedding', 'ct.centroid', spark)} ASC, ct.cell) AS prk
+        FROM embeddings q
+        JOIN {centroids_rel} ct ON q.vec_id < {N_QUERIES}
+      ) p WHERE prk <= {NPROBE}
+    ),
+    ivf_ranked AS (
+      SELECT query_id, cand_id, rk FROM (
+        SELECT p.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos_ivf} DESC, c.vec_id) AS rk
+        FROM probes p
+        JOIN {cells_rel} c ON c.cell = p.cell
+        JOIN embeddings qq ON qq.vec_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+      ) i WHERE rk <= {TOP_K}
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(i.cand_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.cand_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM ex_ranked e
+    LEFT JOIN ivf_ranked i
+      ON i.query_id = e.query_id AND i.cand_id = e.cand_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """
+
+
+_register_kmeans_query("ann_recall_at_k", _recall_sql(True), _recall_sql(False))

@@ -281,3 +281,21 @@ def test_norm_filter_median_is_exact_order_statistic(spark, sf_dir):
     assert all(r.med_l2 == expect for r in rows)
     assert all((r.keep == 1) == (0.5 * expect <= r.l2_norm <= 2.0 * expect
                                  and r.l2_norm > 0.0) for r in rows)
+
+
+def test_recall_entry_matches_recomputation(spark, sf_dir):
+    """ann_recall_at_k must equal the recall recomputed from the two
+    registered arms (exact top-k ∩ IVF top-k), per query."""
+    got = {r.query_id: r for r in
+           similarity.QUERIES["ann_recall_at_k"](spark, sf_dir).collect()}
+    exact_sets, ivf_sets = {}, {}
+    for r in similarity.QUERIES["ann_cosine_topk"](spark, sf_dir).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    for r in similarity.QUERIES["ann_ivf_topk"](spark, sf_dir).collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    assert set(got) == set(exact_sets)
+    for q, ex in exact_sets.items():
+        hits = len(ex & ivf_sets.get(q, set()))
+        assert got[q].n_exact == similarity.TOP_K
+        assert got[q].n_hits == hits
+        assert got[q].recall_at_k == hits / similarity.TOP_K
