@@ -134,16 +134,33 @@ def _kmeans_ctes(spark: bool) -> tuple[list[str], str]:
     return ctes, final_c
 
 
-def _kmeans_views(spark: SparkSession) -> None:
-    """Materialize the k-means index ONCE per query: run the Lloyd's chain a
-    single time, pin centroids + final assignment with ``localCheckpoint``,
-    and expose them as ``_km_centroids`` / ``_km_cells`` temp views.
+# (SparkSession id -> sf_dir) of the currently materialized index: the
+# index is immutable for a given corpus, so ivf/semdedup/recall entries in
+# one session share a single build instead of re-running Lloyd's each call.
+_KM_BUILT: dict[int, str] = {}
+
+
+def _kmeans_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Materialize the k-means index ONCE per (session, corpus): run the
+    Lloyd's chain a single time, pin centroids + final assignment with
+    ``localCheckpoint``, and expose them as ``_km_centroids`` /
+    ``_km_cells`` temp views.
 
     Without this, every CTE reference to ``cells`` re-inlines the whole
     chain (semdedup's plan had 12 FileScans of embeddings; IVF 9). With it,
     downstream SQL reads the views — exactly the production shape: the IVF
-    index is BUILT once and stored, then probed. Values are bit-identical to
-    the oracle's inline chain (same expressions, same data)."""
+    index is BUILT once and stored, then probed by every consumer. Values
+    are bit-identical to the oracle's inline chain (same expressions, same
+    data). Pass ``sf_dir`` to enable the per-session reuse; calling with a
+    different ``sf_dir`` (or None) rebuilds."""
+    key = id(spark)
+    if (
+        sf_dir is not None
+        and _KM_BUILT.get(key) == sf_dir
+        and spark.catalog.tableExists("_km_cells")  # id() reuse guard
+    ):
+        return
+    _KM_BUILT.pop(key, None)
     ctes, final_c = _kmeans_ctes(True)
     with_block = ",\n    ".join(ctes[:-1])  # chain up to the final centroids
     cent = spark.sql(
@@ -154,6 +171,8 @@ def _kmeans_views(spark: SparkSession) -> None:
         _assign_select("_km_centroids", True)
     ).localCheckpoint(eager=True)
     cells.createOrReplaceTempView("_km_cells")
+    if sf_dir is not None:
+        _KM_BUILT[key] = sf_dir
 
 
 def _register_kmeans_query(name: str, spark_sql: str, duck_sql: str) -> None:
@@ -162,7 +181,7 @@ def _register_kmeans_query(name: str, spark_sql: str, duck_sql: str) -> None:
 
     def run(spark: SparkSession, sf_dir: str, _sql: str = spark_sql) -> DataFrame:
         register_views(spark, sf_dir)
-        _kmeans_views(spark)
+        _kmeans_views(spark, sf_dir)
         return spark.sql(_sql)
 
     QUERIES[name] = run
