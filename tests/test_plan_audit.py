@@ -25,6 +25,11 @@ SCAN_BOUNDS = {
     "dedup_exact": 1,
     "text_quality": 1,
     "cdc_apply_changes": 2,   # ordered CTE feeds stats + last-change sides
+    "sample_domain_cap": 1,   # two-phase salted top-N reads documents once
+    # exact arm (q + c) + probe/ivf query sides; index via _km views. All
+    # but the exact-arm candidate scan carry the pushed vec_id < N_QUERIES
+    # filter, so only one full corpus read remains.
+    "ann_recall_at_k": 5,
 }
 
 
