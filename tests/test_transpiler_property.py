@@ -292,3 +292,66 @@ def test_case_where_shape_matches_duckdb(pg, duck, c, a, b):
     duck_rows = duck.execute(sql).fetchall()
     assert len(spark_rows) == len(duck_rows) == 1
     assert [_norm(v) for v in spark_rows[0]] == [_norm(v) for v in duck_rows[0]], sql
+
+
+# ---------------------------------------------------------------- windows
+
+
+@st.composite
+def window_expr(draw):
+    """A window call whose result is engine-comparable: the ORDER BY key is
+    total (n_nationkey and n_name are unique), int-only arguments, and only
+    frame forms both engines define identically."""
+    part = draw(st.sampled_from(["", "PARTITION BY n_regionkey"]))
+    key = draw(st.sampled_from(
+        ["n_nationkey", "n_nationkey DESC", "n_name", "n_name DESC"]))
+    order = f"ORDER BY {key}"
+    kind = draw(st.sampled_from(["rank", "agg", "offset", "navigation"]))
+    frame = ""
+    if kind == "rank":
+        fn = draw(st.sampled_from(
+            ["ROW_NUMBER()", "RANK()", "DENSE_RANK()", "NTILE(3)", "NTILE(7)"]))
+    elif kind == "offset":
+        f = draw(st.sampled_from(["LAG", "LEAD"]))
+        k = draw(st.integers(min_value=0, max_value=4))
+        dflt = draw(st.sampled_from(["", ", -1"]))
+        fn = f"{f}(n_nationkey, {k}{dflt})"
+    elif kind == "navigation":
+        fn = draw(st.sampled_from(
+            ["FIRST_VALUE(n_nationkey)", "LAST_VALUE(n_nationkey)"]))
+        frame = draw(st.sampled_from(
+            ["",
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+             "ROWS BETWEEN 2 PRECEDING AND 1 FOLLOWING"]))
+    else:
+        fn = draw(st.sampled_from(
+            ["SUM(n_nationkey)", "COUNT(*)", "MIN(n_nationkey)",
+             "MAX(n_nationkey)", "SUM(n_regionkey)"]))
+        frame = draw(st.sampled_from(
+            ["",
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW",
+             "ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING",
+             "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"]))
+    over = " ".join(x for x in (part, order, frame) if x)
+    return f"{fn} OVER ({over})"
+
+
+@_SETTINGS
+@given(wexpr=window_expr())
+def test_window_funcs_match_duckdb(pg, duck, sf_dir, wexpr):
+    # frame semantics (default RANGE-peers vs explicit ROWS), offset
+    # defaults, and NTILE bucketing over a real table with a total order
+    sql = (
+        f"SELECT n_nationkey, {wexpr} AS v FROM nation "
+        f"ORDER BY n_nationkey"
+    )
+    spark_rows = [tuple(r) for r in pg.execute(sql).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = duck.execute(sql).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    for srow, drow in zip(spark_rows, duck_rows):
+        assert [_norm(v) for v in srow] == [_norm(v) for v in drow], sql
