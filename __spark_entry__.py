@@ -101,6 +101,7 @@ _PRIORITY = [
     "text_token_entropy",
     "sample_domain_cap",
     "ann_recall_at_k",
+    "dedup_lsh_quality",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

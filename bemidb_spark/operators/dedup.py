@@ -620,3 +620,112 @@ def _incremental_sql(spark: bool) -> str:
 
 
 _register("dedup_incremental_batch", _incremental_sql(True), _incremental_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding quality: precision/recall of the candidate generator against
+# exact Jaccard ground truth on a deterministic sample — the gauge that
+# keeps BANDS x ROWS_PER_BAND tuning honest (more bands => recall up,
+# precision down). Ground truth needs all-pairs Jaccard, which must never
+# run corpus-wide; production evals it on a bounded sample, so the chain
+# here is row-sampled up front (doc_id % SAMPLE_MOD = 0 on both arms) and
+# the all-pairs stage touches (N/SAMPLE_MOD)^2 rows — a fixed, small eval
+# set at any corpus size, while the LSH arm stays the production plan.
+# ---------------------------------------------------------------------------
+# 1-in-3 deterministic eval sample at test scale; in production the modulus
+# scales with the corpus so the eval set stays fixed-size (the all-pairs
+# stage is quadratic in the SAMPLE, never the corpus).
+SAMPLE_MOD = 3
+
+
+def _lsh_quality_sql(spark: bool) -> str:
+    """One summary row: truth pairs, LSH candidate pairs, their overlap,
+    and precision/recall (exact small-int divisions -> bit-identical)."""
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    aggs = ", ".join(minhash_min_aggs(MINHASH_K))
+    distinct = "array_distinct" if spark else "list_distinct"
+    size = "size" if spark else "len"
+    inter = (
+        f"{size}(array_intersect(a.sh, b.sh))"
+        if spark
+        else "len(list_intersect(a.sh, b.sh))"
+    )
+    cast_t = "STRING" if spark else "VARCHAR"
+    digests = [
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * ROWS_PER_BAND + r} AS {cast_t})"
+            for r in range(ROWS_PER_BAND)
+        )
+        + "))"
+        for b in range(BANDS)
+    ]
+    if spark:
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("s", spark=True, salt="mh")
+            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+        )
+        bandrows = (
+            "SELECT doc_id, pos AS band_no, digest FROM mh "
+            f"LATERAL VIEW posexplode(array({', '.join(digests)})) t AS pos, digest"
+        )
+    else:
+        ex = (
+            "SELECT doc_id, "
+            + hash_int("unnest(sh)", spark=False, salt="mh")
+            + " AS h FROM docs"
+        )
+        bandrows = (
+            "SELECT doc_id, u.i - 1 AS band_no, u.d AS digest FROM "
+            f"(SELECT doc_id, [{', '.join(digests)}] AS ds FROM mh) m, "
+            "LATERAL (SELECT unnest(ds) AS d, "
+            "generate_subscripts(ds, 1) AS i) u"
+        )
+    jac = f"CAST({inter} AS DOUBLE) / ({size}(a.sh) + {size}(b.sh) - {inter})"
+    return f"""
+    WITH raw AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % {SAMPLE_MOD} = 0
+    ),
+    docs AS (
+      SELECT doc_id, {distinct}({sh}) AS sh
+      FROM (SELECT doc_id, {w} AS w FROM raw)
+    ),
+    ex AS (
+      {ex}
+    ),
+    mh AS (
+      SELECT doc_id, {aggs} FROM ex GROUP BY doc_id
+    ),
+    bandrows AS (
+      {bandrows}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_no = b.band_no AND a.digest = b.digest
+                     AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE {jac} >= {JACCARD_MIN}
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
+    )
+    SELECT n_truth, n_cands, n_hits,
+           CASE WHEN n_cands = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_lsh,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall_lsh
+    FROM agg
+    """
+
+
+_register("dedup_lsh_quality", _lsh_quality_sql(True), _lsh_quality_sql(False))

@@ -299,3 +299,16 @@ def test_recall_entry_matches_recomputation(spark, sf_dir):
         assert got[q].n_exact == similarity.TOP_K
         assert got[q].n_hits == hits
         assert got[q].recall_at_k == hits / similarity.TOP_K
+
+
+def test_lsh_quality_gauge_sane(spark, sf_dir):
+    """The banding quality gauge must be non-degenerate on the eval sample
+    (truth and candidate sets both non-empty) and internally consistent."""
+    row = dedup.QUERIES["dedup_lsh_quality"](spark, sf_dir).collect()[0]
+    assert row.n_truth > 0 and row.n_cands > 0
+    assert row.n_hits <= min(row.n_truth, row.n_cands)
+    assert row.precision_lsh == row.n_hits / row.n_cands
+    assert row.recall_lsh == row.n_hits / row.n_truth
+    # 8x2 banding at jaccard 0.5 catches ~90% of true pairs; on the planted
+    # corpus it should not miss more than half
+    assert row.recall_lsh >= 0.5
