@@ -30,6 +30,7 @@ SCAN_BOUNDS = {
     # but the exact-arm candidate scan carry the pushed vec_id < N_QUERIES
     # filter, so only one full corpus read remains.
     "ann_recall_at_k": 5,
+    "dedup_lsh_quality": 4,  # sampled chain: LSH arm x2 + truth arm x2
 }
 
 
