@@ -663,3 +663,45 @@ def _domain_cap_sql(spark: bool) -> str:
 
 
 _register("sample_domain_cap", _domain_cap_sql(True), _domain_cap_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# mixture shift report: what did the domain cap do to per-source shares?
+# ---------------------------------------------------------------------------
+def _cap_shift_sql(spark: bool) -> str:
+    """Per-source token share before vs after the DOMAIN_CAP cut and their
+    ratio — the accounting a pipeline publishes alongside any rebalancing
+    step so a mixture change is a reviewed decision, not a side effect.
+    One window (salted two-phase at scale, see sample_domain_cap) + one
+    aggregate; shares are exact-int divisions and the ratio divides two
+    identical doubles, so the oracle is bit-identical."""
+    ntok = (
+        "CAST(size(split(text, ' ')) AS BIGINT)" if spark
+        else "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    )
+    return f"""
+    WITH ranked AS (
+      SELECT source, {ntok} AS n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+             CAST(SUM(CASE WHEN rn <= {DOMAIN_CAP} THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS tokens_after
+      FROM ranked GROUP BY source
+    ),
+    tot AS (SELECT SUM(tokens_before) AS tb, SUM(tokens_after) AS ta FROM agg)
+    SELECT a.source, a.tokens_before, a.tokens_after,
+           CAST(a.tokens_before AS DOUBLE) / t.tb AS share_before,
+           CAST(a.tokens_after AS DOUBLE) / t.ta AS share_after,
+           (CAST(a.tokens_after AS DOUBLE) / t.ta)
+             / (CAST(a.tokens_before AS DOUBLE) / t.tb) AS share_ratio
+    FROM agg a CROSS JOIN tot t
+    ORDER BY a.source
+    """
+
+
+_register("mixture_domain_cap_shift", _cap_shift_sql(True), _cap_shift_sql(False))

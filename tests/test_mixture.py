@@ -155,3 +155,12 @@ def test_domain_cap_respected_and_keeps_longest(spark, sf_dir):
     for d in dropped:
         if d.source in min_kept:
             assert d.n_chars <= min_kept[d.source]
+
+
+def test_cap_shift_shares_consistent(spark, sf_dir):
+    rows = mx.QUERIES["mixture_domain_cap_shift"](spark, sf_dir).collect()
+    assert abs(sum(r.share_before for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r.share_after for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r.tokens_after <= r.tokens_before
+        assert r.share_ratio == r.share_after / r.share_before
