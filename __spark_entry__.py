@@ -103,6 +103,7 @@ _PRIORITY = [
     "ann_recall_at_k",
     "dedup_lsh_quality",
     "mixture_domain_cap_shift",
+    "dedup_simhash_quality",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

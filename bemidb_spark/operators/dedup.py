@@ -729,3 +729,92 @@ def _lsh_quality_sql(spark: bool) -> str:
 
 
 _register("dedup_lsh_quality", _lsh_quality_sql(True), _lsh_quality_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# simhash banding quality: the pigeonhole EXACTNESS of 16-bit chunk banding
+# for Hamming <= HAMMING_MAX, measured — recall against exact all-pairs
+# Hamming ground truth must be exactly 1.0 (a pair differing in <= 3 bits
+# agrees on at least one of 4 chunks), and precision is the wasted-verify
+# ratio that tunes CHUNK_BITS (wider chunks => fewer, purer buckets). Like
+# dedup_lsh_quality, the quadratic truth arm runs only on the bounded
+# 1-in-SAMPLE_MOD eval sample; the banded arm is the production plan.
+# ---------------------------------------------------------------------------
+def _simhash_quality_sql(spark: bool) -> str:
+    h_lo = hash_int("token", spark=spark, salt="sh64a")
+    h_hi = hash_int("token", spark=spark, salt="sh64b")
+
+    def shift(i: int) -> str:
+        col, k = ("hlo", i) if i < 32 else ("hhi", i - 32)
+        if spark:
+            return f"(shiftright({col}, {k}) & 1)"
+        return f"(({col} >> {k}) & 1)"
+
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN {shift(i)} = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(PAIR_BITS)
+    )
+    chunk_exprs = []
+    for c in range(N_CHUNKS):
+        bits = " + ".join(
+            f"(CASE WHEN s{c * CHUNK_BITS + k} > 0 THEN {1 << k} ELSE 0 END)"
+            for k in range(CHUNK_BITS)
+        )
+        chunk_exprs.append(f"CAST({bits} AS BIGINT) AS c{c}")
+    if spark:
+        tok = ("SELECT doc_id, token FROM "
+               f"(SELECT doc_id, text FROM documents WHERE doc_id % {SAMPLE_MOD} = 0) "
+               "LATERAL VIEW explode(split(text, ' ')) t AS token")
+    else:
+        tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+               f"FROM documents WHERE doc_id % {SAMPLE_MOD} = 0")
+    xor_hamming = " + ".join(
+        f"bit_count(a.c{c} ^ b.c{c})" if spark else f"bit_count(xor(a.c{c}, b.c{c}))"
+        for c in range(N_CHUNKS)
+    )
+    chunk_arr = ", ".join(f"c{c}" for c in range(N_CHUNKS))
+    if spark:
+        chunkrows = (
+            "SELECT doc_id, pos AS chunk_no, v FROM fp "
+            f"LATERAL VIEW posexplode(array({chunk_arr})) t AS pos, v"
+        )
+    else:
+        chunkrows = (
+            "SELECT doc_id, u.i - 1 AS chunk_no, u.v AS v FROM "
+            f"(SELECT doc_id, [{chunk_arr}] AS cs FROM fp) m, "
+            "LATERAL (SELECT unnest(cs) AS v, generate_subscripts(cs, 1) AS i) u"
+        )
+    return f"""
+    WITH tok AS ({tok}),
+    hashed AS (SELECT doc_id, {h_lo} AS hlo, {h_hi} AS hhi FROM tok),
+    bits AS (SELECT doc_id, {bit_sums} FROM hashed GROUP BY doc_id),
+    fp AS (SELECT doc_id, {', '.join(chunk_exprs)} FROM bits),
+    chunkrows AS ({chunkrows}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunkrows a
+      JOIN chunkrows b ON a.chunk_no = b.chunk_no AND a.v = b.v
+                      AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE {xor_hamming} <= {HAMMING_MAX}
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
+    )
+    SELECT n_truth, n_cands, n_hits,
+           CASE WHEN n_cands = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_band,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall_band
+    FROM agg
+    """
+
+
+_register("dedup_simhash_quality", _simhash_quality_sql(True), _simhash_quality_sql(False))

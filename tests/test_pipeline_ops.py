@@ -312,3 +312,14 @@ def test_lsh_quality_gauge_sane(spark, sf_dir):
     # 8x2 banding at jaccard 0.5 catches ~90% of true pairs; on the planted
     # corpus it should not miss more than half
     assert row.recall_lsh >= 0.5
+
+
+def test_simhash_banding_is_pigeonhole_exact(spark, sf_dir):
+    """Chunk banding must recall EVERY true Hamming<=3 pair (pigeonhole:
+    <=3 differing bits cannot touch all 4 chunks) — recall is exactly 1.0,
+    not approximately."""
+    row = dedup.QUERIES["dedup_simhash_quality"](spark, sf_dir).collect()[0]
+    assert row.n_truth > 0
+    assert row.recall_band == 1.0
+    assert row.n_hits == row.n_truth
+    assert 0 < row.precision_band <= 1.0
