@@ -31,6 +31,8 @@ SCAN_BOUNDS = {
     # filter, so only one full corpus read remains.
     "ann_recall_at_k": 5,
     "dedup_lsh_quality": 4,  # sampled chain: LSH arm x2 + truth arm x2
+    "dedup_simhash_quality": 2,   # fp subtree reused via exchange reuse
+    "mixture_domain_cap_shift": 1,
 }
 
 
