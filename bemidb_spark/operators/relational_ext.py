@@ -536,3 +536,38 @@ _CDC_APPLY = """
     ORDER BY s.user_id
 """
 _register_sql("cdc_apply_changes", _CDC_APPLY)
+
+
+# ---------------------------------------------------------------------------
+# behavioral path mining: top event-type trigrams over per-user ordered
+# histories — the sequence-level corpus statistic behind funnel discovery
+# (which 3-step paths actually happen, before you hard-code a funnel).
+# One window shuffle on user_id (LEAD twice over the same ordering costs a
+# single sort), map-side partial counts, TakeOrderedAndProject top-k —
+# never a global sort of all paths. Deterministic: the ordering key
+# (ts, event_id) is total and ties in counts break on the path string.
+# ---------------------------------------------------------------------------
+PATH_TOP_K = 20
+
+
+def _path_trigrams_sql(spark: bool) -> str:
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT concat_ws('>', event_type, e2, e3) AS path,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered
+    WHERE e3 IS NOT NULL
+    GROUP BY concat_ws('>', event_type, e2, e3)
+    ORDER BY n DESC, path
+    LIMIT {PATH_TOP_K}
+    """
+
+
+_register_sql("event_path_trigrams", _path_trigrams_sql(True), _path_trigrams_sql(False))

@@ -105,3 +105,22 @@ def test_weighted_reservoir_biases_toward_heavy_docs(spark, sf_dir):
     sampled_mean = sum(r.n_chars for r in rows) / len(rows)
     corpus = spark.sql("SELECT avg(n_chars) AS m FROM documents").collect()[0].m
     assert sampled_mean > corpus  # size-biased by construction
+
+
+def test_path_trigrams_counts_consistent(spark, sf_dir):
+    """Trigram counts must total (events - 2*users-with->=3-events... simpler:
+    equal the number of rows whose user has >= 2 following events), and the
+    result is the global top-k in (n DESC, path) order."""
+    from bemidb_spark.operators import relational_ext as rx
+
+    rows = rx.QUERIES["event_path_trigrams"](spark, sf_dir).collect()
+    assert len(rows) == rx.PATH_TOP_K
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per_user = {r.user_id: r.c for r in
+                events.groupBy("user_id").count().withColumnRenamed("count", "c").collect()}
+    total_trigrams = sum(max(0, c - 2) for c in per_user.values())
+    # top-k covers a subset; every path has 3 segments
+    assert sum(ns) <= total_trigrams
+    assert all(len(r.path.split(">")) == 3 for r in rows)
