@@ -105,6 +105,7 @@ _PRIORITY = [
     "mixture_domain_cap_shift",
     "dedup_simhash_quality",
     "event_path_trigrams",
+    "mixture_source_gini",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -705,3 +705,41 @@ def _cap_shift_sql(spark: bool) -> str:
 
 
 _register("mixture_domain_cap_shift", _cap_shift_sql(True), _cap_shift_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# mixture concentration: Gini coefficient of per-source token counts
+# ---------------------------------------------------------------------------
+def _gini_sql(spark: bool) -> str:
+    """How concentrated is the mixture? Gini over per-source token counts
+    via the rank formula G = sum_i (2i - n - 1) x_(i) / (n * total) — the
+    one-number alarm that says "three domains are most of the corpus" before
+    any capping decision. The numerator is exact BIGINT arithmetic (rank
+    window over the AGGREGATED source table, which is tiny relative to the
+    corpus — the only global sort touches n_sources rows, never documents),
+    and the single final division produces the same double on both engines.
+    Ties in counts rank deterministically by source name."""
+    ntok = (
+        "CAST(size(split(text, ' ')) AS BIGINT)" if spark
+        else "CAST(len(string_split(text, ' ')) AS BIGINT)"
+    )
+    return f"""
+    WITH g AS (
+      SELECT source, CAST(SUM({ntok}) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(toks) AS total FROM g
+    ),
+    r AS (
+      SELECT toks, ROW_NUMBER() OVER (ORDER BY toks, source) AS i FROM g
+    )
+    SELECT t.n AS n_sources, t.total AS total_tokens,
+           CAST(SUM((2 * r.i - t.n - 1) * r.toks) AS DOUBLE)
+             / (CAST(t.n AS DOUBLE) * t.total) AS gini
+    FROM r CROSS JOIN tot t
+    GROUP BY t.n, t.total
+    """
+
+
+_register("mixture_source_gini", _gini_sql(True), _gini_sql(False))

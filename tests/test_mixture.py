@@ -164,3 +164,19 @@ def test_cap_shift_shares_consistent(spark, sf_dir):
     for r in rows:
         assert r.tokens_after <= r.tokens_before
         assert r.share_ratio == r.share_after / r.share_before
+
+
+def test_gini_bounds_and_known_cases(spark, sf_dir):
+    row = mx.QUERIES["mixture_source_gini"](spark, sf_dir).collect()[0]
+    # near-uniform corpus (equal docs per source) => small but non-negative
+    assert 0.0 <= row.gini < 0.5
+    assert row.n_sources > 1 and row.total_tokens > 0
+    # cross-check against a python recomputation
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    toks: dict[str, int] = {}
+    for d in docs:
+        toks[d.source] = toks.get(d.source, 0) + len(d.text.split(" "))
+    xs = [t for _, t in sorted(toks.items(), key=lambda kv: (kv[1], kv[0]))]
+    n, tot = len(xs), sum(xs)
+    gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * tot)
+    assert abs(row.gini - gini) < 1e-12
