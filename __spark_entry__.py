@@ -106,6 +106,7 @@ _PRIORITY = [
     "dedup_simhash_quality",
     "event_path_trigrams",
     "mixture_source_gini",
+    "text_novelty_ratio",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

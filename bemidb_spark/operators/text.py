@@ -420,3 +420,47 @@ def _entropy_sql(spark: bool) -> str:
 
 
 _register("text_token_entropy", _entropy_sql(True), _entropy_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# novelty ratio: how much of each doc is first-seen content?
+# ---------------------------------------------------------------------------
+def _novelty_sql(spark: bool) -> str:
+    """Fraction of a doc's distinct 3-shingles whose first corpus occurrence
+    (lowest doc_id) is the doc itself — the marginal-contribution signal a
+    curation pass uses to drop docs that add nothing beyond earlier
+    documents (novelty ~ 0) without requiring them to be exact or near
+    duplicates of any single doc. Plan: explode distinct shingles, one
+    shuffle on shingle for MIN(doc_id), join back on the same key (co-
+    partitioned after the aggregation), one per-doc regroup. novelty is an
+    exact small-int division -> bit-identical across engines."""
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    if spark:
+        ex = ("SELECT doc_id, s AS shingle FROM docs "
+              "LATERAL VIEW explode(sh) t AS s")
+    else:
+        ex = "SELECT doc_id, unnest(sh) AS shingle FROM docs"
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, {distinct}({sh}) AS sh
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    ex AS ({ex}),
+    first AS (
+      SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY shingle
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty
+    FROM ex e JOIN first f ON f.shingle = e.shingle
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """
+
+
+_register("text_novelty_ratio", _novelty_sql(True), _novelty_sql(False))

@@ -323,3 +323,14 @@ def test_simhash_banding_is_pigeonhole_exact(spark, sf_dir):
     assert row.recall_band == 1.0
     assert row.n_hits == row.n_truth
     assert 0 < row.precision_band <= 1.0
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    """The lowest doc_id is all-first-occurrences (novelty 1.0); planted
+    near-duplicates of earlier docs sit near 0; every ratio is in (0, 1]."""
+    rows = text.QUERIES["text_novelty_ratio"](spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    first = min(by_id)
+    assert by_id[first].novelty == 1.0
+    assert all(0 <= r.novelty <= 1.0 and r.n_novel <= r.n_shingles for r in rows)
+    assert any(r.novelty < 0.2 for r in rows)  # planted dups add ~nothing
