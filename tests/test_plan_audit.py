@@ -33,6 +33,9 @@ SCAN_BOUNDS = {
     "dedup_lsh_quality": 4,  # sampled chain: LSH arm x2 + truth arm x2
     "dedup_simhash_quality": 2,   # fp subtree reused via exchange reuse
     "mixture_domain_cap_shift": 1,
+    "text_novelty_ratio": 2,      # exploded shingles + first-occurrence side
+    "event_path_trigrams": 1,
+    "mixture_source_gini": 1,
 }
 
 
