@@ -355,3 +355,44 @@ def test_window_funcs_match_duckdb(pg, duck, sf_dir, wexpr):
     assert len(spark_rows) == len(duck_rows)
     for srow, drow in zip(spark_rows, duck_rows):
         assert [_norm(v) for v in srow] == [_norm(v) for v in drow], sql
+
+
+# ------------------------------------------------------------------ joins
+
+
+@st.composite
+def join_query(draw):
+    """A two-table join over nation/region with a random type and an
+    optional extra predicate; results compare as multisets (engines
+    disagree on NULL sort position, not on NULL semantics)."""
+    jt = draw(st.sampled_from(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL JOIN"]))
+    extra = draw(st.sampled_from(
+        ["", "AND r.r_regionkey <> 2", "AND n.n_nationkey % 2 = 0",
+         "AND r.r_name LIKE 'A%'"]))
+    where = draw(st.sampled_from(
+        ["", "WHERE n.n_nationkey IS NULL OR n.n_nationkey < 20",
+         "WHERE r.r_name IS NOT NULL"]))
+    return (
+        f"SELECT n.n_nationkey, n.n_name, r.r_regionkey, r.r_name "
+        f"FROM nation n {jt} region r "
+        f"ON n.n_regionkey = r.r_regionkey {extra} {where}"
+    )
+
+
+def _null_safe_key(t):
+    return tuple((v is None, v) for v in t)
+
+
+@_SETTINGS
+@given(sql=join_query())
+def test_join_shapes_match_duckdb(pg, duck, sf_dir, sql):
+    spark_rows = sorted(
+        (tuple(r) for r in pg.execute(sql).collect()), key=_null_safe_key)
+    for t in ("nation", "region"):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_rows = sorted(
+        (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
+    assert spark_rows == duck_rows, sql
