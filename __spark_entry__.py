@@ -107,6 +107,7 @@ _PRIORITY = [
     "event_path_trigrams",
     "mixture_source_gini",
     "text_novelty_ratio",
+    "skew_key_report",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -571,3 +571,36 @@ def _path_trigrams_sql(spark: bool) -> str:
 
 
 _register_sql("event_path_trigrams", _path_trigrams_sql(True), _path_trigrams_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# join-key skew diagnostic: the number you look at BEFORE deciding to salt.
+# Top heavy hitters of a join key with their share of all rows and the
+# ratio to a perfectly uniform key — share_x_uniform >> 1 on few keys means
+# the shuffle partition holding that key becomes the straggler at scale and
+# the join wants salting / AQE skew splitting. Map-side partial counts, one
+# shuffle on the key, TakeOrderedAndProject top-k; shares are exact-int
+# divisions (bit-identical).
+# ---------------------------------------------------------------------------
+SKEW_TOP_K = 10
+
+
+def _skew_report_sql(spark: bool) -> str:
+    return f"""
+    WITH k AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY user_id
+    ),
+    tot AS (
+      SELECT SUM(n_rows) AS total, CAST(COUNT(*) AS BIGINT) AS n_keys FROM k
+    )
+    SELECT k.user_id, k.n_rows,
+           CAST(k.n_rows AS DOUBLE) / t.total AS row_share,
+           CAST(k.n_rows * t.n_keys AS DOUBLE) / t.total AS share_x_uniform
+    FROM k CROSS JOIN tot t
+    ORDER BY k.n_rows DESC, k.user_id
+    LIMIT {SKEW_TOP_K}
+    """
+
+
+_register_sql("skew_key_report", _skew_report_sql(True), _skew_report_sql(False))

@@ -124,3 +124,18 @@ def test_path_trigrams_counts_consistent(spark, sf_dir):
     # top-k covers a subset; every path has 3 segments
     assert sum(ns) <= total_trigrams
     assert all(len(r.path.split(">")) == 3 for r in rows)
+
+
+def test_skew_report_shares_and_ordering(spark, sf_dir):
+    from bemidb_spark.operators import relational_ext as rx
+
+    rows = rx.QUERIES["skew_key_report"](spark, sf_dir).collect()
+    assert len(rows) == rx.SKEW_TOP_K
+    ns = [r.n_rows for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    total = events.count()
+    n_keys = events.select("user_id").distinct().count()
+    for r in rows:
+        assert r.row_share == r.n_rows / total
+        assert r.share_x_uniform == r.n_rows * n_keys / total
