@@ -396,3 +396,43 @@ def test_join_shapes_match_duckdb(pg, duck, sf_dir, sql):
     duck_rows = sorted(
         (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
     assert spark_rows == duck_rows, sql
+
+
+# ---------------------------------------------------------------- set ops
+
+
+@st.composite
+def setop_query(draw):
+    """Two projections of nation combined by a random set operation —
+    UNION dedup, INTERSECT/EXCEPT bag semantics, and ALL variants must all
+    agree; multiset comparison (no ORDER BY on purpose)."""
+    op = draw(st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]))
+    p1 = draw(st.sampled_from(
+        ["n_nationkey < 12", "n_regionkey IN (0, 2, 4)",
+         "n_name LIKE '%A%'", "n_nationkey % 3 = 0"]))
+    p2 = draw(st.sampled_from(
+        ["n_nationkey >= 8", "n_regionkey <> 1",
+         "n_name NOT LIKE 'B%'", "n_nationkey % 2 = 1"]))
+    cols = draw(st.sampled_from(
+        ["n_regionkey", "n_regionkey, n_name", "n_nationkey % 4"]))
+    return (
+        f"SELECT {cols} FROM nation WHERE {p1} "
+        f"{op} "
+        f"SELECT {cols} FROM nation WHERE {p2}"
+    )
+
+
+@_SETTINGS
+@given(sql=setop_query())
+def test_setops_match_duckdb(pg, duck, sf_dir, sql):
+    spark_rows = sorted(
+        (tuple(r) for r in pg.execute(sql).collect()), key=_null_safe_key)
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = sorted(
+        (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
+    assert spark_rows == duck_rows, sql
