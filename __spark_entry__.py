@@ -108,6 +108,7 @@ _PRIORITY = [
     "mixture_source_gini",
     "text_novelty_ratio",
     "skew_key_report",
+    "ann_probe_sweep",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

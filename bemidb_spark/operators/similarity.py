@@ -559,3 +559,73 @@ def _recall_sql(spark: bool) -> str:
 
 
 _register_kmeans_query("ann_recall_at_k", _recall_sql(True), _recall_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# IVF probe sweep: recall@k as a function of NPROBE (1..N_CELLS) in one
+# query — the tuning curve behind the NPROBE constant. Candidates visible
+# at probe budget np are those in cells ranked prk <= np, and the top-k is
+# re-ranked per (np, query) partition, so each sweep point is exactly what
+# running IVF at that NPROBE would return. Endpoint invariant: at
+# np = N_CELLS every cell is probed, so recall must be exactly 1.0 (tested)
+# — the curve connects the approximate path to exact ground truth.
+# Cost: N_CELLS x the single-probe scored rows, still bounded by cells.
+# ---------------------------------------------------------------------------
+def _probe_sweep_sql(spark: bool) -> str:
+    cos_q = cosine("q.embedding", "c.embedding", spark=spark)
+    cos_ivf = cosine("qq.embedding", "c.embedding", spark=spark)
+    if spark:
+        centroids_rel, cells_rel = "_km_centroids", "_km_cells"
+        head = "WITH "
+        nps = f"SELECT explode(sequence(1, {N_CELLS})) AS np"
+    else:
+        ctes, final_c = _kmeans_ctes(spark)
+        centroids_rel, cells_rel = final_c, "cells"
+        head = "WITH " + ",\n    ".join(ctes) + ",\n    "
+        nps = f"SELECT unnest(range(1, {N_CELLS + 1})) AS np"
+    return f"""
+    {head}ex_ranked AS (
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_q} DESC, c.vec_id) AS rk
+        FROM embeddings q
+        JOIN embeddings c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      ) e WHERE rk <= {TOP_K}
+    ),
+    probes AS (
+      SELECT query_id, cell, prk FROM (
+        SELECT q.vec_id AS query_id, ct.cell,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {_dist('q.embedding', 'ct.centroid', spark)} ASC, ct.cell) AS prk
+        FROM embeddings q
+        JOIN {centroids_rel} ct ON q.vec_id < {N_QUERIES}
+      ) p
+    ),
+    nps AS ({nps}),
+    ivf_k AS (
+      SELECT np, query_id, cand_id FROM (
+        SELECT n.np, p.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY n.np, p.query_id
+                                  ORDER BY {cos_ivf} DESC, c.vec_id) AS rk
+        FROM probes p
+        JOIN nps n ON p.prk <= n.np
+        JOIN {cells_rel} c ON c.cell = p.cell
+        JOIN embeddings qq ON qq.vec_id = p.query_id
+        WHERE c.vec_id <> p.query_id
+      ) i WHERE rk <= {TOP_K}
+    )
+    SELECT n.np,
+           CAST(COUNT(k.cand_id) AS BIGINT) AS n_hits,
+           CAST({N_QUERIES * TOP_K} AS BIGINT) AS n_total,
+           CAST(COUNT(k.cand_id) AS DOUBLE) / {N_QUERIES * TOP_K} AS recall
+    FROM nps n
+    CROSS JOIN ex_ranked e
+    LEFT JOIN ivf_k k
+      ON k.np = n.np AND k.query_id = e.query_id AND k.cand_id = e.cand_id
+    GROUP BY n.np
+    ORDER BY n.np
+    """
+
+
+_register_kmeans_query("ann_probe_sweep", _probe_sweep_sql(True), _probe_sweep_sql(False))

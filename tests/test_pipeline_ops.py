@@ -334,3 +334,18 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     assert by_id[first].novelty == 1.0
     assert all(0 <= r.novelty <= 1.0 and r.n_novel <= r.n_shingles for r in rows)
     assert any(r.novelty < 0.2 for r in rows)  # planted dups add ~nothing
+
+
+def test_probe_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """Recall must be non-decreasing in the probe budget, agree with the
+    registered single-point recall entry at np=NPROBE, and hit exactly 1.0
+    at np=N_CELLS (probing every cell IS brute force)."""
+    rows = {r.np: r for r in
+            similarity.QUERIES["ann_probe_sweep"](spark, sf_dir).collect()}
+    assert set(rows) == set(range(1, similarity.N_CELLS + 1))
+    rec = [rows[np].recall for np in range(1, similarity.N_CELLS + 1)]
+    assert all(a <= b for a, b in zip(rec, rec[1:]))
+    assert rows[similarity.N_CELLS].recall == 1.0
+    point = similarity.QUERIES["ann_recall_at_k"](spark, sf_dir).collect()
+    agg = sum(r.n_hits for r in point) / sum(r.n_exact for r in point)
+    assert rows[similarity.NPROBE].recall == agg
