@@ -36,6 +36,8 @@ SCAN_BOUNDS = {
     "text_novelty_ratio": 2,      # exploded shingles + first-occurrence side
     "event_path_trigrams": 1,
     "mixture_source_gini": 1,
+    "skew_key_report": 1,
+    "ann_probe_sweep": 5,         # exact arm (q+c) + probe/sweep query sides
 }
 
 
