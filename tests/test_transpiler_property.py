@@ -436,3 +436,46 @@ def test_setops_match_duckdb(pg, duck, sf_dir, sql):
     duck_rows = sorted(
         (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
     assert spark_rows == duck_rows, sql
+
+
+# --------------------------------------------------------------- sublinks
+
+
+@st.composite
+def sublink_query(draw):
+    """Semi/anti shapes: [NOT] EXISTS correlated subqueries and [NOT] IN
+    uncorrelated subqueries over nation/region — the forms Catalyst
+    rewrites to LeftSemi/LeftAnti; NOT IN's NULL semantics must also agree
+    (no NULLs in these key columns, the non-degenerate case)."""
+    kind = draw(st.sampled_from(["EXISTS", "NOT EXISTS", "IN", "NOT IN"]))
+    rpred = draw(st.sampled_from(
+        ["r.r_regionkey <> 2", "r.r_name LIKE 'A%'",
+         "r.r_regionkey > 0", "1 = 1"]))
+    npred = draw(st.sampled_from(
+        ["", "WHERE n.n_nationkey < 18", "WHERE n.n_name > 'C'"]))
+    if kind in ("EXISTS", "NOT EXISTS"):
+        cond = (f"{kind} (SELECT 1 FROM region r "
+                f"WHERE r.r_regionkey = n.n_regionkey AND {rpred})")
+    else:
+        cond = (f"n.n_regionkey {kind} "
+                f"(SELECT r.r_regionkey FROM region r WHERE {rpred})")
+    glue = "AND" if npred else "WHERE"
+    return (
+        f"SELECT n.n_nationkey, n.n_name FROM nation n "
+        f"{npred} {glue} {cond}"
+    )
+
+
+@_SETTINGS
+@given(sql=sublink_query())
+def test_sublinks_match_duckdb(pg, duck, sf_dir, sql):
+    spark_rows = sorted(
+        (tuple(r) for r in pg.execute(sql).collect()), key=_null_safe_key)
+    for t in ("nation", "region"):
+        duck.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    duck_rows = sorted(
+        (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
+    assert spark_rows == duck_rows, sql
