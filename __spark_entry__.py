@@ -109,6 +109,7 @@ _PRIORITY = [
     "text_novelty_ratio",
     "skew_key_report",
     "ann_probe_sweep",
+    "dedup_embedding_quality",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -818,3 +818,74 @@ def _simhash_quality_sql(spark: bool) -> str:
 
 
 _register("dedup_simhash_quality", _simhash_quality_sql(True), _simhash_quality_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# hyperplane-LSH banding quality: precision/recall of the cosine candidate
+# generator vs exact all-pairs cosine ground truth on the bounded 1-in-
+# SAMPLE_MOD sample — completes the gauge family (MinHash-Jaccard, simhash-
+# Hamming, ANN recall@k). Unlike simhash banding, hyperplane banding is
+# probabilistic (P(candidate | cos 0.45) ~ 0.83 at 8x4 bits), so recall
+# genuinely measures the banding parameters rather than verifying a proof.
+# ---------------------------------------------------------------------------
+def _embedding_quality_sql(spark: bool) -> str:
+    cos = cosine("a.embedding", "b.embedding", spark=spark)
+    arr = (lambda v: "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + ")") if spark \
+        else (lambda v: "[" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in v) + "]")
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(LSH_BITS_PER_BAND):
+            j = b * LSH_BITS_PER_BAND + r
+            d = dot_fold("embedding", arr(_hyperplane(j)), spark=spark)
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        band_cols.append(" + ".join(bits) + f" AS band{b}")
+    band_arr = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+    if spark:
+        bandrows = (
+            "SELECT vec_id, pos AS band_no, bucket FROM sigs "
+            f"LATERAL VIEW posexplode(array({band_arr})) t AS pos, bucket"
+        )
+    else:
+        bandrows = (
+            "SELECT vec_id, u.i - 1 AS band_no, u.b AS bucket FROM "
+            f"(SELECT vec_id, [{band_arr}] AS bs FROM sigs) m, "
+            "LATERAL (SELECT unnest(bs) AS b, generate_subscripts(bs, 1) AS i) u"
+        )
+    return f"""
+    WITH sample AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
+    ),
+    sigs AS (
+      SELECT vec_id, {', '.join(band_cols)}
+      FROM sample
+    ),
+    bandrows AS ({bandrows}),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    ),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {COSINE_MIN}
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cands c ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b) AS n_hits
+    )
+    SELECT n_truth, n_cands, n_hits,
+           CASE WHEN n_cands = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_lsh,
+           CASE WHEN n_truth = 0 THEN NULL
+                ELSE CAST(n_hits AS DOUBLE) / n_truth END AS recall_lsh
+    FROM agg
+    """
+
+
+_register("dedup_embedding_quality", _embedding_quality_sql(True), _embedding_quality_sql(False))

@@ -349,3 +349,18 @@ def test_probe_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
     point = similarity.QUERIES["ann_recall_at_k"](spark, sf_dir).collect()
     agg = sum(r.n_hits for r in point) / sum(r.n_exact for r in point)
     assert rows[similarity.NPROBE].recall == agg
+
+
+def test_embedding_lsh_quality_beats_chance(spark, sf_dir):
+    """Hyperplane banding recall on true cosine pairs must beat the share
+    of all pairs that are candidates (i.e., the blocker is informative,
+    not a random subset), with internally consistent counts."""
+    row = dedup.QUERIES["dedup_embedding_quality"](spark, sf_dir).collect()[0]
+    assert row.n_truth > 0 and row.n_cands > 0
+    assert row.n_hits <= min(row.n_truth, row.n_cands)
+    n_sample = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(f"vec_id % {dedup.SAMPLE_MOD} = 0").count())
+    all_pairs = n_sample * (n_sample - 1) // 2
+    chance = row.n_cands / all_pairs
+    assert row.recall_lsh > chance
