@@ -38,6 +38,7 @@ SCAN_BOUNDS = {
     "mixture_source_gini": 1,
     "skew_key_report": 1,
     "ann_probe_sweep": 5,         # exact arm (q+c) + probe/sweep query sides
+    "dedup_embedding_quality": 5,  # sampled sig/cand/truth arms (pushed filter)
 }
 
 
