@@ -110,6 +110,7 @@ _PRIORITY = [
     "skew_key_report",
     "ann_probe_sweep",
     "dedup_embedding_quality",
+    "event_gap_histogram",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -604,3 +604,54 @@ def _skew_report_sql(spark: bool) -> str:
 
 
 _register_sql("skew_key_report", _skew_report_sql(True), _skew_report_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# inter-event gap distribution: the histogram the sessionize threshold is
+# read off (30 min sits where cum_share flattens). Gap = µs to the user's
+# previous event (one window shuffle on user_id); buckets are a power-of-2
+# CASE cascade on whole seconds (integer, no float log — same reasoning as
+# seq_len_buckets), counts aggregate map-side, and the cumulative share is
+# a running sum over the ~20-row bucket table. Exact-int divisions; a
+# global percentile would need a corpus-wide sort, the histogram doesn't.
+# ---------------------------------------------------------------------------
+GAP_BUCKETS = [2 ** k for k in range(0, 21)]  # 1 s .. ~12 days
+
+
+def _gap_hist_sql(spark: bool) -> str:
+    us = ("unix_micros(CAST(ts AS TIMESTAMP))" if spark else "epoch_us(ts)")
+    # integer division, NOT CAST(x / 1e6 AS BIGINT): DuckDB rounds
+    # double->bigint while Spark truncates, so a 1.5 s gap would land in
+    # different buckets
+    floordiv = "gap_us DIV 1000000" if spark else "gap_us // 1000000"
+    cascade = " ".join(
+        f"WHEN gap_s <= {b} THEN {b}" for b in GAP_BUCKETS)
+    return f"""
+    WITH ordered AS (
+      SELECT {us} - LAG({us}) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    gaps AS (
+      SELECT CAST({floordiv} AS BIGINT) AS gap_s
+      FROM ordered WHERE gap_us IS NOT NULL
+    ),
+    b AS (
+      SELECT CASE {cascade} ELSE {GAP_BUCKETS[-1] * 2} END AS bucket_s
+      FROM gaps
+    ),
+    h AS (
+      SELECT bucket_s, CAST(COUNT(*) AS BIGINT) AS n_gaps
+      FROM b GROUP BY bucket_s
+    ),
+    tot AS (SELECT SUM(n_gaps) AS total FROM h)
+    SELECT h.bucket_s, h.n_gaps,
+           CAST(h.n_gaps AS DOUBLE) / t.total AS share,
+           CAST(SUM(h.n_gaps) OVER (ORDER BY h.bucket_s) AS DOUBLE)
+             / t.total AS cum_share
+    FROM h CROSS JOIN tot t
+    ORDER BY h.bucket_s
+    """
+
+
+_register_sql("event_gap_histogram", _gap_hist_sql(True), _gap_hist_sql(False))

@@ -139,3 +139,17 @@ def test_skew_report_shares_and_ordering(spark, sf_dir):
     for r in rows:
         assert r.row_share == r.n_rows / total
         assert r.share_x_uniform == r.n_rows * n_keys / total
+
+
+def test_gap_histogram_covers_all_gaps(spark, sf_dir):
+    from bemidb_spark.operators import relational_ext as rx
+
+    rows = rx.QUERIES["event_gap_histogram"](spark, sf_dir).collect()
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_gaps for r in rows) == n_events - n_users
+    cums = [r.cum_share for r in rows]
+    assert all(a <= b for a, b in zip(cums, cums[1:]))
+    assert abs(cums[-1] - 1.0) < 1e-12
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
