@@ -39,6 +39,7 @@ SCAN_BOUNDS = {
     "skew_key_report": 1,
     "ann_probe_sweep": 5,         # exact arm (q+c) + probe/sweep query sides
     "dedup_embedding_quality": 5,  # sampled sig/cand/truth arms (pushed filter)
+    "event_gap_histogram": 1,
 }
 
 
