@@ -111,6 +111,9 @@ _PRIORITY = [
     "ann_probe_sweep",
     "dedup_embedding_quality",
     "event_gap_histogram",
+    "contamination_span_max",
+    "embedding_dim_stats",
+    "user_recency_weighted_value",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

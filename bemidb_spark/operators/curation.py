@@ -105,6 +105,88 @@ _register_sql("decontaminate_eval_overlap", _decontaminate_sql(True), _decontami
 
 
 # ---------------------------------------------------------------------------
+# contamination spans: longest contiguous run of contaminated positions
+# ---------------------------------------------------------------------------
+SPAN_FLAG_MIN = 3  # a run of >= 3 consecutive contaminated 5-grams ≈ a
+# verbatim substring of >= 7 words copied from the eval split — much stronger
+# leakage evidence than the same number of shingles scattered across the doc.
+
+
+def _contamination_span_sql(spark: bool) -> str:
+    """Positional decontamination: islands of consecutive contaminated shingles.
+
+    `decontaminate_eval_overlap` counts HOW MANY eval shingles a training doc
+    shares; this entry finds WHERE they sit. A long contiguous run of
+    contaminated positions means a verbatim copied span (the signal used for
+    span-level eval decontamination in LLM data pipelines), while the same
+    count scattered through the doc is usually benign phrase reuse.
+
+    Shape: positional shingle explode (posexplode / generate_subscripts), a
+    broadcast semi-join of corpus positions against the tiny distinct eval
+    shingle set, then the classic gaps-and-islands trick — group consecutive
+    positions by ``p - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY p)``.
+    At 100 TB: the eval set broadcasts, the explode is map-side, and the only
+    shuffle is the per-doc window whose state is bounded by document length.
+    """
+    w = words("text", spark=spark)
+    sh = shingles("w", DECON_NGRAM, spark=spark)
+    if spark:
+        pos = (
+            f"SELECT doc_id, source, p, s FROM "
+            f"(SELECT doc_id, source, {sh} AS sh "
+            f" FROM (SELECT doc_id, source, {w} AS w FROM documents)) "
+            f"LATERAL VIEW posexplode(sh) t AS p, s"
+        )
+    else:
+        pos = (
+            f"SELECT doc_id, source, generate_subscripts(sh, 1) - 1 AS p, "
+            f"unnest(sh) AS s "
+            f"FROM (SELECT doc_id, source, {sh} AS sh "
+            f"      FROM (SELECT doc_id, source, {w} AS w FROM documents))"
+        )
+    return f"""
+    WITH pos AS ({pos}),
+    ev AS (SELECT DISTINCT s FROM pos WHERE source = '{EVAL_SOURCE}'),
+    hits AS (
+      SELECT t.doc_id, t.p
+      FROM pos t JOIN ev ON t.s = ev.s
+      WHERE t.source <> '{EVAL_SOURCE}'
+    ),
+    runs AS (
+      SELECT doc_id,
+             p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+      FROM hits
+    ),
+    spans AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_id, grp
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(MAX(span_len) AS BIGINT) AS max_span,
+             CAST(SUM(span_len) AS BIGINT) AS n_pos
+      FROM spans GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_pos, 0) AS BIGINT) AS contaminated_positions,
+           CAST(COALESCE(a.max_span, 0) AS BIGINT) AS max_contiguous_span,
+           CASE WHEN COALESCE(a.max_span, 0) >= {SPAN_FLAG_MIN}
+                THEN 1 ELSE 0 END AS span_flagged
+    FROM documents d
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE d.source <> '{EVAL_SOURCE}'
+    ORDER BY d.doc_id
+    """
+
+
+_register_sql(
+    "contamination_span_max",
+    _contamination_span_sql(True),
+    _contamination_span_sql(False),
+)
+
+
+# ---------------------------------------------------------------------------
 # repetition / boilerplate signals (Gopher-style)
 # ---------------------------------------------------------------------------
 def _repetition_sql(spark: bool) -> str:

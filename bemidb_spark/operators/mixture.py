@@ -743,3 +743,62 @@ def _gini_sql(spark: bool) -> str:
 
 
 _register("mixture_source_gini", _gini_sql(True), _gini_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# per-dimension embedding statistics (drift / collapse / scale report)
+# ---------------------------------------------------------------------------
+def _dim_stats_sql(spark: bool) -> str:
+    """Per-dimension mean / variance / range over the embedding corpus.
+
+    The standard health report before training on an embedding column:
+    collapsed dimensions (variance ~ 0), un-normalized scales, and
+    distribution drift between snapshots all show up here. Output is one row
+    per dimension (64 rows regardless of corpus size).
+
+    Shape: positional explode (posexplode / generate_subscripts) then a
+    single groupBy(dim) — map-side combinable, one shuffle of EMB_DIM-sized
+    partial states. Means use the FLOOR(x * 2^30) fixed-point trick from
+    `embedding_centroid_outliers` (power-of-two scaling of an exact double is
+    exact, so each term is the identical BIGINT on both engines and the SUM
+    is order-independent integer math); 2^30 (vs the centroid's 2^50) keeps
+    |term| < 2^31 so the BIGINT sum holds to ~10^10 rows. At larger scale the
+    same expression works under two-level hierarchical aggregation (Spark's
+    partial aggregation already does this). min/max on doubles are
+    order-independent; E[x^2] uses the same fixed-point guard.
+    """
+    two30 = "1073741824.0"  # 2^30
+    if spark:
+        pos = (
+            "SELECT p AS dim, CAST(x AS DOUBLE) AS x "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) t AS p, x"
+        )
+    else:
+        pos = (
+            "SELECT generate_subscripts(embedding, 1) - 1 AS dim, "
+            "CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings"
+        )
+    fx = f"CAST(FLOOR(x * {two30}) AS BIGINT)"
+    fx2 = f"CAST(FLOOR(x * x * {two30}) AS BIGINT)"
+    return f"""
+    WITH pos AS ({pos}),
+    agg AS (
+      SELECT dim,
+             CAST(COUNT(*) AS BIGINT) AS n_vals,
+             CAST(SUM({fx}) AS DOUBLE) / {two30} AS sum_x,
+             CAST(SUM({fx2}) AS DOUBLE) / {two30} AS sum_x2,
+             MIN(x) AS min_val,
+             MAX(x) AS max_val
+      FROM pos GROUP BY dim
+    )
+    SELECT CAST(dim AS INT) AS dim, n_vals,
+           sum_x / n_vals AS mean_val,
+           sum_x2 / n_vals - (sum_x / n_vals) * (sum_x / n_vals) AS var_val,
+           min_val, max_val,
+           max_val - min_val AS range_val
+    FROM agg
+    ORDER BY dim
+    """
+
+
+_register("embedding_dim_stats", _dim_stats_sql(True), _dim_stats_sql(False))

@@ -655,3 +655,59 @@ def _gap_hist_sql(spark: bool) -> str:
 
 
 _register_sql("event_gap_histogram", _gap_hist_sql(True), _gap_hist_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# recency-weighted per-user value (time-decayed engagement / LTV score)
+# ---------------------------------------------------------------------------
+DECAY_WINDOW_DAYS = 30  # weight = max(0, 30 - age_days): linear ramp to zero
+
+
+def _recency_value_sql(spark: bool) -> str:
+    """Per-user time-decay-weighted value: SUM(value * max(0, 30 - age_days)).
+
+    The engagement-scoring shape used for sample weighting and user-cohort
+    prioritization: recent activity counts more, activity older than the
+    window counts nothing. The decay weight is an INTEGER linear ramp (not
+    exp()) so the whole aggregate is exact: value is pinned to fixed-point
+    via FLOOR(value * 2^20) (power-of-two scaling of an exact double — the
+    `embedding_centroid_outliers` trick), multiplied by the integer weight,
+    and summed as BIGINT. Order-independent integer math -> bit-identical
+    across engines and across Spark partitionings.
+
+    age_days counts calendar-day boundaries from the corpus max DATE (both
+    engines agree on DATE-granularity diffs; the as-of entry documents why
+    sub-day date_diff is not cross-engine-safe). The reference date is a
+    1-row scalar subquery -> broadcast; the only shuffle is groupBy(user_id).
+    """
+    two20 = "1048576.0"  # 2^20; |value| <= ~1e6 keeps terms far inside BIGINT
+    if spark:
+        age = "datediff(r.ref_date, CAST(e.ts AS DATE))"
+    else:
+        age = "date_diff('day', CAST(e.ts AS DATE), r.ref_date)"
+    weight = f"GREATEST(0, {DECAY_WINDOW_DAYS} - {age})"
+    fxv = "CAST(FLOOR(e.value * 1048576.0) AS BIGINT)"
+    return f"""
+    WITH r AS (SELECT MAX(CAST(ts AS DATE)) AS ref_date FROM events),
+    scored AS (
+      SELECT e.user_id,
+             CAST({weight} AS BIGINT) AS w,
+             {fxv} AS v_fx
+      FROM events e CROSS JOIN r
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_in_window,
+           CAST(SUM(w * v_fx) AS DOUBLE) / {two20} AS weighted_value
+    FROM scored
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+_register_sql(
+    "user_recency_weighted_value",
+    _recency_value_sql(True),
+    _recency_value_sql(False),
+)

@@ -180,3 +180,23 @@ def test_gini_bounds_and_known_cases(spark, sf_dir):
     n, tot = len(xs), sum(xs)
     gini = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * tot)
     assert abs(row.gini - gini) < 1e-12
+
+
+def test_embedding_dim_stats_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = mx.QUERIES["embedding_dim_stats"](spark, sf_dir).collect()
+    vecs = np.array(
+        [r.embedding for r in
+         spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    assert len(rows) == vecs.shape[1] == mx.EMB_DIM
+    for r in rows:
+        col = vecs[:, r.dim]
+        assert r.n_vals == len(col)
+        assert abs(r.mean_val - col.mean()) < 1e-6
+        assert abs(r.var_val - col.var()) < 1e-6
+        assert r.min_val == col.min() and r.max_val == col.max()
+        assert r.range_val == r.max_val - r.min_val
+        assert r.var_val >= -1e-9

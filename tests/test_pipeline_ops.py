@@ -364,3 +364,50 @@ def test_embedding_lsh_quality_beats_chance(spark, sf_dir):
     all_pairs = n_sample * (n_sample - 1) // 2
     chance = row.n_cands / all_pairs
     assert row.recall_lsh > chance
+
+
+def test_contamination_span_matches_python_recompute(spark, sf_dir):
+    """Gaps-and-islands span detection matches an exact Python recompute."""
+    rows = {r.doc_id: r
+            for r in curation.QUERIES["contamination_span_max"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def sh5(t):
+        ws = t.split(" ")
+        if len(ws) < curation.DECON_NGRAM:
+            return [" ".join(ws)]
+        n = curation.DECON_NGRAM
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    ev = set()
+    for d in docs:
+        if d.source == curation.EVAL_SOURCE:
+            ev.update(sh5(d.text))
+    for d in docs:
+        if d.source == curation.EVAL_SOURCE:
+            assert d.doc_id not in rows
+            continue
+        hits = [i for i, s in enumerate(sh5(d.text)) if s in ev]
+        best = run = 0
+        prev = None
+        for p in hits:
+            run = run + 1 if prev is not None and p == prev + 1 else 1
+            best = max(best, run)
+            prev = p
+        r = rows[d.doc_id]
+        assert r.contaminated_positions == len(hits), d.doc_id
+        assert r.max_contiguous_span == best, d.doc_id
+        assert r.span_flagged == (1 if best >= curation.SPAN_FLAG_MIN else 0)
+
+
+def test_contamination_span_flags_planted_eval_copies(spark, sf_dir_med):
+    """Near-copies of eval docs carry long verbatim spans; span-flagged docs
+    must be a subset of count-contaminated docs (a span is shared shingles)."""
+    spans = {r.doc_id: r for r in
+             curation.QUERIES["contamination_span_max"](spark, sf_dir_med).collect()}
+    counts = {r.doc_id: r for r in
+              curation.QUERIES["decontaminate_eval_overlap"](spark, sf_dir_med).collect()}
+    flagged = [d for d, r in spans.items() if r.span_flagged == 1]
+    assert flagged, "planted eval near-copies should carry contiguous spans"
+    for d in flagged:
+        assert counts[d].shared_ngrams > 0

@@ -40,6 +40,10 @@ SCAN_BOUNDS = {
     "ann_probe_sweep": 5,         # exact arm (q+c) + probe/sweep query sides
     "dedup_embedding_quality": 5,  # sampled sig/cand/truth arms (pushed filter)
     "event_gap_histogram": 1,
+    # pos CTE inlines into the eval-set + hits sides, + final doc join
+    "contamination_span_max": 3,
+    "embedding_dim_stats": 1,
+    "user_recency_weighted_value": 2,  # 1-row ref-date scan + scored scan
 }
 
 

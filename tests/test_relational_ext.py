@@ -153,3 +153,25 @@ def test_gap_histogram_covers_all_gaps(spark, sf_dir):
     assert all(a <= b for a, b in zip(cums, cums[1:]))
     assert abs(cums[-1] - 1.0) < 1e-12
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-9
+
+
+def test_recency_weighted_value_exact_recompute(spark, sf_dir):
+    """Fixed-point decay-weighted sum matches an exact Python recompute."""
+    import math
+
+    rx = relational_ext
+    rows = {r.user_id: r for r in
+            rx.QUERIES["user_recency_weighted_value"](spark, sf_dir).collect()}
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    ref = max(e.ts.date() for e in events)
+    agg: dict[int, tuple[int, int, int]] = {}
+    for e in events:
+        w = max(0, rx.DECAY_WINDOW_DAYS - (ref - e.ts.date()).days)
+        v = math.floor(e.value * 1048576.0)
+        n, nw, s = agg.get(e.user_id, (0, 0, 0))
+        agg[e.user_id] = (n + 1, nw + (1 if w > 0 else 0), s + w * v)
+    assert set(agg) == set(rows)
+    for uid, (n, nw, s) in agg.items():
+        r = rows[uid]
+        assert r.n_events == n and r.n_in_window == nw
+        assert r.weighted_value == s / 1048576.0
