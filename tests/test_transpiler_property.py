@@ -479,3 +479,98 @@ def test_sublinks_match_duckdb(pg, duck, sf_dir, sql):
     duck_rows = sorted(
         (tuple(r) for r in duck.execute(sql).fetchall()), key=_null_safe_key)
     assert spark_rows == duck_rows, sql
+
+
+# ---------------------------------------------------- grouping constructs
+
+
+@st.composite
+def grouping_clause(draw):
+    """ROLLUP / CUBE / GROUPING SETS over a column key + an expression key.
+    Every selected key appears in at least one grouping set (required by all
+    three engines); super-aggregate rows carry NULL keys + GROUPING() = 1."""
+    return draw(st.sampled_from([
+        "ROLLUP(n_regionkey, n_nationkey % 3)",
+        "CUBE(n_regionkey, n_nationkey % 3)",
+        "GROUPING SETS ((n_regionkey), (n_nationkey % 3), ())",
+        "GROUPING SETS ((n_regionkey, n_nationkey % 3), (n_regionkey))",
+        "GROUPING SETS ((n_regionkey, n_nationkey % 3), ())",
+    ]))
+
+
+@_SETTINGS
+@given(
+    pred=nation_pred(),
+    gclause=grouping_clause(),
+    hmin=st.integers(min_value=1, max_value=5),
+)
+def test_grouping_constructs_match_duckdb(pg, duck, sf_dir, pred, gclause, hmin):
+    # Super-aggregate rows produce NULL keys, and the engines' default null
+    # sort order differs (Spark NULLS FIRST, DuckDB NULLS LAST) — the ORDER
+    # BY pins it explicitly. (g1, g2, region, k3) is a unique total order.
+    # hmin >= 1 scopes out the one known divergence this fuzzer found: on
+    # EMPTY input pg/DuckDB emit a COUNT=0 super-aggregate row per () set,
+    # Spark emits none (see test_grouping_sets_empty_input_divergence and
+    # PARITY.md §Documented deviations).
+    sql = (
+        "SELECT n_regionkey, n_nationkey % 3 AS k3, "
+        "GROUPING(n_regionkey) AS g1, GROUPING(n_nationkey % 3) AS g2, "
+        "COUNT(*) AS c, SUM(n_nationkey) AS s "
+        f"FROM nation WHERE {pred} GROUP BY {gclause} "
+        f"HAVING COUNT(*) >= {hmin} "
+        "ORDER BY g1, g2, n_regionkey NULLS FIRST, k3 NULLS FIRST"
+    )
+    spark_rows = [tuple(_norm(v) for v in r) for r in pg.execute(sql).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = [tuple(_norm(v) for v in r) for r in duck.execute(sql).fetchall()]
+    assert spark_rows == duck_rows, sql
+
+
+@_SETTINGS
+@given(
+    pred=nation_pred(),
+    thr=st.integers(min_value=-1, max_value=30),
+    sep=st.sampled_from([",", "|", "; "]),
+)
+def test_agg_filter_distinct_ordered_match_duckdb(pg, duck, sf_dir, pred, thr, sep):
+    # aggregate modifiers in one shape: FILTER clauses (empty-match COUNT->0,
+    # SUM->NULL), DISTINCT over an expression, and ordered string_agg
+    sql = (
+        "SELECT n_regionkey, "
+        f"COUNT(*) FILTER (WHERE n_nationkey > {thr}) AS c_f, "
+        f"SUM(n_nationkey) FILTER (WHERE {pred}) AS s_f, "
+        "COUNT(DISTINCT n_nationkey % 4) AS cd, "
+        f"string_agg(n_name, '{sep}' ORDER BY n_name) AS names "
+        "FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"
+    )
+    spark_rows = [tuple(_norm(v) for v in r) for r in pg.execute(sql).collect()]
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    duck_rows = [tuple(_norm(v) for v in r) for r in duck.execute(sql).fetchall()]
+    assert spark_rows == duck_rows, sql
+
+
+def test_grouping_sets_empty_input_divergence(pg, duck, sf_dir):
+    """Pins the one grouping-sets divergence the fuzzer found: on EMPTY
+    input, pg (and DuckDB) emit one COUNT=0 super-aggregate row per empty
+    grouping set in the expansion; Spark's Expand-based grouping sets emit
+    no rows at all. No safe text-level rewrite exists (the compensation row
+    needs real select-list analysis to NULL the keys and fold GROUPING()),
+    so the behavior is documented in PARITY.md §Documented deviations. If
+    Spark ever aligns with the standard, this test fails and both it and
+    the PARITY entry should be dropped."""
+    sql = (
+        "SELECT n_regionkey, COUNT(*) AS c FROM nation "
+        "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_regionkey)"
+    )
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    assert duck.execute(sql).fetchall() == [(None, 0)]  # pg semantics
+    assert pg.execute(sql).collect() == []  # Spark semantics (documented)
