@@ -114,6 +114,7 @@ _PRIORITY = [
     "contamination_span_max",
     "embedding_dim_stats",
     "user_recency_weighted_value",
+    "streaming_late_data_drop",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -78,10 +78,25 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> s
             .start()
         )
         q.processAllAvailable()
+        # Watermark-drop accounting for the run (pytest hook; the late-data
+        # entry asserts stragglers were actually dropped, not just absent).
+        import json as _json
+
+        dropped = 0
+        for prog in q.recentProgress:
+            if not isinstance(prog, dict):  # StreamingQueryProgress object
+                prog = _json.loads(prog.json)
+            for op in (prog.get("stateOperators") or []):
+                dropped += op.get("numRowsDroppedByWatermark", 0) or 0
+        LAST_DROPPED_BY_WATERMARK[name] = dropped
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return table
+
+
+# per-runner-name numRowsDroppedByWatermark from the most recent run
+LAST_DROPPED_BY_WATERMARK: dict[str, int] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -286,4 +301,111 @@ ORACLES["streaming_click_purchase_join"] = """
      AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
     WHERE c.event_type = 'click' AND p.event_type = 'purchase'
     ORDER BY user_id, click_id, buy_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# late-data drop: append-mode tumbling agg where the watermark drops
+# planted stragglers (the one watermark behavior a complete-mode bounded
+# stream can never show)
+# ---------------------------------------------------------------------------
+LATE_DELAY = "1 hour"
+LATE_MOD = 17                       # every 17th event from the early days...
+LATE_CUTOFF = "2024-01-11 00:00:00"  # ...before this instant is held back
+BATCH_SPLIT = "2024-01-21 00:00:00"  # punctual rows before this go in batch 0
+MID_SPLIT = "2024-01-26 00:00:00"   # batch 1 = punctual [Jan 21, Jan 26)
+
+
+def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
+    """Write events as three parquet files with controlled arrival order.
+
+    batch0 = punctual rows from the first 20 days; batch1 = punctual days
+    21-25; batch2 = the rest PLUS stragglers held back from days 1-10.
+    File-source order is pinned via mtime (latestFirst=false lists
+    oldest-modified first). Three batches, not two, because Spark only
+    drops a late row whose window state was ALREADY evicted in an earlier
+    batch (a later-than-watermark row whose window is still live gets
+    merged — the watermark is a lower bound, verified empirically): the
+    watermark set by batch0 (~Jan 20) evicts the straggler windows during
+    batch1, so the stragglers arriving in batch2 hit evicted state and are
+    dropped (visible as numRowsDroppedByWatermark). Test plumbing only,
+    like the memory sink: production late data arrives from the unbounded
+    source itself.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    root = os.path.join(tempfile.gettempdir(), f"bemidb_late_stage_{key}")
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    os.makedirs(root)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+    late = (f"(event_id % {LATE_MOD} = 0 AND "
+            f"ts < TIMESTAMP '{LATE_CUTOFF}')")
+    split = f"ts < TIMESTAMP '{BATCH_SPLIT}'"
+    mid = f"ts < TIMESTAMP '{MID_SPLIT}'"
+    batches = [
+        ev.filter(F.expr(f"NOT {late} AND {split}")),
+        ev.filter(F.expr(f"NOT ({split}) AND {mid}")),
+        ev.filter(F.expr(f"{late} OR NOT ({mid})")),
+    ]
+    for i, b in enumerate(batches):
+        tmp = os.path.join(root, f"_tmp{i}")
+        b.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        dst = os.path.join(root, f"batch{i}.parquet")
+        shutil.move(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    return root
+
+
+def _late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _stage_late_batches(spark, sf_dir)
+    schema = spark.read.parquet(os.path.join(root, "batch0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(root)
+    )
+    agg = (
+        stream.withWatermark("ts", LATE_DELAY)
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("total_value"),
+        )
+    )
+    # Append mode: a window row is emitted exactly once, when the watermark
+    # passes its end; stragglers behind the watermark are dropped, and the
+    # still-open final day stays in state (never emitted on this bounded run).
+    table = _run_to_memory(agg, "stream_late_drop", output_mode="append")
+    return spark.sql(f"""
+        SELECT CAST(w.start AS DATE) AS day, n, total_value
+        FROM {table}
+        ORDER BY day
+    """)
+
+
+QUERIES["streaming_late_data_drop"] = _late_drop
+# The batch equivalent of what append mode must produce: per-day aggregates
+# EXCLUDING the stragglers (dropped behind the watermark), over only the
+# windows the final watermark (global max ts - delay) has closed.
+ORACLES["streaming_late_data_drop"] = f"""
+    WITH wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS final_wm FROM events)
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events, wm
+    WHERE NOT (event_id % {LATE_MOD} = 0 AND ts < TIMESTAMP '{LATE_CUTOFF}')
+      AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm.final_wm
+    GROUP BY 1
+    ORDER BY day
 """

@@ -171,3 +171,34 @@ def test_stream_apply_cdc_merges_change_stream(spark, cat, tmp_path):
         key_cols=["id"], seq_col="seq", checkpoint_dir=ckpt)
     assert n == 0
     assert len(read_table(spark, cat, "public", "cdc_t").collect()) == 3
+
+
+def test_late_data_drop_drops_stragglers(spark, sf_dir):
+    """Append-mode watermark semantics end-to-end: the staged stragglers are
+    (a) counted by numRowsDroppedByWatermark and (b) absent from the emitted
+    per-day aggregates, which otherwise equal the batch answer over the
+    watermark-closed windows."""
+    from bemidb_spark.streaming import windows as W
+
+    got = {r.day: (r.n, r.total_value)
+           for r in W.QUERIES["streaming_late_data_drop"](spark, sf_dir).collect()}
+    assert W.LAST_DROPPED_BY_WATERMARK.get("stream_late_drop", 0) > 0
+
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    batch = spark.sql(f"""
+        WITH src AS (
+          SELECT CAST(ts AS TIMESTAMP) AS ts, event_id, value FROM events
+        ),
+        wm AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS final_wm FROM src)
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM src CROSS JOIN wm
+        WHERE NOT (event_id % {W.LATE_MOD} = 0 AND ts < TIMESTAMP '{W.LATE_CUTOFF}')
+          AND date_trunc('day', ts) + INTERVAL 1 DAY <= wm.final_wm
+        GROUP BY 1
+    """)
+    want = {r.day: (r.n, r.total_value) for r in batch.collect()}
+    assert got == want
