@@ -115,6 +115,7 @@ _PRIORITY = [
     "embedding_dim_stats",
     "user_recency_weighted_value",
     "streaming_late_data_drop",
+    "mm_frame_dedup",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -280,3 +280,57 @@ ORACLES["mm_resize"] = f"""
     WHERE length(text) >= {SRC_W}
     ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate frames: Python feature extraction feeding a
+# relational dedup — the full multimodal-pipeline shape in one plan
+# ---------------------------------------------------------------------------
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frames that appear in more than one place across the corpus.
+
+    The standard near-duplicate-media sweep: fingerprint every sampled frame
+    (here: the same 1→N ``mapInPandas`` expansion as `mm_frame_sample`), then
+    hash-groupBy the fingerprints — identical frames collide regardless of
+    which video/doc they came from. At 100 TB this is mapInPandas (no
+    shuffle, Arrow-batched) followed by ONE map-side-combinable aggregation
+    on the 16-byte fingerprint — the same scale shape as `dedup_exact`, with
+    the Python boundary before the shuffle shrinking each frame to a hash.
+    """
+    media = media_table(spark, sf_dir)
+    frames = media.mapInPandas(_sample_frames, schema=_FRAMES_SCHEMA)
+    return (
+        frames.groupBy("frame_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_frames") > 1)
+        .orderBy("frame_md5")
+    )
+
+
+QUERIES["mm_frame_dedup"] = mm_frame_dedup
+ORACLES["mm_frame_dedup"] = f"""
+    WITH frames AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, length(text) // {FRAME_BYTES} - 1,
+                                    {FRAME_STRIDE})) AS f
+      FROM documents
+      WHERE length(text) >= {FRAME_BYTES}
+    ),
+    fps AS (
+      SELECT doc_id,
+             md5(substr(text, f * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+      FROM frames
+    )
+    SELECT frame_md5,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM fps
+    GROUP BY frame_md5
+    HAVING COUNT(*) > 1
+    ORDER BY frame_md5
+"""

@@ -44,6 +44,7 @@ SCAN_BOUNDS = {
     "contamination_span_max": 3,
     "embedding_dim_stats": 1,
     "user_recency_weighted_value": 2,  # 1-row ref-date scan + scored scan
+    "mm_frame_dedup": 1,  # one scan -> mapInPandas -> one agg shuffle
 }
 
 
