@@ -43,6 +43,18 @@ SSL_REQUEST = 80877103
 GSSENC_REQUEST = 80877104
 CANCEL_REQUEST = 80877102
 
+# Frame-size guards (pg: PQ_LARGE_MESSAGE_LIMIT / MAX_STARTUP_PACKET_LENGTH).
+# Regular messages cap far above any real COPY chunk; the startup packet is
+# just options and caps small, matching pg's 10 kB limit.
+MAX_MESSAGE_BYTES = 256 * 1024 * 1024
+MAX_STARTUP_BYTES = 16 * 1024
+
+
+class ProtocolViolationError(Exception):
+    """Malformed frame (bad length prefix): SQLSTATE 08P01, connection dies."""
+
+    sqlstate = "08P01"
+
 # Spark type -> (pg OID, typlen); mirrors response_handler.go:28-113.
 _OID_BOOL, _OID_BYTEA, _OID_INT8, _OID_INT4, _OID_TEXT = 16, 17, 20, 23, 25
 _OID_FLOAT4, _OID_FLOAT8, _OID_NUMERIC = 700, 701, 1700
@@ -406,6 +418,21 @@ class _Conn:
             buf += chunk
         return buf
 
+    def _recv_frame(self) -> tuple[bytes, bytes]:
+        """One typed frame with a VALIDATED length prefix.
+
+        pg rejects length < 4 and caps message size (PQ_LARGE_MESSAGE_LIMIT);
+        without the cap a single hostile `Q` header claiming 4 GB makes the
+        server buffer it all (memory DoS), and a length < 4 silently desyncs
+        framing. Both get 08P01 protocol_violation + connection close.
+        """
+        msg_type = self._recv_exact(1)
+        (length,) = struct.unpack("!I", self._recv_exact(4))
+        if length < 4 or length - 4 > MAX_MESSAGE_BYTES:
+            raise ProtocolViolationError(
+                f"invalid message length {length} (type {msg_type!r})")
+        return msg_type, self._recv_exact(length - 4)
+
     def _send(self, msg_type: bytes, payload: bytes = b"") -> None:
         self.sock.sendall(msg_type + struct.pack("!I", len(payload) + 4) + payload)
 
@@ -490,9 +517,7 @@ class _Conn:
                 return False
         elif self.password is not None:
             self._send(b"R", struct.pack("!I", 3))  # AuthenticationCleartextPassword
-            msg_type = self._recv_exact(1)
-            (length,) = struct.unpack("!I", self._recv_exact(4))
-            body = self._recv_exact(length - 4)
+            msg_type, body = self._recv_frame()
             if msg_type != b"p" or body.rstrip(b"\x00").decode() != self.password:
                 self._send_error("password authentication failed", "28P01")
                 return False
@@ -517,9 +542,7 @@ class _Conn:
         self._send(b"R", struct.pack("!I", 10) + scram.MECHANISM.encode() + b"\x00\x00")
         exchange = scram.ScramExchange(scram.build_verifier(self.password))
         try:
-            msg_type = self._recv_exact(1)
-            (length,) = struct.unpack("!I", self._recv_exact(4))
-            body = self._recv_exact(length - 4)
+            msg_type, body = self._recv_frame()
             if msg_type != b"p":
                 raise ValueError("expected SASLInitialResponse")
             mech_end = body.index(b"\x00")
@@ -530,9 +553,8 @@ class _Conn:
             server_first = exchange.server_first(client_first)
             # AuthenticationSASLContinue
             self._send(b"R", struct.pack("!I", 11) + server_first.encode())
-            msg_type = self._recv_exact(1)
-            (length,) = struct.unpack("!I", self._recv_exact(4))
-            client_final = self._recv_exact(length - 4).decode()
+            msg_type, final_body = self._recv_frame()
+            client_final = final_body.decode()
             if msg_type != b"p":
                 raise ValueError("expected SASLResponse")
             server_final = exchange.verify_final(client_final)
@@ -545,9 +567,7 @@ class _Conn:
 
     # ------------------------------------------------------------ statements
     def _read_message(self) -> tuple[bytes, bytes]:
-        msg_type = self._recv_exact(1)
-        (length,) = struct.unpack("!I", self._recv_exact(4))
-        return msg_type, self._recv_exact(length - 4)
+        return self._recv_frame()
 
     def _timeout_ms(self) -> int:
         """statement_timeout from session settings, pg value forms
@@ -925,9 +945,13 @@ class _Conn:
             interruptOnCancel=True)
         in_error = False  # extended-protocol error state: skip until Sync
         while True:
-            msg_type = self._recv_exact(1)
-            (length,) = struct.unpack("!I", self._recv_exact(4))
-            body = self._recv_exact(length - 4)
+            try:
+                msg_type, body = self._recv_frame()
+            except ProtocolViolationError as exc:
+                # pg terminates the connection on framing violations: there
+                # is no way to resynchronize a corrupt stream.
+                self._send_error(str(exc), exc.sqlstate)
+                return
             if msg_type == b"X":  # Terminate
                 return
             if in_error:
@@ -1148,7 +1172,9 @@ def _initial_packet(sock: socket.socket) -> tuple[str, tuple]:
     (postgres_server.go:226-232), classify CancelRequest vs StartupMessage."""
     while True:
         (length,) = struct.unpack("!I", _recv_exact_sock(sock, 4))
-        if length < 8:  # too short for even the protocol-code word
+        if length < 8 or length > MAX_STARTUP_BYTES:
+            # too short for the protocol-code word, or far beyond pg's
+            # startup-packet cap (a 4 GB claimed length must not be buffered)
             raise ConnectionResetError(f"malformed initial packet (length {length})")
         body = _recv_exact_sock(sock, length - 4)
         (code,) = struct.unpack("!I", body[:4])

@@ -740,3 +740,78 @@ def test_large_result_streams_all_partitions(client):
     assert r["tags"] == [f"SELECT {n}"]
     # spot-check content integrity at both ends of the stream
     assert all(len(row) == 2 for row in (r["rows"][0], r["rows"][-1]))
+
+
+# ------------------------------------------------------- framing hardening
+
+
+def test_oversized_frame_rejected_connection_dies(server):
+    """A frame header claiming ~4 GB must NOT be buffered: the server answers
+    08P01 protocol_violation and closes the connection (pg's behavior — a
+    corrupt stream cannot be resynchronized)."""
+    import socket
+    import struct
+
+    c = MiniPgClient(server.host, server.port)
+    try:
+        c.sock.sendall(b"Q" + struct.pack("!I", 0xFFFFFFF0))
+        msg_type, body = c._read_message()
+        assert msg_type == b"E"
+        assert b"08P01" in body
+        # server closed its end: recv returns EOF (no hang, no 4 GB buffer)
+        c.sock.settimeout(5)
+        assert c.sock.recv(1) == b""
+    finally:
+        c.sock.close()
+
+
+def test_undersized_frame_rejected(server):
+    """length < 4 is impossible in the protocol (the prefix counts itself);
+    instead of silently desyncing, the server rejects and closes."""
+    import struct
+
+    c = MiniPgClient(server.host, server.port)
+    try:
+        c.sock.sendall(b"Q" + struct.pack("!I", 0))
+        msg_type, body = c._read_message()
+        assert msg_type == b"E"
+        assert b"08P01" in body
+        c.sock.settimeout(5)
+        assert c.sock.recv(1) == b""
+    finally:
+        c.sock.close()
+
+
+def test_malformed_frames_leave_server_healthy(server):
+    """Framing violations on one connection never affect another."""
+    import struct
+
+    bad = MiniPgClient(server.host, server.port)
+    bad.sock.sendall(b"Q" + struct.pack("!I", 0xFFFFFFF0))
+    bad.sock.close()
+    good = MiniPgClient(server.host, server.port)
+    try:
+        out = good.query("SELECT 1 AS v")
+        assert out["rows"] == [["1"]]
+    finally:
+        good.close()
+
+
+def test_huge_startup_packet_dropped(server):
+    """A pre-auth startup packet claiming 4 GB is dropped without buffering
+    (pg caps the startup packet at 10 kB)."""
+    import socket
+    import struct
+
+    s = socket.create_connection((server.host, server.port))
+    try:
+        s.sendall(struct.pack("!I", 0xFFFFFFF0))
+        s.settimeout(5)
+        assert s.recv(1) == b""  # connection closed, server alive
+    finally:
+        s.close()
+    good = MiniPgClient(server.host, server.port)
+    try:
+        assert good.query("SELECT 2 AS v")["rows"] == [["2"]]
+    finally:
+        good.close()
