@@ -116,6 +116,7 @@ _PRIORITY = [
     "user_recency_weighted_value",
     "streaming_late_data_drop",
     "mm_frame_dedup",
+    "embedding_top_component",
     # rotated just past the 50-entry window this round (pytest-pinned
     # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",

@@ -802,3 +802,112 @@ def _dim_stats_sql(spark: bool) -> str:
 
 
 _register("embedding_dim_stats", _dim_stats_sql(True), _dim_stats_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# top principal direction via unrolled power iteration (relational linear
+# algebra: each iteration = one corpus pass with 64 fixed-point sums)
+# ---------------------------------------------------------------------------
+PI_SCALE = "33554432.0"  # 2^25: |x*dot| <= ~18 -> terms < 2^30; BIGINT sums
+# hold to ~10^9 rows, and Spark's partial aggregation extends that
+
+
+
+def _power_iter_sql(spark: bool) -> str:
+    """Dominant eigenvector of the (uncentered) Gram matrix X'X, 2 unrolled
+    power iterations from v0 = 1⃗.
+
+    The relational form of the classic distributed PCA step: an iteration is
+    ONE corpus pass — project dot = x·v (sequential 64-term fold, computed
+    once per row), then 64 map-side-combinable SUMs give w = X'(Xv); the
+    64-value normalization happens on the 1-row aggregate, which broadcasts
+    back for the next pass. No matrix is ever materialized; at 100 TB each
+    iteration is a scan + one 64-column partial-agg shuffle, the same shape
+    Spark MLlib's PCA uses for its Gramian accumulation.
+
+    Determinism: each summand FLOOR(x_d * dot * 2^25) is a BIGINT (power-of-
+    two scaling of identically-computed doubles), so sums are order-
+    independent integer math — bit-identical across engines and Spark
+    partitionings. All downstream normalization is straight-line scalar
+    double arithmetic over those exact integers. 2 iterations are unrolled
+    (enough to pin the math; convergence adds iterations, not new shapes).
+    Output: one row per dimension with the unit direction after each
+    iteration and the Rayleigh-quotient eigenvalue estimate ||w2|| (v1 is
+    unit, so ||X'X v1|| estimates the top eigenvalue).
+    """
+    def idx(col: str, d: int) -> str:
+        return f"{col}[{d}]" if spark else f"{col}[{d + 1}]"
+
+    def dot_v(vec_prefix: str) -> str:
+        # x · v with v's 64 components taken from the cross-joined 1-row CTE
+        return " + ".join(
+            f"CAST({idx('e.embedding', d)} AS DOUBLE) * {vec_prefix}{d}"
+            for d in range(EMB_DIM))
+
+    def w_sums(dot_col: str) -> str:
+        return ", ".join(
+            f"CAST(SUM(CAST(FLOOR(CAST({idx('e.embedding', d)} AS DOUBLE) "
+            f"* {dot_col} * {PI_SCALE}) AS BIGINT)) AS DOUBLE) / {PI_SCALE} "
+            f"AS w{d}"
+            for d in range(EMB_DIM))
+
+    def norm(prefix: str) -> str:
+        return ("sqrt(" + " + ".join(
+            f"{prefix}{d} * {prefix}{d}" for d in range(EMB_DIM)) + ")")
+
+    # Per-dim output goes through ONE positional explode of packed arrays —
+    # a 64-branch UNION ALL would re-inline (and re-run) the whole iteration
+    # chain per branch in both engines (the CTE-inlining trap; see README
+    # "CTE-inlining audit": this exact shape measured 162 s -> 3 s).
+    arr_open, arr_close = ("array(", ")") if spark else ("[", "]")
+    v1_cols = ", ".join(f"w.w{d} / {norm('w.w')} AS v{d}"
+                        for d in range(EMB_DIM))
+    v1_arr = (arr_open
+              + ", ".join(f"w.w{d} / {norm('w.w')}" for d in range(EMB_DIM))
+              + arr_close + " AS varr")
+    v2_arr = (arr_open
+              + ", ".join(f"w.w{d} / {norm('w.w')}" for d in range(EMB_DIM))
+              + arr_close + " AS varr")
+    if spark:
+        out = (
+            "SELECT d AS dim, element_at(a.varr, d + 1) AS loading_it1, "
+            "element_at(b.varr, d + 1) AS loading_it2, b.eig AS eigenvalue "
+            "FROM v1 a CROSS JOIN v2e b "
+            f"LATERAL VIEW explode(sequence(0, {EMB_DIM - 1})) t AS d"
+        )
+    else:
+        out = (
+            "SELECT t.d AS dim, a.varr[t.d + 1] AS loading_it1, "
+            "b.varr[t.d + 1] AS loading_it2, b.eig AS eigenvalue "
+            "FROM v1 a CROSS JOIN v2e b CROSS JOIN "
+            f"(SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS d) t"
+        )
+    # iteration 1: v0 = 1⃗ -> dot is the plain component sum
+    dot1 = " + ".join(f"CAST({idx('e.embedding', d)} AS DOUBLE)"
+                      for d in range(EMB_DIM))
+    return f"""
+    WITH d1 AS (
+      SELECT e.embedding, ({dot1}) AS dot FROM embeddings e
+    ),
+    w1 AS (
+      SELECT {w_sums('e.dot')} FROM d1 e
+    ),
+    v1 AS (
+      SELECT {v1_cols}, {v1_arr} FROM w1 w
+    ),
+    d2 AS (
+      SELECT e.embedding, ({dot_v('v.v')}) AS dot
+      FROM embeddings e CROSS JOIN v1 v
+    ),
+    w2 AS (
+      SELECT {w_sums('e.dot')} FROM d2 e
+    ),
+    v2e AS (
+      SELECT {v2_arr}, {norm('w.w')} AS eig FROM w2 w
+    )
+    {out}
+    ORDER BY dim
+    """
+
+
+_register("embedding_top_component", _power_iter_sql(True), _power_iter_sql(False))

@@ -200,3 +200,40 @@ def test_embedding_dim_stats_matches_numpy(spark, sf_dir):
         assert r.min_val == col.min() and r.max_val == col.max()
         assert r.range_val == r.max_val - r.min_val
         assert r.var_val >= -1e-9
+
+
+def test_embedding_top_component_matches_numpy_power_iteration(spark, sf_dir):
+    """The SQL power iteration replicates the exact algorithm (fixed-point
+    floors included) — verified against a numpy reimplementation — and the
+    per-iteration outputs are unit vectors."""
+    import math
+
+    import numpy as np
+
+    rows = mx.QUERIES["embedding_top_component"](spark, sf_dir).collect()
+    assert len(rows) == mx.EMB_DIM
+    X = np.array(
+        [r.embedding for r in
+         spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()],
+        dtype=np.float64,
+    )
+    scale = float(mx.PI_SCALE)
+
+    def step(v):
+        dot = X @ v
+        w = np.array([
+            np.floor(X[:, d] * dot * scale).sum() / scale
+            for d in range(mx.EMB_DIM)
+        ])
+        return w
+
+    w1 = step(np.ones(mx.EMB_DIM))
+    v1 = w1 / math.sqrt((w1 * w1).sum())
+    w2 = step(v1)
+    v2 = w2 / math.sqrt((w2 * w2).sum())
+    eig = math.sqrt((w2 * w2).sum())
+    for r in rows:
+        assert abs(r.loading_it1 - v1[r.dim]) < 1e-9
+        assert abs(r.loading_it2 - v2[r.dim]) < 1e-9
+        assert abs(r.eigenvalue - eig) < max(1e-9, 1e-12 * abs(eig))
+    assert abs(sum(r.loading_it2 ** 2 for r in rows) - 1.0) < 1e-9

@@ -45,6 +45,8 @@ SCAN_BOUNDS = {
     "embedding_dim_stats": 1,
     "user_recency_weighted_value": 2,  # 1-row ref-date scan + scored scan
     "mm_frame_dedup": 1,  # one scan -> mapInPandas -> one agg shuffle
+    # one scan per power iteration (exchange reuse covers v1's two refs)
+    "embedding_top_component": 2,
 }
 
 
