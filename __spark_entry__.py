@@ -34,66 +34,16 @@ _MODULES = [
 ]
 
 # Driver-verification rotation: the driver checks the registry front-to-back
-# within a bounded window, so entries without a CORRECTNESS row from rounds
-# 1-2 are listed first (the r1-failing-then-fixed array_agg_types leads),
-# followed by entries last checked in r1 only, then the r2-green tail.
+# within a bounded (~50-entry) window, so ordering here IS the verification
+# schedule. Round-4 window: every never-driver-checked entry, then the six
+# r3 hash-mismatch fixes, then entries whose code was rewritten after their
+# last driver row, then the stalest green rows. After this window every
+# registry entry has a driver CORRECTNESS row (cumulative 134/134).
 _PRIORITY = [
-    # added after the r2 driver run (no CORRECTNESS row ever) — head of the
-    # window so round 3 produces their first driver rows
-    "embedding_norm_filter",
-    "doc_chunk_overlap",
-    "exact_substring_dedup",
-    "semdedup_clusters",
-    "cdc_apply_changes",
-    "mm_resize",
-    "text_bm25_topk",
-    "shuffle_shard_assign",
-    "sample_weighted_reservoir",
-    "array_agg_types",
-    # never driver-checked (r1, r2)
-    "string_agg_ordered",
-    "array_sublink_regions",
-    "date_funcs_battery",
-    "lateral_topn_per_customer",
-    "percentile_event_values",
-    "regex_funcs_battery",
-    "series_calendar_fill",
-    "stats_corr_regression",
-    "win_range_interval_frame",
-    "histogram_fixed_width",
-    "pivot_event_type_daily",
-    "decontaminate_eval_overlap",
-    "repetition_filter",
-    "bigram_familiarity",
-    "dedup_dup_clusters",
-    "pack_sequences_budget",
-    "split_train_valid_test",
-    "mixture_resample_weights",
-    "unigram_logprob_score",
-    "boilerplate_line_strip",
-    "bpe_merge_candidates",
-    "embedding_centroid_outliers",
-    "quality_budget_threshold",
-    "export_shard_manifest",
-    "source_overlap_matrix",
-    "vocab_coverage_score",
-    "asof_join_purchase_view",
-    "sample_stratified_per_lang",
-    "ngram_top_bigrams",
-    "sketch_event_profile",
-    "pipeline_training_subset",
-    "range_join_close_events",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
-    "sessionize_events_30m",
-    "streaming_tumbling_daily",
-    "streaming_sliding_activity",
-    "streaming_session_windows",
-    "streaming_dedup_keys",
-    "streaming_click_purchase_join",
+    # round-4 window head: the 28 entries that have never had a driver
+    # CORRECTNESS row (r1-r3 audit) — registry growth is FROZEN until
+    # cumulative driver coverage reaches 134/134
     "streaming_stateful_user_profiles",
-    # added in round 3 after the rotation above (no CORRECTNESS row yet);
-    # queue directly behind the never-checked block
     "dedup_cluster_survivors",
     "mixture_temperature_weights",
     "seq_len_buckets",
@@ -117,19 +67,78 @@ _PRIORITY = [
     "streaming_late_data_drop",
     "mm_frame_dedup",
     "embedding_top_component",
-    # rotated just past the 50-entry window this round (pytest-pinned
-    # deterministic fakes / hash filters) — first in line next round
     "mm_decode_features",
     "mm_frame_sample",
     "mm_audio_chunks",
     "sample_hash_bernoulli",
-    # checked in r1 only (green there), not re-checked in r2
+    # the six r3 hash-mismatch entries (HUGEINT oracle sums, cast to
+    # BIGINT this round) — need green r4 rows to close the class
+    "exact_substring_dedup",
+    "cdc_apply_changes",
+    "pack_sequences_budget",
+    "quality_budget_threshold",
+    "export_shard_manifest",
+    "pipeline_training_subset",
+    # r3 CTE-audit rewrites whose driver rows predate the rewrite
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    # last driver-checked in r1 only
     "interval_bucketing",
     "json_extract_bucket",
     "recursive_month_series",
     "setops_cohorts",
     "string_funcs_battery",
     "values_join",
+    # window filler: stalest r2-only rows (dedup family re-verify)
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_edit_distance",
+    "ann_cosine_topk",
+    # r2-only tail, oldest stale rows first
+    "dedup_incremental_batch",
+    "embedding_quantize_int8",
+    "ann_hard_negatives",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_tfidf_top_term",
+    "text_readability",
+    "win_running_sum",
+    "win_rank_dense_ntile",
+    "win_lag_lead",
+    "win_moving_avg",
+    "distinct_on_latest",
+    "rollup_daily_type",
+    "cube_type_bucket",
+    "grouping_sets_mixed",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
 ]
 
 

@@ -494,7 +494,7 @@ def _pack_sql(spark: bool) -> str:
     SELECT lang,
            CAST(FLOOR(prior_tokens / {PACK_BUDGET}) AS BIGINT) AS seq_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS seq_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM cum
@@ -605,7 +605,7 @@ def _exact_substring_sql(spark: bool) -> str:
     per_doc AS (
       SELECT gr.doc_id,
              COUNT(*) AS n_grams,
-             SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS dup_grams
+             CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams
       FROM grams gr JOIN freq f ON gr.g = f.g
       GROUP BY gr.doc_id
     )

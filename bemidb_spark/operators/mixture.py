@@ -338,14 +338,14 @@ def _budget_sql(spark: bool) -> str:
     binned AS (
       SELECT LEAST({N_QBINS - 1}, CAST(FLOOR(q * {N_QBINS}) AS INT)) AS qbin,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             SUM(n_tokens) AS bin_tokens
+             CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       FROM scored GROUP BY LEAST({N_QBINS - 1}, CAST(FLOOR(q * {N_QBINS}) AS INT))
     ),
     tot AS (SELECT SUM(bin_tokens) AS total_tokens FROM binned),
     cum AS (
       SELECT qbin, n_docs, bin_tokens,
-             SUM(bin_tokens) OVER (ORDER BY qbin DESC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+             CAST(SUM(bin_tokens) OVER (ORDER BY qbin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
       FROM binned
     )
     SELECT c.qbin, c.n_docs, c.bin_tokens, c.cum_tokens,
@@ -388,8 +388,8 @@ def _shard_manifest_sql(spark: bool) -> str:
     )
     SELECT shard_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS shard_tokens,
-           SUM(content_hash) % 4611686018427387904 AS content_checksum,
+           CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+           CAST(SUM(content_hash) % 4611686018427387904 AS BIGINT) AS content_checksum,
            MIN(doc_id) AS min_doc,
            MAX(doc_id) AS max_doc
     FROM assigned
@@ -597,8 +597,8 @@ def _len_buckets_sql(spark: bool) -> str:
                    SUM(n) AS all_tokens FROM b)
     SELECT b.bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(b.n) AS bucket_tokens,
-           SUM(b.bucket - b.n) AS pad_tokens,
+           CAST(SUM(b.n) AS BIGINT) AS bucket_tokens,
+           CAST(SUM(GREATEST(b.bucket - b.n, 0)) AS BIGINT) AS pad_tokens,
            CAST(COUNT(*) AS DOUBLE) / t.all_docs AS doc_share,
            CAST(SUM(b.n) AS DOUBLE) / t.all_tokens AS token_share
     FROM b CROSS JOIN tot t
@@ -729,7 +729,7 @@ def _gini_sql(spark: bool) -> str:
       FROM documents GROUP BY source
     ),
     tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(toks) AS total FROM g
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(toks) AS BIGINT) AS total FROM g
     ),
     r AS (
       SELECT toks, ROW_NUMBER() OVER (ORDER BY toks, source) AS i FROM g

@@ -309,7 +309,7 @@ def _pipeline(spark: bool) -> str:
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            CAST(MIN(doc_id) AS BIGINT) AS first_doc
     FROM sampled
     GROUP BY lang
@@ -521,7 +521,7 @@ _CDC_APPLY = """
     stats AS (
       SELECT user_id,
              COUNT(*) AS n_changes,
-             SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS n_deletes
+             CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
       FROM ordered GROUP BY user_id
     )
     SELECT s.user_id,

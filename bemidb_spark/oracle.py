@@ -36,7 +36,10 @@ def _canon(v):
             return "NaN"
         return repr(v)  # exact: engines must agree bit-for-bit
     if isinstance(v, _decimal.Decimal):
-        return repr(float(v))
+        # Deliberately distinct from float: the driver's pandas canonicalizer
+        # hashes Decimal (object dtype) differently from float64, so a
+        # Decimal-vs-double divergence must fail locally too, not be masked.
+        return "dec:" + str(v)
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, int):
@@ -59,15 +62,49 @@ def _rows_multiset(columns: list[str], rows: list[tuple]) -> list[str]:
     return sorted("|".join(_canon(r[i]) for i in order) for r in rows)
 
 
+# DuckDB output types that the driver's pandas canonicalizer hashes
+# differently from their Spark counterparts (HUGEINT → object/float, DECIMAL
+# → object Decimal). Any oracle producing one is a contract-boundary bug:
+# CAST it (BIGINT / DOUBLE) in the oracle SQL. This check exists because the
+# class recurred three times (r1 dates, r2 arrays, r3 HUGEINT sums).
+_FORBIDDEN_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def check_oracle_dtypes(con: duckdb.DuckDBPyConnection, oracle_sql: str) -> None:
+    """Fail if the oracle's output schema contains a driver-hash-unsafe type."""
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    bad = [
+        (name, typ)
+        for name, typ, *_ in desc
+        if any(f in typ.upper() for f in _FORBIDDEN_ORACLE_TYPES)
+    ]
+    assert not bad, (
+        f"oracle output has driver-hash-unsafe dtypes {bad}; "
+        f"CAST to BIGINT/DOUBLE at the contract boundary"
+    )
+
+
 def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str) -> None:
     """Assert the Spark result and the DuckDB oracle result are equivalent."""
+    from pyspark.sql import types as T
+
     con = duckdb_connection(sf_dir)
     try:
+        check_oracle_dtypes(con, oracle_sql)
         cur = con.execute(oracle_sql)
         oracle_cols = [d[0] for d in cur.description]
         oracle_rows = cur.fetchall()
     finally:
         con.close()
+
+    bad_spark = [
+        f.name for f in spark_df.schema.fields if isinstance(f.dataType, T.DecimalType)
+    ]
+    assert not bad_spark, (
+        f"Spark output has DecimalType columns {bad_spark}; the driver's pandas "
+        f"canonicalizer hashes Decimal (object dtype) unlike DuckDB's double — "
+        f"cast to DOUBLE at the contract boundary"
+    )
 
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]

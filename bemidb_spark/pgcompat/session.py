@@ -208,6 +208,20 @@ class PgSession:
         self.catalog = catalog
         if isolate:
             self._bridge_parent_views(spark)
+            # newSession() forks a FRESH SQLConf from SparkConf defaults, so
+            # runtime policy the embedder applied to the parent (the
+            # size-aware input profile — AQE flag + shuffle parallelism,
+            # session.apply_input_size_policy) would silently not reach wire
+            # clients. Copy those runtime confs into the fork so a pg client
+            # executes under the same profile bench.py measures.
+            for k in (
+                "spark.sql.adaptive.enabled",
+                "spark.sql.shuffle.partitions",
+            ):
+                try:
+                    self.spark.conf.set(k, spark.conf.get(k))
+                except Exception:  # noqa: BLE001 — conf not set on parent
+                    pass
         # Statement-text -> analyzed DataFrame. Re-executing a cached
         # DataFrame reuses its QueryExecution (analysis + optimization +
         # physical planning are computed once per Dataset), which is what a

@@ -107,7 +107,12 @@ def _unshield(sql: str, literals: list[str]) -> str:
     def restore(m: re.Match) -> str:
         lit = literals[int(m.group(1))]
         if lit[0] in "Ee":
-            return lit[1:]
+            # pg's doubled-quote convention ('' = one quote char) holds
+            # inside E-strings too, but Spark parses '…''…' as two adjacent
+            # literals concatenated (dropping the quote). Rewrite '' → \'
+            # in the body; Spark's escape processing restores the quote.
+            body = lit[2:-1].replace("''", "\\'")
+            return f"'{body}'"
         return lit.replace("\\", "\\\\")
 
     return re.sub(r"\x00(\d+)\x00", restore, sql)

@@ -302,9 +302,16 @@ def _decode_binary(raw: bytes, dt: T.DataType, field: T.StructField | None = Non
         return (_dt.date(2000, 1, 1) + _dt.timedelta(days=days)).isoformat()
     if isinstance(dt, T.TimestampNTZType | T.TimestampType):
         micros = struct.unpack("!q", raw)[0]
-        return (
+        text = (
             _dt.datetime(2000, 1, 1) + _dt.timedelta(microseconds=micros)
         ).isoformat(sep=" ")
+        if isinstance(dt, T.TimestampType):
+            # pg binary timestamptz is micros since 2000-01-01 *UTC*; the
+            # shared text-ingestion path casts in the session timezone, so a
+            # bare local-looking string would shift the instant after
+            # SET timezone. Pin the offset explicitly.
+            text += "+00"
+        return text
     return raw.decode()
 
 
@@ -831,18 +838,33 @@ class _Conn:
         _flags, extlen = struct.unpack_from("!ii", data, pos)
         pos += 8 + extlen
         records: list[list[str | None]] = []
+        def _bad(msg: str) -> UnsupportedQueryError:
+            # pg raises 'invalid field size in binary COPY' (22P04) for these;
+            # validating here closes the nf/ln-driven infinite-loop / memory
+            # blowup a hostile frame could otherwise cause (a cell length of
+            # -6 advances pos by a net 0 per tuple — the loop never ends).
+            err = UnsupportedQueryError(msg)
+            err.sqlstate = "22P04"
+            return err
+
         while pos + 2 <= len(data):
             (nf,) = struct.unpack_from("!h", data, pos)
             pos += 2
             if nf == -1:
                 break
+            if nf < 0:
+                raise _bad(f"invalid tuple field count in binary COPY: {nf}")
             row: list[str | None] = []
             for i in range(nf):
+                if pos + 4 > len(data):
+                    raise _bad("unexpected EOF in binary COPY cell header")
                 (ln,) = struct.unpack_from("!i", data, pos)
                 pos += 4
                 if ln == -1:
                     row.append(None)
                     continue
+                if ln < 0 or ln > len(data) - pos:
+                    raise _bad(f"invalid field size in binary COPY: {ln}")
                 cell = data[pos:pos + ln]
                 pos += ln
                 f = col_fields[i] if i < len(col_fields) else None

@@ -78,7 +78,7 @@ def _stateful_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["streaming_stateful_user_profiles"] = _stateful_profiles
 ORACLES["streaming_stateful_user_profiles"] = """
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY user_id
     ORDER BY user_id

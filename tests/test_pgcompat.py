@@ -78,6 +78,11 @@ def one(pg, sql):
      "SELECT count(CASE WHEN x > 0 THEN 1 END) OVER (PARTITION BY k) FROM t"),
     ("SELECT sum(v) FILTER (WHERE x > 0) OVER (ORDER BY ts) FROM t",
      "SELECT sum(CASE WHEN x > 0 THEN v END) OVER (ORDER BY ts) FROM t"),
+    # E-string doubled quote '' is ONE quote char in pg; Spark would parse
+    # '…''…' as adjacent-literal concatenation (dropping it), so the
+    # transpiler rewrites to \' (ADVICE r3)
+    ("SELECT E'it''s'", "SELECT 'it\\'s' AS `?column?`"),
+    ("SELECT E'a\\nb''c'", "SELECT 'a\\nb\\'c' AS `?column?`"),
 ])
 def test_transpile(src, expected):
     assert transpile(src) == expected
@@ -113,6 +118,28 @@ def test_set_timezone_applies(pg):
 def test_show_unknown_raises(pg):
     with pytest.raises(UnsupportedQueryError):
         pg.execute("SHOW does_not_exist")
+
+
+def test_isolated_session_inherits_input_size_policy(spark, tmp_path_factory):
+    """newSession() forks a fresh SQLConf, so PgSession(isolate=True) must
+    copy the embedder's runtime execution profile (AQE flag + shuffle
+    parallelism) — otherwise wire clients silently run under defaults while
+    bench.py measures the tuned profile (ADVICE r3)."""
+    catalog = Catalog(str(tmp_path_factory.mktemp("isowh")))
+    old = {
+        k: spark.conf.get(k)
+        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        iso = PgSession(spark, catalog, isolate=True)
+        assert iso.spark is not spark
+        assert iso.spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert iso.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_begin_discard_noop(pg):

@@ -482,6 +482,75 @@ def test_copy_from_stdin_binary(copy_server):
         c.close()
 
 
+def test_copy_from_stdin_binary_malformed_rejected(copy_server):
+    """Hostile/corrupt binary COPY frames must error (22P04), not hang.
+
+    A cell length of -6 with nf=1 advances the parse position by a net 0 per
+    tuple — without validation the loop appends rows forever (DoS from one
+    frame). Negative field counts and lengths past the buffer are the same
+    class. pg's error is 'invalid field size in binary COPY'."""
+    hdr = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+
+    def attempt(payload: bytes) -> None:
+        c = MiniPgClient(copy_server.host, copy_server.port)
+        try:
+            r = c.copy_in("COPY scores FROM STDIN (FORMAT BINARY)", payload)
+            assert r["errors"] and r["errors"][0]["C"] == "22P04"
+            assert c.query("SELECT 1 AS ok")["errors"] == []
+        finally:
+            c.close()
+
+    # the net-zero-advance infinite-loop frame: nf=1, ln=-6, then filler
+    attempt(hdr + struct.pack("!hi", 1, -6) + b"\x00" * 64)
+    # negative field count other than the -1 terminator
+    attempt(hdr + struct.pack("!h", -5))
+    # cell length pointing past the end of the buffer
+    attempt(hdr + struct.pack("!hi", 1, 1 << 20) + b"xx")
+    # truncated cell header (nf promises a cell, bytes run out)
+    attempt(hdr + struct.pack("!h", 3) + struct.pack("!i", -1))
+
+
+def test_copy_from_stdin_binary_timestamptz_utc(spark, tmp_path_factory):
+    """Binary timestamptz cells are UTC-based micros (pg wire format): the
+    stored instant must not shift when the session timezone is non-UTC at
+    COPY time (the text-ingestion cast path is session-zone-relative, so the
+    decoder pins an explicit +00 offset)."""
+    import datetime as dt
+
+    from bemidb_spark.sources.catalog import Catalog
+    from bemidb_spark.sources.writer import replace_table
+
+    cat = Catalog(str(tmp_path_factory.mktemp("tstz_wh")))
+    seed = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc))],
+        "id bigint, at timestamp")
+    replace_table(cat, "public", "tstz", seed)
+    srv = WireServer(spark, cat)
+    srv.start()
+    c = MiniPgClient(srv.host, srv.port)
+    try:
+        assert c.query("SET timezone TO 'America/New_York'")["errors"] == []
+        # 2024-06-01 12:00:00 UTC as micros since 2000-01-01 UTC
+        micros = int(
+            (dt.datetime(2024, 6, 1, 12, tzinfo=dt.timezone.utc)
+             - dt.datetime(2000, 1, 1, tzinfo=dt.timezone.utc)).total_seconds()
+        ) * 1_000_000
+        payload = (
+            b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+            + struct.pack("!h", 2)
+            + struct.pack("!iq", 8, 2) + struct.pack("!iq", 8, micros)
+            + struct.pack("!h", -1)
+        )
+        r = c.copy_in("COPY tstz FROM STDIN (FORMAT BINARY)", payload)
+        assert r["errors"] == [] and r["tags"] == ["COPY 1"]
+        assert c.query("SET timezone TO 'UTC'")["errors"] == []
+        rows = c.query("SELECT at FROM tstz WHERE id = 2")["rows"]
+        assert rows and rows[0][0].startswith("2024-06-01 12:00:00")
+    finally:
+        c.close()
+        srv.stop()
+
+
 def test_copy_from_stdin_errors(copy_server):
     c = MiniPgClient(copy_server.host, copy_server.port)
     try:
