@@ -1,0 +1,247 @@
+"""Empty-input super-aggregate compensation for grouping constructs.
+
+pg (and DuckDB) semantics: a ROLLUP/CUBE/GROUPING SETS expansion containing
+the empty grouping set ``()`` emits one super-aggregate row (COUNT -> 0,
+other aggregates -> NULL, keys -> NULL, GROUPING() -> 1) even when the input
+relation is EMPTY. Spark's Expand-based implementation emits no rows in that
+case (the one wire-visible grouping divergence the r3 fuzzer found; PARITY
+§Documented deviations).
+
+The fix is algebraic and fully lazy — no "run it and check" double
+execution. For the analyzable shapes we rewrite
+
+    SELECT <items> FROM <rel> GROUP BY ROLLUP(...) [HAVING h] [ORDER BY o]
+
+into
+
+    SELECT <items> FROM <rel> GROUP BY ROLLUP(...) [HAVING h]
+    UNION ALL
+    SELECT <items'> FROM <rel> HAVING COUNT(*) = 0 [AND h']
+    [ORDER BY o]
+
+where items' NULLs the grouping keys, folds GROUPING(args) to its all-ones
+value, and keeps aggregates verbatim. A global aggregate with
+``HAVING COUNT(*) = 0`` produces exactly one row iff <rel> is empty — and a
+global aggregate over an empty relation IS the folded super-aggregate row —
+so the union arm contributes precisely the missing row and nothing else.
+At scale the arm adds one map-side-combinable global aggregate over the
+already-filtered relation (same pushed filters), negligible next to the
+grouping query itself.
+
+Analyzable shape (anything else returns None and the divergence stands):
+- single SELECT (no WITH / set ops / DISTINCT / window ``OVER``),
+- GROUP BY is exactly one ROLLUP(...) / CUBE(...) / GROUPING SETS(...)
+  whose expansion contains the empty set (a bare extra key alongside the
+  construct means pg emits nothing on empty input either — no compensation),
+- every select item is a grouping expression, a GROUPING(...) call, or an
+  aggregate expression.
+"""
+
+from __future__ import annotations
+
+import re
+
+_AGG_RE = re.compile(
+    r"\b(count|sum|min|max|avg|string_agg|array_agg|bool_and|bool_or|every"
+    r"|stddev|stddev_pop|stddev_samp|var_pop|var_samp|variance|corr"
+    r"|covar_pop|covar_samp|bit_and|bit_or|median|mode"
+    r"|percentile_cont|percentile_disc)\s*\(",
+    re.IGNORECASE,
+)
+_GROUPING_CALL = re.compile(r"\bGROUPING\s*\(", re.IGNORECASE)
+
+
+def _top_level_pos(sql: str, word: str, start: int = 0) -> int:
+    """Position of a depth-0 keyword (outside strings), -1 if absent."""
+    pat = re.compile(rf"\b(?:{word})\b", re.IGNORECASE)
+    depth = 0
+    i = start
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pat.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, cur = [], 0, []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            cur.append(s[i:j + 1])
+            i = j + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    out.append("".join(cur))
+    return [x.strip() for x in out]
+
+
+def _norm(e: str) -> str:
+    return re.sub(r"\s+", " ", e.strip().lower())
+
+
+def _matching_paren(s: str, open_pos: int) -> int:
+    depth = 0
+    for i in range(open_pos, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    return -1
+
+
+def _strip_alias(item: str) -> tuple[str, str]:
+    """(expression, alias_clause) — alias clause kept verbatim ('' if none)."""
+    m = re.search(r"\s+AS\s+(\"[^\"]+\"|[A-Za-z_][\w$]*)\s*$", item, re.IGNORECASE)
+    if m:
+        return item[: m.start()], item[m.start():]
+    return item, ""
+
+
+def _fold_grouping_calls(text: str) -> str:
+    """Replace every GROUPING(a, b, ...) with its empty-set value (all args
+    un-grouped -> all bits set -> 2**nargs - 1)."""
+    out = text
+    while True:
+        m = _GROUPING_CALL.search(out)
+        if not m:
+            return out
+        close = _matching_paren(out, m.end() - 1)
+        if close < 0:
+            return out
+        nargs = len(_split_top_commas(out[m.end():close]))
+        out = out[: m.start()] + str((1 << nargs) - 1) + out[close + 1:]
+
+
+def rewrite_empty_grouping(sql: str) -> str | None:
+    """Return the compensated SQL, or None when the shape isn't analyzable
+    (in which case the documented Spark divergence stands)."""
+    s = sql.strip().rstrip(";")
+    if not re.match(r"SELECT\b", s, re.IGNORECASE):
+        return None
+    if re.match(r"SELECT\s+DISTINCT\b", s, re.IGNORECASE):
+        return None
+    gb = _top_level_pos(s, "GROUP\\s+BY")
+    frm = _top_level_pos(s, "FROM")
+    if gb < 0 or frm < 0 or frm > gb:
+        return None
+    if _top_level_pos(s, "UNION|INTERSECT|EXCEPT|OVER") >= 0:
+        return None
+
+    # GROUP BY body must be exactly one construct containing the empty set
+    after_gb = gb + len(re.match(r"GROUP\s+BY", s[gb:], re.IGNORECASE).group(0))
+    having = _top_level_pos(s, "HAVING", after_gb)
+    order = _top_level_pos(s, "ORDER\\s+BY", after_gb)
+    limit = _top_level_pos(s, "LIMIT|OFFSET|FETCH", after_gb)
+    gb_end = min(x for x in (having, order, limit, len(s)) if x >= 0)
+    gb_body = s[after_gb:gb_end].strip()
+    m = re.match(
+        r"(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", gb_body, re.IGNORECASE
+    )
+    if not m:
+        return None
+    close = _matching_paren(gb_body, m.end() - 1)
+    if close < 0 or gb_body[close + 1:].strip():
+        return None  # trailing bare keys -> pg emits nothing on empty input
+    construct = m.group(1).upper().replace(" ", "")
+    inner = gb_body[m.end():close]
+    n_empty = 1  # ROLLUP/CUBE expansions contain exactly one ()
+    if construct == "GROUPINGSETS":
+        sets = _split_top_commas(inner)
+        n_empty = sum(1 for x in sets if x in ("", "()"))
+        if n_empty == 0:
+            return None  # no empty set in the expansion
+        group_exprs = []
+        for x in sets:
+            x = x.strip()
+            body = x[1:-1] if x.startswith("(") and x.endswith(")") else x
+            group_exprs += [e for e in _split_top_commas(body) if e]
+    else:
+        group_exprs = [e for e in _split_top_commas(inner) if e]
+    keys = {_norm(e) for e in group_exprs}
+
+    # select-list classification
+    sel_body = s[len("SELECT"):frm]
+    items = _split_top_commas(sel_body)
+    comp_items: list[str] = []
+    for item in items:
+        expr, _alias = _strip_alias(item)
+        e = expr.strip()
+        if _norm(e) in keys:
+            comp_items.append("NULL")
+            continue
+        gm = re.match(r"GROUPING\s*\(", e, re.IGNORECASE)
+        if gm and _matching_paren(e, gm.end() - 1) == len(e) - 1:
+            nargs = len(_split_top_commas(e[gm.end():-1]))
+            comp_items.append(str((1 << nargs) - 1))
+            continue
+        if _AGG_RE.search(e):
+            comp_items.append(e)
+            continue
+        return None  # arbitrary scalar of a key -> needs real analysis
+
+    # HAVING: fold GROUPING() calls; bail if a grouping key survives
+    # outside aggregate calls (can't evaluate it for the folded row)
+    having_txt = ""
+    if having >= 0:
+        h_end = min(x for x in (order, limit, len(s)) if x >= 0)
+        having_txt = s[having + len("HAVING"):h_end].strip()
+        folded_h = _fold_grouping_calls(having_txt)
+        probe = _AGG_RE.sub("__agg__(", folded_h)
+        probe = re.sub(r"__agg__\([^()]*\)", "__agg__", probe)
+        if any(k in _norm(probe) for k in keys):
+            return None
+        having_txt = folded_h
+
+    tail = ""
+    tail_start = min(x for x in (order, limit, len(s)) if x >= 0)
+    if tail_start < len(s):
+        tail = " " + s[tail_start:]
+    body = s[:tail_start].rstrip()
+
+    from_part = s[frm:gb].strip()  # FROM ... [WHERE ...]
+    comp_having = "COUNT(*) = 0" + (f" AND ({having_txt})" if having_txt else "")
+    comp = (
+        f"SELECT {', '.join(comp_items)} {from_part} HAVING {comp_having}"
+    )
+    arms = " UNION ALL ".join([comp] * n_empty)  # one row per () in expansion
+    return f"{body} UNION ALL {arms}{tail}"

@@ -1159,6 +1159,29 @@ class PgSession:
                 return cached
             folded = self._qualify_catalog_tables(
                 self._fold_session_functions(stripped))
+            if perms is None and re.search(
+                r"\b(ROLLUP|CUBE|GROUPING\s+SETS)\s*\(", folded, re.IGNORECASE
+            ):
+                # pg emits the folded super-aggregate row for the empty
+                # grouping set even on EMPTY input; Spark emits nothing.
+                # Compensate with a lazy UNION arm for analyzable shapes
+                # (grouping_comp module docstring); fall back silently if
+                # the rewritten text doesn't analyze.
+                from bemidb_spark.pgcompat.grouping_comp import (
+                    rewrite_empty_grouping,
+                )
+
+                comp = rewrite_empty_grouping(folded)
+                if comp is not None:
+                    try:
+                        df = _pg_default_names(self.spark.sql(transpile(comp)))
+                        if cacheable:
+                            if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
+                                self._plan_cache.pop(next(iter(self._plan_cache)))
+                            self._plan_cache[stripped] = df
+                        return df
+                    except Exception:  # noqa: BLE001 — un-analyzable rewrite
+                        pass
             if perms is not None:
                 # analysis binds the pruned views into the plan; execution
                 # later runs against those bound relations (permissions.py)

@@ -1,9 +1,14 @@
-"""Recursive-CTE emulation: driver-coordinated iterative union with fixpoint.
+"""Iterative-union fixpoint: the programmatic recursion operator.
 
-Spark has no native ``WITH RECURSIVE`` (the reference accepts it and hands it
-to its engine — reference server/query_handler_test.go:1366-1374). The standard
-Spark formulation is an iterative loop: materialize the frontier each step,
-union the results, stop at an empty frontier or the iteration cap.
+Spark 4.1 executes textual ``WITH RECURSIVE`` natively, and the wire/session
+layer routes recursive CTEs straight through that path (proven end-to-end in
+tests/test_pgcompat.py::test_recursive_cte_genuinely_self_recursive,
+mirroring reference server/query_handler_test.go:1366-1374). This module is
+the DataFrame-level complement for recursions SQL can't express or that the
+native one-step-per-iteration execution handles poorly: callers control the
+step function, batching (the doubling optimization below), frontier
+partitioning, and the iteration cap. The shape: materialize the frontier
+each step, union the results, stop at an empty frontier or the cap.
 
 Scale notes:
 - each step is a full distributed plan; only the *termination check* touches

@@ -107,17 +107,19 @@ def main() -> None:
     def run_one(i: int) -> None:
         prepared[i].collect()
 
-    # Warm-up: two untimed resident passes + one concurrent pass, then four
+    # Warm-up: two untimed resident passes + one concurrent pass, then six
     # full re-execution passes — fresh Dataset instances generate fresh
     # codegen classes whose Janino-compiled code and C2-JITed machine code
-    # take several passes to reach steady state (measured: 40 s -> 7.5 s
-    # over the first four re-execution passes at sf0.1).
+    # take several passes to reach steady state (measured at sf0.1: pass
+    # totals 8.4 -> 6.0 s over the first eight re-execution passes, settling
+    # ~4.5-4.8 s once C2 has compiled the full working set; see
+    # tools/reexec_probe.py for the per-pass/per-query telemetry used).
     for _ in range(2):
         for i in range(1, 23):
             run_one(i)
     with ThreadPoolExecutor(WORKERS) as ex:
         list(ex.map(run_one, range(1, 23)))
-    for _ in range(4):
+    for _ in range(6):
         for i in range(1, 23):
             reexecute(prepared[i]).collect()
 
@@ -150,13 +152,18 @@ def main() -> None:
         time.sleep(1.0)
 
     reexec_samples = []
-    for _ in range(4):
+    for _ in range(5):
         _drain_cleaner()
         t0 = time.perf_counter()
         for i in range(1, 23):
             reexecute(prepared[i]).collect()
         reexec_samples.append(round(time.perf_counter() - t0, 4))
-    reexec_sequential = min(reexec_samples)
+    # min hides worst-case behavior a real client would eat (VERDICT r3):
+    # report the full min/median/max spread, keep `reexec_sequential_sec` =
+    # median as the honest headline for this mode.
+    reexec_sorted = sorted(reexec_samples)
+    reexec_sequential = reexec_sorted[len(reexec_sorted) // 2]
+    reexec_min, reexec_max = reexec_sorted[0], reexec_sorted[-1]
 
     # Measured concurrent passes (engine throughput: all 22 in flight).
     samples = []
@@ -215,6 +222,8 @@ def main() -> None:
         "sequential_samples": sequential_samples,
         "reexec_sequential_sec": reexec_sequential,
         "reexec_sequential_samples": reexec_samples,
+        "reexec_min_sec": reexec_min,
+        "reexec_max_sec": reexec_max,
         "concurrent_sec": concurrent,
         "concurrent_samples": samples,
         "small_input_profile": small_profile,

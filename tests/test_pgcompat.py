@@ -854,3 +854,34 @@ def test_gucs_are_transactional(pg):
     pg.execute("COMMIT")
     assert tz() == "Europe/Paris"
     pg.execute(f"SET timezone TO '{base}'")
+
+
+# -- WITH RECURSIVE through the session layer (native Spark 4.1 execution) ---
+def test_recursive_cte_reference_shape(pg):
+    """Mirrors the reference's WITH RECURSIVE golden (a pg_roles CTE that
+    isn't actually self-referencing — reference
+    server/query_handler_test.go:1366-1374): routes through Spark's native
+    recursive-CTE support, no session-layer loop needed."""
+    rows = pg.execute(
+        "WITH RECURSIVE simple_cte AS ("
+        "SELECT oid, rolname FROM pg_roles WHERE rolname = 'postgres' "
+        "UNION ALL SELECT oid, rolname FROM pg_roles) "
+        "SELECT * FROM simple_cte"
+    ).collect()
+    assert [tuple(r) for r in rows] == [(10, "bemidb")]
+
+
+def test_recursive_cte_genuinely_self_recursive(pg):
+    """A genuinely self-referencing recursive CTE executes natively end-to-end."""
+    assert one(
+        pg,
+        "WITH RECURSIVE t(n) AS (SELECT 1 UNION ALL "
+        "SELECT n + 1 FROM t WHERE n < 10) "
+        "SELECT sum(n) AS s, count(*) AS c FROM t",
+    ) == (55, 10)
+    assert one(
+        pg,
+        "WITH RECURSIVE fib(a, b) AS (VALUES (0, 1) UNION ALL "
+        "SELECT b, a + b FROM fib WHERE b < 100) "
+        "SELECT max(b) AS m FROM fib",
+    ) == (144,)

@@ -502,16 +502,16 @@ def grouping_clause(draw):
 @given(
     pred=nation_pred(),
     gclause=grouping_clause(),
-    hmin=st.integers(min_value=1, max_value=5),
+    hmin=st.integers(min_value=0, max_value=5),
 )
 def test_grouping_constructs_match_duckdb(pg, duck, sf_dir, pred, gclause, hmin):
     # Super-aggregate rows produce NULL keys, and the engines' default null
     # sort order differs (Spark NULLS FIRST, DuckDB NULLS LAST) — the ORDER
     # BY pins it explicitly. (g1, g2, region, k3) is a unique total order.
-    # hmin >= 1 scopes out the one known divergence this fuzzer found: on
-    # EMPTY input pg/DuckDB emit a COUNT=0 super-aggregate row per () set,
-    # Spark emits none (see test_grouping_sets_empty_input_divergence and
-    # PARITY.md §Documented deviations).
+    # hmin = 0 deliberately includes EMPTY inputs: pg/DuckDB emit a COUNT=0
+    # super-aggregate row per () set where Spark emits none; the session
+    # layer's lazy UNION compensation (pgcompat/grouping_comp.py) closes
+    # that for these analyzable shapes.
     sql = (
         "SELECT n_regionkey, n_nationkey % 3 AS k3, "
         "GROUPING(n_regionkey) AS g1, GROUPING(n_nationkey % 3) AS g2, "
@@ -555,17 +555,47 @@ def test_agg_filter_distinct_ordered_match_duckdb(pg, duck, sf_dir, pred, thr, s
     assert spark_rows == duck_rows, sql
 
 
-def test_grouping_sets_empty_input_divergence(pg, duck, sf_dir):
-    """Pins the one grouping-sets divergence the fuzzer found: on EMPTY
-    input, pg (and DuckDB) emit one COUNT=0 super-aggregate row per empty
-    grouping set in the expansion; Spark's Expand-based grouping sets emit
-    no rows at all. No safe text-level rewrite exists (the compensation row
-    needs real select-list analysis to NULL the keys and fold GROUPING()),
-    so the behavior is documented in PARITY.md §Documented deviations. If
-    Spark ever aligns with the standard, this test fails and both it and
-    the PARITY entry should be dropped."""
-    sql = (
+def test_grouping_sets_empty_input_compensated(pg, duck, sf_dir):
+    """On EMPTY input, pg (and DuckDB) emit one COUNT=0 super-aggregate row
+    per empty grouping set; Spark's Expand-based grouping sets emit none.
+    The session layer compensates for analyzable select-list shapes with a
+    lazy `UNION ALL ... HAVING COUNT(*) = 0` arm (grouping_comp.py), so the
+    wire-visible result now matches pg."""
+    duck.execute(
+        f"CREATE OR REPLACE VIEW nation AS "
+        f"SELECT * FROM '{sf_dir}/nation.parquet'"
+    )
+    for sql in (
         "SELECT n_regionkey, COUNT(*) AS c FROM nation "
+        "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_regionkey)",
+        # folded GROUPING(), SUM -> NULL, expression key, HAVING over an agg
+        "SELECT n_regionkey, GROUPING(n_regionkey) AS g, COUNT(*) AS c, "
+        "SUM(n_nationkey) AS s FROM nation WHERE n_name = 'no-such' "
+        "GROUP BY CUBE(n_regionkey) HAVING COUNT(*) >= 0",
+        # two empty sets in the expansion -> two super-aggregate rows
+        "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey < 0 "
+        "GROUP BY GROUPING SETS ((), ())",
+    ):
+        assert (
+            sorted(tuple(r) for r in pg.execute(sql).collect())
+            == sorted(duck.execute(sql).fetchall())
+        ), sql
+    # non-empty input: the compensation arm must contribute nothing
+    sql = ("SELECT n_regionkey, COUNT(*) AS c FROM nation "
+           "GROUP BY ROLLUP(n_regionkey) ORDER BY n_regionkey NULLS FIRST")
+    assert [tuple(r) for r in pg.execute(sql).collect()] == \
+        duck.execute(sql).fetchall()
+
+
+def test_grouping_sets_empty_input_divergence_unanalyzable(pg, duck, sf_dir):
+    """Pins the REMAINING divergence: a select item that is a scalar
+    expression OVER a grouping key (not the key itself) needs real analysis
+    to evaluate for the folded row, so the compensation bails and Spark's
+    no-row behavior stands (PARITY §Documented deviations). If Spark ever
+    aligns with the standard, this test fails and both it and the PARITY
+    entry should be dropped."""
+    sql = (
+        "SELECT n_regionkey + 1 AS rk1, COUNT(*) AS c FROM nation "
         "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_regionkey)"
     )
     duck.execute(
