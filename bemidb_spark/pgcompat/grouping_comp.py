@@ -204,9 +204,12 @@ def rewrite_empty_grouping(sql: str) -> str | None:
     items = _split_top_commas(sel_body)
     comp_items: list[str] = []
     for item in items:
-        expr, _alias = _strip_alias(item)
+        expr, alias = _strip_alias(item)
         e = expr.strip()
-        if _norm(e) in keys:
+        # a key may be referenced by expression text OR by the select
+        # alias (pg resolves GROUP BY names against the select list)
+        alias_name = _norm(alias.strip()[3:].strip().strip('"')) if alias else None
+        if _norm(e) in keys or (alias_name and alias_name in keys):
             comp_items.append("NULL")
             continue
         gm = re.match(r"GROUPING\s*\(", e, re.IGNORECASE)

