@@ -885,3 +885,31 @@ def test_recursive_cte_genuinely_self_recursive(pg):
         "SELECT b, a + b FROM fib WHERE b < 100) "
         "SELECT max(b) AS m FROM fib",
     ) == (144,)
+
+
+def test_pg_catalog_fast_registration_matches_slow(spark, tmp_path_factory):
+    """The per-connection fast path (cached analyzed plans re-registered via
+    plan wrapping, catalog_views._PLAN_CACHE) must produce views identical
+    to a full rebuild, and must MISS the cache after DDL bumps the catalog
+    version — a new connection sees the new table in pg_class."""
+    from bemidb_spark.pgcompat import catalog_views as cv
+
+    catalog = Catalog(str(tmp_path_factory.mktemp("fastwh")))
+    a = PgSession(spark, catalog, isolate=True)   # slow path, fills cache
+    b = PgSession(spark, catalog, isolate=True)   # fast path from cache
+    for view in ("pg_class", "pg_namespace", "pg_type",
+                 "information_schema_columns"):
+        rows_a = sorted(map(tuple, a.execute(f"SELECT * FROM {view}").collect()))
+        rows_b = sorted(map(tuple, b.execute(f"SELECT * FROM {view}").collect()))
+        assert rows_a == rows_b, view
+    # every static view the slow path creates is present on the fast session
+    missing = [n for n in cv._STATIC_VIEW_NAMES
+               if not b.spark.catalog.tableExists(n)]
+    assert not missing, missing
+    # DDL bumps the catalog version -> the cache key changes -> a NEW
+    # connection rebuilds and sees the table
+    a.execute("CREATE TABLE fastreg_t (id int, name text)")
+    c = PgSession(spark, catalog, isolate=True)
+    names = {r.relname for r in c.execute(
+        "SELECT relname FROM pg_class WHERE relname = 'fastreg_t'").collect()}
+    assert names == {"fastreg_t"}
