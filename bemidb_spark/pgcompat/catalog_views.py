@@ -308,8 +308,10 @@ _STATIC_VIEW_NAMES = [
 # ANALYZED plans — all rooted in LocalRelations — are session-portable:
 # re-registering ~45 views in a fresh per-connection SparkSession drops from
 # ~1.4 s of parse/analysis to ~0.1 s of plan wrapping. This is the dominant
-# term of wire-connection setup (PgSession isolate=True).
-_PLAN_CACHE: dict[str, object] = {"key": None, "plans": None}
+# term of wire-connection setup (PgSession isolate=True). Stored as ONE
+# (key, plans) tuple so concurrent connection threads read an atomic
+# snapshot (no lock needed: replacement is a single assignment).
+_PLAN_CACHE: list = [None]  # [(key, {name: plan})] or [None]
 
 
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:
@@ -321,25 +323,25 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         catalog.version() if catalog is not None else -1,
         tuple((s, t, tuple(map(tuple, cols))) for s, t, cols in inventory),
     )
-    if _PLAN_CACHE["key"] == key:
+    snapshot = _PLAN_CACHE[0]
+    if snapshot is not None and snapshot[0] == key:
         try:
             jspark = spark._jsparkSession
             ofrows = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows
-            for name, plan in _PLAN_CACHE["plans"].items():
+            for name, plan in snapshot[1].items():
                 ofrows(jspark, plan).createOrReplaceTempView(name)
             return
         except Exception:  # noqa: BLE001 — internal API drift: rebuild fully
             pass
     _register_emulation_views(spark, catalog, inventory)
-    plans = {}
     try:
-        for name in _STATIC_VIEW_NAMES:
-            plans[name] = spark.table(name)._jdf.queryExecution().analyzed()
-        _PLAN_CACHE["key"] = key
-        _PLAN_CACHE["plans"] = plans
+        plans = {
+            name: spark.table(name)._jdf.queryExecution().analyzed()
+            for name in _STATIC_VIEW_NAMES
+        }
+        _PLAN_CACHE[0] = (key, plans)
     except Exception:  # noqa: BLE001 — capture failure only disables the cache
-        _PLAN_CACHE["key"] = None
-        _PLAN_CACHE["plans"] = None
+        _PLAN_CACHE[0] = None
 
 
 def _register_emulation_views(
