@@ -152,6 +152,32 @@ def _fold_grouping_calls(text: str) -> str:
         out = out[: m.start()] + str((1 << nargs) - 1) + out[close + 1:]
 
 
+def _fold_single_agg(e: str) -> str | None:
+    """If the item is exactly ONE aggregate call (optional FILTER suffix),
+    return its empty-input constant: COUNT -> 0, every other standard
+    aggregate -> NULL. The compensation arm then references no data columns
+    beyond the WHERE clause — at scale the extra arm is a column-pruned
+    COUNT(*) probe instead of a second full aggregation. Returns None for
+    compound expressions (kept verbatim — still correct, just heavier)."""
+    m = _AGG_RE.match(e)
+    if not m:
+        return None
+    close = _matching_paren(e, m.end() - 1)
+    if close < 0:
+        return None
+    end = close + 1
+    fm = re.match(r"\s*FILTER\s*\(", e[end:], re.IGNORECASE)
+    if fm:
+        fclose = _matching_paren(e, end + fm.end() - 1)
+        if fclose < 0:
+            return None
+        end = fclose + 1
+    if e[end:].strip():
+        return None  # trailing expression around the call
+    fname = m.group(1).lower()
+    return "CAST(0 AS BIGINT)" if fname == "count" else "NULL"
+
+
 def rewrite_empty_grouping(sql: str) -> str | None:
     """Return the compensated SQL, or None when the shape isn't analyzable
     (in which case the documented Spark divergence stands)."""
@@ -218,7 +244,7 @@ def rewrite_empty_grouping(sql: str) -> str | None:
             comp_items.append(str((1 << nargs) - 1))
             continue
         if _AGG_RE.search(e):
-            comp_items.append(e)
+            comp_items.append(_fold_single_agg(e) or e)
             continue
         return None  # arbitrary scalar of a key -> needs real analysis
 
