@@ -85,6 +85,20 @@ def build_session(
         # (measured: alternating 7 s / 39 s suite passes at sf0.1). A 2-min
         # floor keeps the backlog bounded and the pause off the query path.
         .config("spark.cleaner.periodicGC.interval", "2min")
+        # …but a periodic System.gc() on a 24g heap is a stop-the-world
+        # full collection under G1's default handling — landing mid-query it
+        # stalls a whole pass (the episodic 12-120 s reexec outliers: pass
+        # time = suite + full-GC pause). ExplicitGCInvokesConcurrent turns
+        # every System.gc() (the ContextCleaner's and the benchmark's) into
+        # a concurrent G1 cycle: same reclamation, no stop-the-world stall
+        # on the query path.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+ExplicitGCInvokesConcurrent",
+        )
+        # Console progress bars interleave with benchmark/gate output and
+        # cost driver cycles on sub-second stages; the UI is off anyway.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -134,9 +148,20 @@ def apply_input_size_policy(spark: SparkSession, paths: list[str]) -> bool:
             "spark.sql.shuffle.partitions",
             str(int(spark.conf.get("spark.default.parallelism", "32"))),
         )
+        # Constraint propagation pays for itself at scale (inferred
+        # IsNotNull/range filters prune whole shuffles); keep the default.
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
         return False
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # Constraint propagation is O(plan²) optimizer work per (re)plan; at
+    # sub-GB inputs the filters it infers prune nothing worth the planning
+    # time. Disabling it is semantics-neutral (it only *adds* derived
+    # predicates for the optimizer) and measured -0.4 s on the 22-query
+    # honest re-execution suite at sf0.1 (tools/reexec_tune.py sweep:
+    # 6.05 -> 5.65 median; partitions 8/4/2 within noise, AQE-on and
+    # minPartitionNum=1 regressions).
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     return True
 
 

@@ -188,6 +188,44 @@ def main() -> None:
         cold_samples.append(round(time.perf_counter() - t0, 4))
     cold_sequential = min(cold_samples)
 
+    # Wire-protocol pass — the reference's ACTUAL measurement protocol
+    # (`time psql < queries.sql` against a warm server, reference
+    # Makefile:66-68): a real socket, pg v3 simple-query messages, full
+    # result encoding, one connection re-issuing the 22 statements. After
+    # the warm passes the per-connection statement-text plan cache serves
+    # resident Datasets (exactly what PgSession gives any wire client), so
+    # this is the end-to-end number a user's warm psql loop observes —
+    # protocol + transpile-cache + encode + socket included.
+    wire_sequential = None
+    wire_samples: list[float] = []
+    try:
+        from bemidb_spark.server.wire import WireServer
+        from bemidb_spark.tables import register_views
+        from tests.pg_client import MiniPgClient
+
+        register_views(spark, wh)
+        srv = WireServer(spark)
+        srv.start()
+        cli = MiniPgClient(srv.host, srv.port)
+        wire_sqls = [tpch.ORACLES[f"tpch_q{i}"] for i in range(1, 23)]
+        for s in wire_sqls:  # correctness guard + warm (plan cache fill)
+            r = cli.query(s)
+            if r["errors"]:
+                raise RuntimeError(f"wire bench query failed: {r['errors']}")
+        for s in wire_sqls:
+            cli.query(s)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for s in wire_sqls:
+                cli.query(s)
+            wire_samples.append(round(time.perf_counter() - t0, 4))
+        wire_sorted = sorted(wire_samples)
+        wire_sequential = wire_sorted[len(wire_sorted) // 2]
+        cli.close()
+        srv.stop()
+    except Exception as exc:  # noqa: BLE001 — wire phase is additive
+        print(f"# wire phase skipped: {exc}", file=sys.stderr)
+
     # Pipeline-operator throughput at the same SF (the training-data family
     # the TPC-H suite doesn't exercise): warm once, then one timed pass each.
     # Reported as wall seconds on the raw sf parquet (not the warehouse) —
@@ -226,6 +264,8 @@ def main() -> None:
         "reexec_max_sec": reexec_max,
         "concurrent_sec": concurrent,
         "concurrent_samples": samples,
+        "wire_sequential_sec": wire_sequential,
+        "wire_samples": wire_samples,
         "small_input_profile": small_profile,
         "cold_sequential_sec": cold_sequential,
         "cold_sequential_samples": cold_samples,

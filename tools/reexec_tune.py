@@ -1,0 +1,129 @@
+"""Empirical knob sweep for the honest re-execution suite (bench.py's
+`reexec_sequential_sec`).
+
+The suite's floor at sf0.1 is distributed-execution fixed cost (stage
+scheduling, exchange setup, range-partition sampling for sorts) — not data
+work. This harness re-runs the 22-query reexec pass under a grid of
+RUNTIME-settable conf variants inside one JVM (so JIT/codegen state is
+shared and variants are comparable) and reports the median pass time per
+variant. Used to choose the small-input profile in
+`bemidb_spark.session.apply_input_size_policy`.
+
+Usage: python tools/reexec_tune.py [passes_per_variant=3] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bemidb_spark.operators import tpch
+from bemidb_spark.session import apply_input_size_policy, build_session, reexecute
+from bemidb_spark.warehouse import ensure_warehouse
+
+PASSES = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+# Each variant: label -> {conf: value}. Only runtime-settable SQLConf /
+# mutable core confs. The baseline is the current small-input profile
+# (adaptive off, 8 shuffle partitions).
+_NC = {"spark.sql.constraintPropagation.enabled": "false"}
+VARIANTS: dict[str, dict[str, str]] = {
+    # Round 2 of the sweep: round 1 (recorded in the r4 notes) found
+    # noconstraints the only material win (6.05 -> 5.65 median); partitions
+    # 8/4/2 within noise, sp1 / minPartitionNum=1 / AQE-on all regressions.
+    "baseline_sp8": {},
+    "nc": dict(_NC),
+    "nc_nocompress": {
+        **_NC,
+        "spark.shuffle.compress": "false",
+        "spark.shuffle.spill.compress": "false",
+    },
+    "nc_norule_per": {
+        **_NC,
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation"
+        ),
+    },
+    "nc_maxpart64m": {
+        **_NC,
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    },
+    "nc_opencost1m": {
+        **_NC,
+        "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
+    },
+}
+
+BASE_SMALL = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.constraintPropagation.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+}
+# Confs a variant may set that have no valid "default" value — unset on reset.
+UNSET_ON_RESET = [
+    "spark.sql.files.minPartitionNum",
+    "spark.sql.optimizer.excludedRules",
+]
+BASE_SMALL.update({
+    "spark.shuffle.compress": "true",
+    "spark.shuffle.spill.compress": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.files.openCostInBytes": str(4 * 1024 * 1024),
+})
+
+
+def main() -> None:
+    spark = build_session(app_name="reexec-tune")
+    spark.sparkContext.setLogLevel("ERROR")
+    wh = ensure_warehouse(spark, SF_DIR)
+    apply_input_size_policy(spark, [wh])
+    prepared = {i: tpch.QUERIES[f"tpch_q{i}"](spark, wh) for i in range(1, 23)}
+
+    def one_pass() -> float:
+        t0 = time.perf_counter()
+        for i in range(1, 23):
+            reexecute(prepared[i]).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    # Global warm-up to steady-state JIT (same shape as bench.py).
+    for _ in range(2):
+        for i in range(1, 23):
+            prepared[i].collect()
+    for _ in range(6):
+        one_pass()
+
+    results: dict[str, dict] = {}
+    for label, conf in VARIANTS.items():
+        skipped = []
+        for k in UNSET_ON_RESET:
+            try:
+                spark.conf.unset(k)
+            except Exception:  # noqa: BLE001 — static conf; note and move on
+                skipped.append(k)
+        for k, v in {**BASE_SMALL, **conf}.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static conf; note and move on
+                skipped.append(k)
+        if skipped:
+            print(f"# {label}: not runtime-settable: {skipped}", flush=True)
+        one_pass()  # variant warm-up: fresh codegen units for new plans
+        samples = sorted(one_pass() for _ in range(PASSES))
+        results[label] = {
+            "median": samples[len(samples) // 2],
+            "samples": samples,
+        }
+        print(f"{label:24s} median={results[label]['median']:6.3f}  {samples}",
+              flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
