@@ -29,6 +29,7 @@ _MODULES = [
     "bemidb_spark.operators.mixture",
     "bemidb_spark.operators.multimodal",
     "bemidb_spark.operators.relational_ext",
+    "bemidb_spark.operators.pgpath",
     "bemidb_spark.streaming.windows",
     "bemidb_spark.streaming.stateful",
 ]
@@ -40,9 +41,14 @@ _MODULES = [
 # last driver row, then the stalest green rows. After this window every
 # registry entry has a driver CORRECTNESS row (cumulative 134/134).
 _PRIORITY = [
-    # round-4 window head: the 28 entries that have never had a driver
-    # CORRECTNESS row (r1-r3 audit) — registry growth is FROZEN until
-    # cumulative driver coverage reaches 134/134
+    # round-5 window head: entries NEW this round ship with their driver
+    # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
+    # (operators/pgpath.py)
+    "pg_estring_roundtrip",
+    "pg_recursive_cte_route",
+    "pg_grouping_sets_empty",
+    # then entries whose code was touched this round (stateful JSON
+    # vectorization; profile-conf unification affects every wire-bound run)
     "streaming_stateful_user_profiles",
     "dedup_cluster_survivors",
     "mixture_temperature_weights",

@@ -33,8 +33,16 @@ Analyzable shape (anything else returns None and the divergence stands):
 - GROUP BY is exactly one ROLLUP(...) / CUBE(...) / GROUPING SETS(...)
   whose expansion contains the empty set (a bare extra key alongside the
   construct means pg emits nothing on empty input either — no compensation),
-- every select item is a grouping expression, a GROUPING(...) call, or an
-  aggregate expression.
+- every select item is a grouping expression, a GROUPING(...) call, an
+  aggregate expression, or (r5) ANY scalar expression — valid SQL only
+  permits column references outside aggregates when they are grouping
+  keys, so folding GROUPING(...) to its all-ones constant and substituting
+  identifier-shaped keys with NULL (pg evaluates the folded row with keys
+  NULL) leaves an expression the compensation arm can evaluate. A key
+  occurrence the textual substitution misses (qualified name, expression
+  key spelled differently) leaves a bare column in a global-aggregate arm,
+  which fails analysis — and the caller falls back to no compensation, so
+  a miss is safe, never wrong.
 """
 
 from __future__ import annotations
@@ -178,6 +186,52 @@ def _fold_single_agg(e: str) -> str | None:
     return "CAST(0 AS BIGINT)" if fname == "count" else "NULL"
 
 
+_IDENT_KEY = re.compile(r"^[A-Za-z_][\w$]*(\.[A-Za-z_][\w$]*)?$")
+
+
+def _sub_ident_keys_null(expr: str, group_exprs: list[str]) -> str:
+    """Replace identifier-shaped grouping-key occurrences with NULL, outside
+    string literals (pg evaluates the empty-set super-aggregate row with
+    every grouping key NULL)."""
+    idents = [k.strip() for k in group_exprs if _IDENT_KEY.match(k.strip())]
+    if not idents:
+        return expr
+    pats = [
+        re.compile(rf"(?<![\w$.]){re.escape(k)}(?![\w$])", re.IGNORECASE)
+        for k in sorted(idents, key=len, reverse=True)
+    ]
+    out: list[str] = []
+    seg: list[str] = []
+
+    def flush() -> None:
+        text = "".join(seg)
+        for pat in pats:
+            text = pat.sub("NULL", text)
+        out.append(text)
+        seg.clear()
+
+    i, n = 0, len(expr)
+    while i < n:
+        c = expr[i]
+        if c == "'":
+            flush()
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i:j + 1])
+            i = j + 1
+            continue
+        seg.append(c)
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def rewrite_empty_grouping(sql: str) -> str | None:
     """Return the compensated SQL, or None when the shape isn't analyzable
     (in which case the documented Spark divergence stands)."""
@@ -244,9 +298,21 @@ def rewrite_empty_grouping(sql: str) -> str | None:
             comp_items.append(str((1 << nargs) - 1))
             continue
         if _AGG_RE.search(e):
-            comp_items.append(_fold_single_agg(e) or e)
+            # aggregates evaluate naturally over the (empty) comp arm; fold
+            # GROUPING() and key references in any surrounding expression
+            folded = _fold_single_agg(e)
+            if folded is None:
+                folded = _sub_ident_keys_null(
+                    _fold_grouping_calls(e), group_exprs)
+            comp_items.append(folded)
             continue
-        return None  # arbitrary scalar of a key -> needs real analysis
+        # Any other scalar: valid SQL only lets column refs outside
+        # aggregates be grouping keys, so after folding GROUPING() and
+        # substituting keys -> NULL the item is evaluable in the global
+        # arm. A missed key occurrence leaves a bare column -> the arm
+        # fails analysis -> caller falls back (safe, never wrong).
+        comp_items.append(
+            _sub_ident_keys_null(_fold_grouping_calls(e), group_exprs))
 
     # HAVING: fold GROUPING() calls; bail if a grouping key survives
     # outside aggregate calls (can't evaluate it for the folded row)

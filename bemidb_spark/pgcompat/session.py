@@ -210,14 +210,13 @@ class PgSession:
             self._bridge_parent_views(spark)
             # newSession() forks a FRESH SQLConf from SparkConf defaults, so
             # runtime policy the embedder applied to the parent (the
-            # size-aware input profile — AQE flag + shuffle parallelism,
-            # session.apply_input_size_policy) would silently not reach wire
-            # clients. Copy those runtime confs into the fork so a pg client
-            # executes under the same profile bench.py measures.
-            for k in (
-                "spark.sql.adaptive.enabled",
-                "spark.sql.shuffle.partitions",
-            ):
+            # size-aware input profile, session.apply_input_size_policy)
+            # would silently not reach wire clients. PROFILE_CONF_KEYS is the
+            # single authoritative list of profile confs — copying it keeps a
+            # pg client on exactly the profile bench.py measures.
+            from bemidb_spark.session import PROFILE_CONF_KEYS
+
+            for k in PROFILE_CONF_KEYS:
                 try:
                     self.spark.conf.set(k, spark.conf.get(k))
                 except Exception:  # noqa: BLE001 — conf not set on parent
@@ -1177,6 +1176,17 @@ class PgSession:
             cacheable = perms is None and "pg_stat_statements" not in stripped.lower()
             cached = self._plan_cache.get(stripped) if cacheable else None
             if cached is not None:
+                if self.settings.get("bemidb.plan_cache_mode") == "reexecute":
+                    # Work-matched serving: keep the prepared-statement
+                    # semantics (parse/analysis cached) but re-optimize and
+                    # re-execute every stage — a resident Dataset would
+                    # instead reuse its materialized shuffle outputs and
+                    # broadcasts. `SET bemidb.plan_cache_mode = reexecute`
+                    # lets a client (and bench.py's wire_reexec phase) match
+                    # the reference's time-psql full-re-execution protocol.
+                    from bemidb_spark.session import reexecute
+
+                    return reexecute(cached)
                 return cached
             folded = self._qualify_catalog_tables(
                 self._fold_session_functions(stripped))

@@ -463,12 +463,26 @@ class _Conn:
         ("cancelled job group", "57014"),
     ]
 
+    # Markers that identify an exception as CAUSED BY a job-group kill (vs a
+    # genuine failure that merely raced a CancelRequest). Spark surfaces a
+    # cancellation as SparkException("Job N cancelled part of cancelled job
+    # group <group>") or a py4j wrapper around it.
+    _CANCEL_MARKERS = ("cancelled job group", "cancelled because", "SPARK_JOB_CANCELLED")
+
+    @classmethod
+    def _match_sqlstate(cls, message: str) -> str | None:
+        for marker, sqlstate in cls._SQLSTATE_MAP:
+            if marker in message:
+                return sqlstate
+        return None
+
+    @classmethod
+    def _is_cancel_exception(cls, message: str) -> bool:
+        return any(m in message for m in cls._CANCEL_MARKERS)
+
     def _send_error(self, message: str, code: str = "XX000") -> None:
         if code == "XX000":
-            for marker, sqlstate in self._SQLSTATE_MAP:
-                if marker in message:
-                    code = sqlstate
-                    break
+            code = self._match_sqlstate(message) or code
         fields = b"SERROR\x00" + f"C{code}".encode() + b"\x00" + f"M{message}".encode() + b"\x00\x00"
         self._send(b"E", fields)
 
@@ -836,8 +850,6 @@ class _Conn:
             err.sqlstate = "22P04"
             raise err
         pos = len(_COPY_BIN_SIG)
-        _flags, extlen = struct.unpack_from("!ii", data, pos)
-        pos += 8 + extlen
         records: list[list[str | None]] = []
         def _bad(msg: str) -> UnsupportedQueryError:
             # pg raises 'invalid field size in binary COPY' (22P04) for these;
@@ -848,6 +860,17 @@ class _Conn:
             err.sqlstate = "22P04"
             return err
 
+        # Header: int32 flags + int32 extension length (skipped). Every
+        # header field is length-checked BEFORE use so a truncated or
+        # bit-flipped frame raises 22P04, never a raw struct.error or a
+        # backwards/out-of-bounds pos (fuzzed-frame hardening, r5).
+        if pos + 8 > len(data):
+            raise _bad("unexpected EOF in binary COPY header")
+        _flags, extlen = struct.unpack_from("!ii", data, pos)
+        pos += 8
+        if extlen < 0 or extlen > len(data) - pos:
+            raise _bad(f"invalid extension length in binary COPY: {extlen}")
+        pos += extlen
         while pos + 2 <= len(data):
             (nf,) = struct.unpack_from("!h", data, pos)
             pos += 2
@@ -869,8 +892,11 @@ class _Conn:
                 cell = data[pos:pos + ln]
                 pos += ln
                 f = col_fields[i] if i < len(col_fields) else None
-                row.append(_decode_binary(
-                    cell, f.dataType if f else T.StringType(), f))
+                try:
+                    row.append(_decode_binary(
+                        cell, f.dataType if f else T.StringType(), f))
+                except Exception as exc:  # noqa: BLE001 — malformed cell bytes
+                    raise _bad(f"invalid binary cell encoding: {exc}") from exc
             records.append(row)
         return records
 
@@ -988,15 +1014,27 @@ class _Conn:
                 self._dispatch(msg_type, body)
                 self.cancel_requested = False  # a finished statement wins
             except (UnsupportedQueryError, Exception) as exc:  # noqa: BLE001
-                if self.cancel_requested:
-                    # CancelRequest landed while this statement ran: any
-                    # resulting failure is pg's query_canceled, whatever
-                    # exception wrapper it surfaced through.
+                # A CancelRequest maps a failure to pg's query_canceled ONLY
+                # when the failure is attributable to the job-group kill (or
+                # carries no recognizable sqlstate of its own): a statement
+                # that fails for an unrelated, classifiable reason — e.g. an
+                # analysis error — in the window between CancelRequest
+                # arrival and the kill landing reports its REAL error
+                # (VERDICT r4 #3).
+                genuine = getattr(exc, "sqlstate", None) or self._match_sqlstate(
+                    str(exc))
+                if genuine is None and isinstance(exc, UnsupportedQueryError):
+                    genuine = "42601"  # always a real routing/syntax error
+                if self.cancel_requested and (
+                    self._is_cancel_exception(str(exc))
+                    or genuine in (None, "57014")
+                ):
                     self.cancel_requested = False
                     self._send_error(
                         "canceling statement due to user request", "57014")
                 else:
-                    code = getattr(exc, "sqlstate", None) or (
+                    self.cancel_requested = False
+                    code = genuine or (
                         "42601" if isinstance(exc, UnsupportedQueryError)
                         else "XX000"
                     )

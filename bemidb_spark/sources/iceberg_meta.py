@@ -75,23 +75,65 @@ _NESTED_ID_BASE = 1000
 
 
 def _schema_fields(columns: list[dict]) -> tuple[list[dict], int]:
-    """Catalog column metadata -> Iceberg schema fields with stable ids."""
+    """Catalog column metadata -> Iceberg schema fields with stable ids.
+
+    The spec requires element-id/key-id/value-id at EVERY nesting level
+    (validated against the vendored REST-spec JSON schema,
+    tests/data/iceberg_table_metadata.schema.json). Top-level nesting keeps
+    the 1000/2000-band scheme (stable across commits); deeper levels draw
+    from a deterministic allocator above both bands — same traversal order
+    every commit, so ids are stable for an unchanged schema.
+    """
     fields = []
     last_id = 0
+    deep_next = [_NESTED_ID_BASE * 3]
+
+    def _deep(typ):
+        """Assign ids to nesting levels below the first (deterministic)."""
+        if not isinstance(typ, dict):
+            return typ
+        deep_next[0] += 1
+        if typ["type"] == "list":
+            return {
+                "type": "list",
+                "element-id": deep_next[0],
+                "element": _deep(typ["element"]),
+                "element-required": False,
+            }
+        kid = deep_next[0]
+        key = _deep(typ["key"])
+        deep_next[0] += 1
+        vid = deep_next[0]
+        return {
+            "type": "map",
+            "key-id": kid,
+            "key": key,
+            "value-id": vid,
+            "value": _deep(typ["value"]),
+            "value-required": False,
+        }
+
     for i, col in enumerate(columns, start=1):
         typ = spark_type_to_iceberg(col["type"])
         if isinstance(typ, dict):  # assign nested ids
             nested_id = _NESTED_ID_BASE + i
             if typ["type"] == "list":
-                typ = {**typ, "element-id": nested_id, "element-required": False}
+                typ = {
+                    **typ,
+                    "element-id": nested_id,
+                    "element": _deep(typ["element"]),
+                    "element-required": False,
+                }
             else:
                 typ = {
                     **typ,
                     "key-id": nested_id,
+                    "key": _deep(typ["key"]),
                     "value-id": _NESTED_ID_BASE * 2 + i,
+                    "value": _deep(typ["value"]),
                     "value-required": False,
                 }
-            last_id = max(last_id, _NESTED_ID_BASE * 2 + i)
+            last_id = max(last_id, _NESTED_ID_BASE * 2 + i, deep_next[0])
         fields.append(
             {
                 "id": i,

@@ -79,6 +79,22 @@ WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
 SMALL_CONF = os.environ.get("SPARK_GRAFT_BENCH_SMALL_CONF") == "1"
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(total_jiffies, steal_jiffies) from /proc/stat.
+
+    The box is a VM: bursty co-tenant steal is the dominant residual variance
+    source at sf1 (round-5 probes: 15% steal turned a 15 s pass into 43 s).
+    Each timed sample therefore carries its own steal%, so a slow sample is
+    attributable from the recorded JSON alone."""
+    try:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:9]]
+        return sum(vals), vals[7]
+    except Exception:  # noqa: BLE001 — non-Linux fallback
+        return (0, 0)
+
+
 def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
     spark = build_session(
@@ -152,12 +168,17 @@ def main() -> None:
         time.sleep(1.0)
 
     reexec_samples = []
+    reexec_steal = []
     for _ in range(5):
         _drain_cleaner()
+        c0 = _cpu_stat()
         t0 = time.perf_counter()
         for i in range(1, 23):
             reexecute(prepared[i]).collect()
         reexec_samples.append(round(time.perf_counter() - t0, 4))
+        c1 = _cpu_stat()
+        reexec_steal.append(
+            round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
     # min hides worst-case behavior a real client would eat (VERDICT r3):
     # report the full min/median/max spread, keep `reexec_sequential_sec` =
     # median as the honest headline for this mode.
@@ -198,20 +219,33 @@ def main() -> None:
     # protocol + transpile-cache + encode + socket included.
     wire_sequential = None
     wire_samples: list[float] = []
+    wire_reexec_sequential = None
+    wire_reexec_samples: list[float] = []
+    srv = cli = None
     try:
+        from bemidb_spark.server.minipg import MiniPgClient
         from bemidb_spark.server.wire import WireServer
         from bemidb_spark.tables import register_views
-        from tests.pg_client import MiniPgClient
 
         register_views(spark, wh)
         srv = WireServer(spark)
         srv.start()
-        cli = MiniPgClient(srv.host, srv.port)
+        # socket timeout: a stalled wire query must fail the phase, not hang
+        # the whole benchmark (ADVICE r4)
+        cli = MiniPgClient(srv.host, srv.port, timeout=120)
         wire_sqls = [tpch.ORACLES[f"tpch_q{i}"] for i in range(1, 23)]
-        for s in wire_sqls:  # correctness guard + warm (plan cache fill)
+        # correctness guard: row counts must match the prepared Datasets —
+        # a wrong-result regression on the wire path must not be timed as a
+        # healthy number (ADVICE r4). (Values are covered by the oracle gate;
+        # the guard here is against the wire path serving a DIFFERENT plan.)
+        expected_rows = [len(prepared[i].collect()) for i in range(1, 23)]
+        for s, want in zip(wire_sqls, expected_rows):  # guard + cache fill
             r = cli.query(s)
             if r["errors"]:
                 raise RuntimeError(f"wire bench query failed: {r['errors']}")
+            if len(r["rows"]) != want:
+                raise RuntimeError(
+                    f"wire row-count mismatch: got {len(r['rows'])}, want {want}")
         for s in wire_sqls:
             cli.query(s)
         for _ in range(3):
@@ -221,10 +255,35 @@ def main() -> None:
             wire_samples.append(round(time.perf_counter() - t0, 4))
         wire_sorted = sorted(wire_samples)
         wire_sequential = wire_sorted[len(wire_sorted) // 2]
-        cli.close()
-        srv.stop()
+
+        # Work-matched wire pass (VERDICT r4 next-round #3): same socket,
+        # same pg v3 protocol, but the server re-optimizes and re-executes
+        # every stage per statement (`SET bemidb.plan_cache_mode =
+        # reexecute`) instead of serving resident Datasets — protocol AND
+        # work matched against the reference's `time psql < queries.sql`,
+        # which re-executes fully in DuckDB each pass.
+        r = cli.query("SET bemidb.plan_cache_mode = reexecute")
+        if r["errors"]:
+            raise RuntimeError(f"SET plan_cache_mode failed: {r['errors']}")
+        for s in wire_sqls:  # warm the reexec path once
+            cli.query(s)
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for s in wire_sqls:
+                cli.query(s)
+            wire_reexec_samples.append(round(time.perf_counter() - t0, 4))
+        wire_reexec_sorted = sorted(wire_reexec_samples)
+        wire_reexec_sequential = wire_reexec_sorted[len(wire_reexec_sorted) // 2]
     except Exception as exc:  # noqa: BLE001 — wire phase is additive
         print(f"# wire phase skipped: {exc}", file=sys.stderr)
+    finally:
+        if cli is not None:
+            try:
+                cli.close()
+            except Exception:  # noqa: BLE001
+                pass
+        if srv is not None:
+            srv.stop()
 
     # Pipeline-operator throughput at the same SF (the training-data family
     # the TPC-H suite doesn't exercise): warm once, then one timed pass each.
@@ -260,12 +319,15 @@ def main() -> None:
         "sequential_samples": sequential_samples,
         "reexec_sequential_sec": reexec_sequential,
         "reexec_sequential_samples": reexec_samples,
+        "reexec_steal_pct": reexec_steal,
         "reexec_min_sec": reexec_min,
         "reexec_max_sec": reexec_max,
         "concurrent_sec": concurrent,
         "concurrent_samples": samples,
         "wire_sequential_sec": wire_sequential,
         "wire_samples": wire_samples,
+        "wire_reexec_sequential_sec": wire_reexec_sequential,
+        "wire_reexec_samples": wire_reexec_samples,
         "small_input_profile": small_profile,
         "cold_sequential_sec": cold_sequential,
         "cold_sequential_samples": cold_samples,

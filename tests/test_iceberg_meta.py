@@ -82,6 +82,62 @@ def test_commit_emits_spec_complete_metadata(spark, cat):
     assert meta2["last-sequence-number"] == 2
 
 
+def test_metadata_json_validates_against_public_rest_schema(spark, cat):
+    """metadata.json validated by a FOREIGN contract: a JSON Schema
+    transcribed from the public Apache Iceberg REST-catalog OpenAPI spec
+    (tests/data/iceberg_table_metadata.schema.json). No in-sandbox Iceberg
+    reader can open the file (pyiceberg/duckdb-iceberg uninstallable
+    offline, PARITY.md), so the spec's own schema — enforced by the
+    independent jsonschema library, not this repo's shape checks — is the
+    strongest available external validation (VERDICT r4 #9). Covers nested
+    types: the spec requires element/key/value ids at EVERY nesting level."""
+    import jsonschema
+
+    schema_path = os.path.join(
+        os.path.dirname(__file__), "data", "iceberg_table_metadata.schema.json")
+    with open(schema_path) as fh:
+        rest_schema = json.load(fh)
+    jsonschema.Draft202012Validator.check_schema(rest_schema)
+
+    replace_table(cat, "analytics", "typed", spark.createDataFrame(
+        [(1, "a", [1.0, 2.0], {"k": 1}, [["x"]])],
+        "id bigint, name string, emb array<double>, "
+        "attrs map<string,int>, grid array<array<string>>"))
+    # two commits: snapshots chain, refs, logs all present in v2
+    replace_table(cat, "analytics", "typed", spark.createDataFrame(
+        [(2, "b", [3.0], {"k": 2}, [["y"]])],
+        "id bigint, name string, emb array<double>, "
+        "attrs map<string,int>, grid array<array<string>>"))
+    mdir = metadata_dir(cat, "analytics", "typed")
+    for version in (1, 2):
+        meta = json.load(open(os.path.join(mdir, f"v{version}.metadata.json")))
+        jsonschema.validate(meta, rest_schema,
+                            cls=jsonschema.Draft202012Validator)
+    # all field ids unique at every level (spec requirement the JSON schema
+    # alone can't express)
+    ids: list[int] = []
+
+    def walk(typ):
+        if isinstance(typ, dict):
+            if typ["type"] == "list":
+                ids.append(typ["element-id"])
+                walk(typ["element"])
+            elif typ["type"] == "map":
+                ids.extend([typ["key-id"], typ["value-id"]])
+                walk(typ["key"])
+                walk(typ["value"])
+            else:
+                for f in typ["fields"]:
+                    ids.append(f["id"])
+                    walk(f["type"])
+
+    for f in meta["schemas"][0]["fields"]:
+        ids.append(f["id"])
+        walk(f["type"])
+    assert len(ids) == len(set(ids)), ids
+    assert meta["last-column-id"] >= max(ids)
+
+
 def test_avro_manifests_list_current_data_files(spark, cat):
     """The snapshot's manifest-list and manifest are real Avro OCF files
     with spec-shaped records, decoded by the independent from-spec reader."""

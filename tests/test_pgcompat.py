@@ -122,24 +122,45 @@ def test_show_unknown_raises(pg):
 
 def test_isolated_session_inherits_input_size_policy(spark, tmp_path_factory):
     """newSession() forks a fresh SQLConf, so PgSession(isolate=True) must
-    copy the embedder's runtime execution profile (AQE flag + shuffle
-    parallelism) — otherwise wire clients silently run under defaults while
-    bench.py measures the tuned profile (ADVICE r3)."""
+    copy the embedder's runtime execution profile — otherwise wire clients
+    silently run under defaults while bench.py measures the tuned profile
+    (ADVICE r3; re-flagged r4 when the hand-maintained copy list drifted).
+    The profile is defined ONCE (session.PROFILE_CONF_KEYS) and this test
+    pins the full contract: after apply_input_size_policy on the parent, a
+    fork agrees with the parent on EVERY profile conf."""
+    from bemidb_spark.session import PROFILE_CONF_KEYS, apply_input_size_policy
+
     catalog = Catalog(str(tmp_path_factory.mktemp("isowh")))
-    old = {
-        k: spark.conf.get(k)
-        for k in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-    }
+    old = {k: spark.conf.get(k, None) for k in PROFILE_CONF_KEYS}
     try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        apply_input_size_policy(spark, ["/root/testdata/sf0.001"])
         iso = PgSession(spark, catalog, isolate=True)
         assert iso.spark is not spark
-        assert iso.spark.conf.get("spark.sql.adaptive.enabled") == "false"
-        assert iso.spark.conf.get("spark.sql.shuffle.partitions") == "8"
+        for k in PROFILE_CONF_KEYS:
+            assert iso.spark.conf.get(k) == spark.conf.get(k), k
     finally:
         for k, v in old.items():
-            spark.conf.set(k, v)
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_plan_cache_mode_reexecute(pg):
+    """SET bemidb.plan_cache_mode = reexecute: cache hits re-execute the
+    cached ANALYZED plan in a fresh Dataset (prepared-statement semantics
+    with full work per call — bench.py's work-matched wire mode) instead of
+    serving the resident Dataset object."""
+    sql = "SELECT count(*) AS n FROM region"
+    first = pg.execute(sql)
+    assert pg.execute(sql) is first  # resident-object serving by default
+    pg.execute("SET bemidb.plan_cache_mode = reexecute")
+    again = pg.execute(sql)
+    assert again is not first  # fresh Dataset per call...
+    assert again.collect()[0].n == 5  # ...same result
+    # the cached analyzed plan is still reused (no re-transpile/analysis):
+    assert pg.execute(sql) is not again
+    pg.execute("SET bemidb.plan_cache_mode = resident")
+    resident = pg.execute(sql)
+    assert pg.execute(sql) is resident  # back to resident serving
 
 
 def test_begin_discard_noop(pg):

@@ -590,20 +590,39 @@ def test_grouping_sets_empty_input_compensated(pg, duck, sf_dir):
         duck.execute(sql).fetchall()
 
 
-def test_grouping_sets_empty_input_divergence_unanalyzable(pg, duck, sf_dir):
-    """Pins the REMAINING divergence: a select item that is a scalar
-    expression OVER a grouping key (not the key itself) needs real analysis
-    to evaluate for the folded row, so the compensation bails and Spark's
-    no-row behavior stands (PARITY §Documented deviations). If Spark ever
-    aligns with the standard, this test fails and both it and the PARITY
-    entry should be dropped."""
-    sql = (
-        "SELECT n_regionkey + 1 AS rk1, COUNT(*) AS c FROM nation "
-        "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_regionkey)"
-    )
+def test_grouping_sets_empty_input_scalar_over_key_compensated(pg, duck, sf_dir):
+    """r5: the former "unanalyzable tail" — select items that are scalar
+    expressions OVER a grouping key — is closed. Valid SQL only allows
+    column refs outside aggregates when they are grouping keys, so the
+    compensation substitutes keys -> NULL (pg evaluates the folded row with
+    NULL keys) and folds GROUPING() to constants; the resulting expression
+    is evaluable in the UNION arm. A substitution miss (qualified name)
+    fails analysis in the arm and falls back silently — safe, never wrong."""
     duck.execute(
         f"CREATE OR REPLACE VIEW nation AS "
         f"SELECT * FROM '{sf_dir}/nation.parquet'"
     )
-    assert duck.execute(sql).fetchall() == [(None, 0)]  # pg semantics
-    assert pg.execute(sql).collect() == []  # Spark semantics (documented)
+    for sql in (
+        # arithmetic over a key
+        "SELECT n_regionkey + 1 AS rk1, COUNT(*) AS c FROM nation "
+        "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_regionkey)",
+        # function over a key; NULL-insensitive function of a key (coalesce
+        # must evaluate at key=NULL, not fold to NULL); string literal
+        # containing a key name must NOT be substituted
+        "SELECT upper(n_name) AS u, coalesce(n_name, 'none') AS nm, "
+        "'n_name' AS lit, COUNT(*) AS c FROM nation "
+        "WHERE n_nationkey = -1 GROUP BY ROLLUP(n_name)",
+        # CAST over GROUPING() (the pgpath driver entry's shape)
+        "SELECT n_regionkey, CAST(GROUPING(n_regionkey) AS INT) AS g, "
+        "COUNT(*) AS c FROM nation WHERE n_nationkey = -1 "
+        "GROUP BY ROLLUP(n_regionkey)",
+    ):
+        assert (
+            sorted(tuple(r) for r in pg.execute(sql).collect())
+            == sorted(duck.execute(sql).fetchall())
+        ), sql
+    # non-empty input: compensation arm contributes nothing for these shapes
+    sql = ("SELECT n_regionkey + 1 AS rk1, COUNT(*) AS c FROM nation "
+           "GROUP BY ROLLUP(n_regionkey) ORDER BY rk1 NULLS FIRST")
+    assert [tuple(r) for r in pg.execute(sql).collect()] == \
+        duck.execute(sql).fetchall()

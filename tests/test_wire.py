@@ -510,6 +510,97 @@ def test_copy_from_stdin_binary_malformed_rejected(copy_server):
     attempt(hdr + struct.pack("!h", 3) + struct.pack("!i", -1))
 
 
+def test_copy_binary_parser_fuzz():
+    """Property fuzz of the binary-COPY frame parser (VERDICT r4 #7): for
+    ANY byte string — random mutations of valid frames, truncations, pure
+    noise — the parser either returns records or raises 22P04. It must never
+    surface a raw struct.error/IndexError (which the wire loop would report
+    as XX000) and never loop unboundedly (the r4 DoS class). Runs against
+    the parser directly so thousands of cases cost milliseconds; wire-level
+    health is covered by test_copy_binary_wire_fuzz below."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from bemidb_spark.server.wire import UnsupportedQueryError, _Conn
+
+    fields = [
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ]
+    parse = lambda data: _Conn._parse_copy_binary(  # noqa: E731
+        object.__new__(_Conn), data, fields)
+
+    def cell(b: bytes | None) -> bytes:
+        return struct.pack("!i", -1) if b is None else struct.pack("!i", len(b)) + b
+
+    valid = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+    for r in ([struct.pack("!q", 1), b"alpha", struct.pack("!d", 1.5)],
+              [struct.pack("!q", 2), None, None]):
+        valid += struct.pack("!h", len(r)) + b"".join(cell(c) for c in r)
+    valid += struct.pack("!h", -1)
+
+    def check(data: bytes) -> None:
+        try:
+            out = parse(data)
+            assert isinstance(out, list)
+        except UnsupportedQueryError as exc:
+            assert exc.sqlstate == "22P04"
+        # any other exception type fails the test — that's the point
+
+    rng = random.Random(20260815)
+    check(valid)
+    for _ in range(2000):  # single-byte mutations
+        data = bytearray(valid)
+        for _m in range(rng.randint(1, 3)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        check(bytes(data))
+    for i in range(len(valid)):  # every truncation point
+        check(valid[:i])
+    for _ in range(500):  # pure noise, random lengths
+        check(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 96))))
+    for _ in range(300):  # valid prefix + noise tail
+        check(valid + bytes(rng.randrange(256) for _ in range(rng.randrange(1, 32))))
+
+
+def test_copy_binary_wire_fuzz(copy_server):
+    """Wire-level slice of the fuzz: mutated frames over a real socket. The
+    server must answer every frame (no hang — the r4 DoS class), with either
+    a clean COPY tag (mutation hit ignorable bytes, e.g. the flags field) or
+    a 22P04/22xxx error, and the connection stays usable throughout."""
+    import random
+
+    rng = random.Random(1)
+
+    def cell(b: bytes | None) -> bytes:
+        return struct.pack("!i", -1) if b is None else struct.pack("!i", len(b)) + b
+
+    valid = b"PGCOPY\n\xff\r\n\x00" + struct.pack("!ii", 0, 0)
+    row = [struct.pack("!q", 900), b"fz", struct.pack("!d", 0.5)]
+    valid += struct.pack("!h", len(row)) + b"".join(cell(c) for c in row)
+    valid += struct.pack("!h", -1)
+
+    c = MiniPgClient(copy_server.host, copy_server.port, timeout=120)
+    try:
+        for i in range(40):
+            data = bytearray(valid)
+            # bias mutations toward structural bytes (sig/header/tuple
+            # headers) — content-byte flips mostly produce valid frames,
+            # which would turn the fuzz into 40 slow table writes
+            pos = rng.randrange(0, 25) if i % 4 else rng.randrange(len(data))
+            data[pos] = rng.randrange(256)
+            r = c.copy_in("COPY scores FROM STDIN (FORMAT BINARY)", bytes(data))
+            if r["errors"]:
+                code = r["errors"][0]["C"]
+                assert code.startswith("22") or code == "08P01", r["errors"]
+            else:
+                assert any(t.startswith("COPY") for t in r["tags"]), r
+        assert c.query("SELECT 1 AS ok")["errors"] == []
+    finally:
+        c.close()
+
+
 def test_copy_from_stdin_binary_timestamptz_utc(spark, tmp_path_factory):
     """Binary timestamptz cells are UTC-based micros (pg wire format): the
     stored instant must not shift when the session timezone is non-UTC at
@@ -590,6 +681,30 @@ def test_cancel_request_aborts_running_query(server):
         assert r["errors"] and r["errors"][0]["C"] == "57014"
         # connection survives and later queries run outside the cancel
         assert c.query("SELECT 1 AS x")["rows"] == [["1"]]
+    finally:
+        c.close()
+
+
+def test_cancel_race_does_not_mask_genuine_error(server):
+    """A CancelRequest that lands before/while a statement fails for an
+    unrelated, classifiable reason must NOT relabel that failure as 57014
+    query_canceled (VERDICT r4 #3): pg reports the real error. A cancel on
+    an idle backend is a no-op, so the next statement's analysis error
+    arrives with cancel_requested still set — the exact race window."""
+    import time
+
+    c = MiniPgClient(server.host, server.port)
+    try:
+        key = next(body for t, body in c.startup_messages if t == b"K")
+        pid, secret = struct.unpack("!II", key)
+        cancel = socket.create_connection((server.host, server.port))
+        cancel.sendall(struct.pack("!IIII", 16, 80877102, pid, secret))
+        cancel.close()
+        time.sleep(0.3)  # let the cancel handler set cancel_requested
+        r = c.query("SELECT * FROM definitely_no_such_table_xyz")
+        assert r["errors"] and r["errors"][0]["C"] == "42P01", r["errors"]
+        # and the session is healthy afterwards
+        assert c.query("SELECT 3 AS x")["rows"] == [["3"]]
     finally:
         c.close()
 

@@ -98,8 +98,12 @@ def main() -> None:
     for _ in range(6):
         one_pass()
 
-    results: dict[str, dict] = {}
-    for label, conf in VARIANTS.items():
+    # Interleave passes ROUND-ROBIN across variants (ADVICE r4): sequential
+    # per-variant blocks let later variants ride accumulated JIT/codegen
+    # state, biasing comparisons at the ~0.4 s effect sizes this sweep is
+    # used to justify. Round-robin spreads any drift evenly; medians are
+    # taken across the interleaved samples.
+    def _apply(label: str, conf: dict[str, str]) -> None:
         skipped = []
         for k in UNSET_ON_RESET:
             try:
@@ -113,13 +117,24 @@ def main() -> None:
                 skipped.append(k)
         if skipped:
             print(f"# {label}: not runtime-settable: {skipped}", flush=True)
-        one_pass()  # variant warm-up: fresh codegen units for new plans
-        samples = sorted(one_pass() for _ in range(PASSES))
-        results[label] = {
-            "median": samples[len(samples) // 2],
-            "samples": samples,
-        }
-        print(f"{label:24s} median={results[label]['median']:6.3f}  {samples}",
+
+    samples: dict[str, list[float]] = {label: [] for label in VARIANTS}
+    for label, conf in VARIANTS.items():  # per-variant codegen warm-up
+        _apply(label, conf)
+        one_pass()
+    for rnd in range(PASSES):
+        order = list(VARIANTS.items())
+        if rnd % 2:  # alternate direction so slot-in-round effects cancel
+            order = order[::-1]
+        for label, conf in order:
+            _apply(label, conf)
+            samples[label].append(one_pass())
+
+    results: dict[str, dict] = {}
+    for label, s in samples.items():
+        s = sorted(s)
+        results[label] = {"median": s[len(s) // 2], "samples": s}
+        print(f"{label:24s} median={results[label]['median']:6.3f}  {s}",
               flush=True)
 
     print(json.dumps(results))
