@@ -159,13 +159,18 @@ def main() -> None:
 
     # Measured honest re-execution passes (prepared semantics: analysis
     # cached, every stage executed from scratch — see module docstring).
-    # Each discarded pass leaves ~100 dead shuffles/broadcasts whose cleanup
-    # rides on driver GC; drain the cleaner OUTSIDE the timed region (a real
-    # server does this housekeeping between requests, and the resident path —
-    # the production one — never generates this garbage at all).
+    # Explicit between-pass cleaner drains are OFF by default as of r5: a
+    # System.gc() immediately before a timed pass STARTS a concurrent G1
+    # cycle that overlaps the pass and slows it (measured at sf1: drained
+    # samples 12-33 s with zero steal vs 14.5-17 s flat without drains —
+    # tools/probe_sf1_bcast10.json ran 16 drain-free passes). With the
+    # 10 MB broadcast threshold per-pass garbage is small and the 2-min
+    # periodic ContextCleaner GC keeps up on its own. Set
+    # SPARK_GRAFT_BENCH_DRAIN=1 to restore the old behavior.
     def _drain_cleaner() -> None:
-        spark._jvm.System.gc()
-        time.sleep(1.0)
+        if os.environ.get("SPARK_GRAFT_BENCH_DRAIN") == "1":
+            spark._jvm.System.gc()
+            time.sleep(1.0)
 
     reexec_samples = []
     reexec_steal = []

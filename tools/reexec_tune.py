@@ -57,13 +57,35 @@ VARIANTS: dict[str, dict[str, str]] = {
         **_NC,
         "spark.sql.files.openCostInBytes": str(1 * 1024 * 1024),
     },
+    # Round 3 of the sweep (r5): probe telemetry shows a sf0.1 pass runs 94
+    # jobs — ~4.3 per query — because every broadcast join is its own job
+    # plus a single-threaded driver hash-relation build (gap_ms 1.7 s/pass,
+    # pre_job 1.0 s/pass). With AQE off a pure shuffle-join query is ONE
+    # job, and sf0.1 shuffles are <= 7 MB; test whether killing broadcasts
+    # outright trades cheap tiny shuffles for all that driver fixed cost.
+    "nc_nobcast": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    },
+    "nc_bcast1m": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+    },
+    "nc_nobcast_sp4": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "4",
+    },
 }
 
 BASE_SMALL = {
     "spark.sql.adaptive.enabled": "false",
     "spark.sql.shuffle.partitions": "8",
     "spark.sql.constraintPropagation.enabled": "true",
-    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # r5: the shipped default dropped 64 MB -> 10 MB (driver-side hash-
+    # relation builds at sf1 were the bimodal-slow-mode source); keep the
+    # sweep baseline identical to what build_session ships.
+    "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
 }
 # Confs a variant may set that have no valid "default" value — unset on reset.
 UNSET_ON_RESET = [
