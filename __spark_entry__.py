@@ -47,6 +47,11 @@ _PRIORITY = [
     "pg_estring_roundtrip",
     "pg_recursive_cte_route",
     "pg_grouping_sets_empty",
+    "pg_json_arrow_route",
+    "pg_any_array_route",
+    "pg_interval_cast_route",
+    "pg_format_route",
+    "pg_window_route",
     # then entries whose code was touched this round (stateful JSON
     # vectorization; profile-conf unification affects every wire-bound run)
     "streaming_stateful_user_profiles",

@@ -90,3 +90,99 @@ _GS_EMPTY = """
     ORDER BY g, o_orderstatus
 """
 _register_pg("pg_grouping_sets_empty", _GS_EMPTY, _GS_EMPTY)
+
+# ---------------------------------------------------------------------------
+# Round-5 widening: each entry below pins a DIFFERENT transpiler rewrite
+# family end-to-end (route -> Spark) against DuckDB running the pg-ism
+# natively or its own equivalent. Reference: the remapper families in
+# src/server (SURVEY §2.B8-B11).
+# ---------------------------------------------------------------------------
+
+# B9: JSON `->>` operator chain (variant-based rewrite) on a JSON string col.
+_register_pg(
+    "pg_json_arrow_route",
+    """
+    SELECT CAST(props::json->>'k' AS INT) % 7 AS k_mod,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM events
+    WHERE CAST(props::json->>'k' AS INT) IS NOT NULL
+    GROUP BY CAST(props::json->>'k' AS INT) % 7
+    ORDER BY k_mod
+    """,
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 7 AS k_mod,
+           count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS first_event
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL
+    GROUP BY 1
+    ORDER BY k_mod
+    """,
+)
+
+# B10: `= ANY('{…}')` string-array literal -> IN list.
+_register_pg(
+    "pg_any_array_route",
+    """
+    SELECT n.n_name, count(c.c_custkey) AS n_cust
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name = ANY('{NATION_3,NATION_7,NATION_12}')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+    """
+    SELECT n.n_name, count(c.c_custkey) AS n_cust
+    FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('NATION_3','NATION_7','NATION_12')
+    GROUP BY n.n_name ORDER BY n.n_name
+    """,
+)
+
+# B11: `'…'::interval` cast remap + date arithmetic through the route.
+_INTERVAL_SQL = """
+    SELECT o_orderpriority,
+           CAST(min(o_orderdate + '30 days'::interval) AS DATE) AS first_due,
+           CAST(max(o_orderdate + '30 days'::interval) AS DATE) AS last_due,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+_register_pg("pg_interval_cast_route", _INTERVAL_SQL, _INTERVAL_SQL)
+
+# B8: pg function remap — format() -> format_string() (DuckDB: printf).
+_register_pg(
+    "pg_format_route",
+    """
+    SELECT format('%s/%s', r.r_name, n.n_name) AS region_nation,
+           count(s.s_suppkey) AS n_supp
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY format('%s/%s', r.r_name, n.n_name)
+    ORDER BY region_nation
+    """,
+    """
+    SELECT printf('%s/%s', r.r_name, n.n_name) AS region_nation,
+           count(s.s_suppkey) AS n_supp
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY region_nation
+    """,
+)
+
+# Window function + aggregate through the route (auto-alias, ordinal
+# handling, window-over-agg shape).
+_WIN_ROUTE = """
+    SELECT n_name,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT n.n_name,
+             RANK() OVER (ORDER BY count(c.c_custkey) DESC, n.n_name) AS rnk
+      FROM nation n LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ) t
+    ORDER BY rnk, n_name
+"""
+_register_pg("pg_window_route", _WIN_ROUTE, _WIN_ROUTE)

@@ -157,6 +157,7 @@ PROFILE_CONF_KEYS = (
     "spark.sql.adaptive.enabled",
     "spark.sql.shuffle.partitions",
     "spark.sql.constraintPropagation.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
 )
 
 
@@ -190,6 +191,10 @@ def apply_input_size_policy(spark: SparkSession, paths: list[str]) -> bool:
                 int(spark.conf.get("spark.default.parallelism", "32"))
             ),
             "spark.sql.constraintPropagation.enabled": "true",
+            # Spark's stock threshold (the build_session default): AQE
+            # re-upgrades shuffle joins to broadcast when runtime sizes
+            # prove small, so the static threshold can stay conservative.
+            "spark.sql.autoBroadcastJoinThreshold": str(10 * 1024 * 1024),
         }
     else:
         # Small profile: AQE's stage barriers cost more than they save; 8
@@ -202,6 +207,17 @@ def apply_input_size_policy(spark: SparkSession, paths: list[str]) -> bool:
             "spark.sql.adaptive.enabled": "false",
             "spark.sql.shuffle.partitions": "8",
             "spark.sql.constraintPropagation.enabled": "false",
+            # Every threshold-broadcast join is an extra Spark job plus a
+            # single-threaded driver hash-relation build; probe telemetry
+            # at sf0.1 counts 94 jobs/pass (~4.3 per query) with 1.7 s of
+            # between-job driver "gap" time. At 1 MB only genuinely tiny
+            # sides broadcast (the constant-size dims carry explicit
+            # broadcast() hints and are unaffected) and the mid-size dims
+            # take a <=7 MB shuffle instead: steal-filtered A/B, 10 passes
+            # each, median 6.21 s -> 5.51 s (min 5.86 -> 4.96). Broadcast
+            # OFF entirely over-corrects (13.1 s median — the fact-side
+            # shuffles it adds cost more than the builds it saves).
+            "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
         }
     # Structural drift-guard: the profile must touch exactly the confs that
     # PgSession copies into per-connection forks (PROFILE_CONF_KEYS).
