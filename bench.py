@@ -206,12 +206,17 @@ def main() -> None:
     # lookups. Two passes, fastest kept (the first additionally pays one-time
     # codegen compilation of any unit evicted since warm-up).
     cold_samples = []
+    cold_steal = []
     for _ in range(2):
         _drain_cleaner()
+        c0 = _cpu_stat()
         t0 = time.perf_counter()
         for i in range(1, 23):
             tpch.QUERIES[f"tpch_q{i}"](spark, wh).collect()
         cold_samples.append(round(time.perf_counter() - t0, 4))
+        c1 = _cpu_stat()
+        cold_steal.append(
+            round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
     cold_sequential = min(cold_samples)
 
     # Wire-protocol pass — the reference's ACTUAL measurement protocol
@@ -224,8 +229,10 @@ def main() -> None:
     # protocol + transpile-cache + encode + socket included.
     wire_sequential = None
     wire_samples: list[float] = []
+    wire_steal: list[float] = []
     wire_reexec_sequential = None
     wire_reexec_samples: list[float] = []
+    wire_reexec_steal: list[float] = []
     srv = cli = None
     try:
         from bemidb_spark.server.minipg import MiniPgClient
@@ -254,10 +261,14 @@ def main() -> None:
         for s in wire_sqls:
             cli.query(s)
         for _ in range(3):
+            c0 = _cpu_stat()
             t0 = time.perf_counter()
             for s in wire_sqls:
                 cli.query(s)
             wire_samples.append(round(time.perf_counter() - t0, 4))
+            c1 = _cpu_stat()
+            wire_steal.append(
+                round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
         wire_sorted = sorted(wire_samples)
         wire_sequential = wire_sorted[len(wire_sorted) // 2]
 
@@ -273,10 +284,14 @@ def main() -> None:
         for s in wire_sqls:  # warm the reexec path once
             cli.query(s)
         for _ in range(3):
+            c0 = _cpu_stat()
             t0 = time.perf_counter()
             for s in wire_sqls:
                 cli.query(s)
             wire_reexec_samples.append(round(time.perf_counter() - t0, 4))
+            c1 = _cpu_stat()
+            wire_reexec_steal.append(
+                round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
         wire_reexec_sorted = sorted(wire_reexec_samples)
         wire_reexec_sequential = wire_reexec_sorted[len(wire_reexec_sorted) // 2]
     except Exception as exc:  # noqa: BLE001 — wire phase is additive
@@ -331,11 +346,14 @@ def main() -> None:
         "concurrent_samples": samples,
         "wire_sequential_sec": wire_sequential,
         "wire_samples": wire_samples,
+        "wire_steal_pct": wire_steal,
         "wire_reexec_sequential_sec": wire_reexec_sequential,
         "wire_reexec_samples": wire_reexec_samples,
+        "wire_reexec_steal_pct": wire_reexec_steal,
         "small_input_profile": small_profile,
         "cold_sequential_sec": cold_sequential,
         "cold_sequential_samples": cold_samples,
+        "cold_steal_pct": cold_steal,
         "prepare_sec": prepare_sec,
         "ingest_sec": ingest_sec,
         "pipeline_sec": pipeline,

@@ -999,3 +999,78 @@ def test_huge_startup_packet_dropped(server):
         assert good.query("SELECT 2 AS v")["rows"] == [["2"]]
     finally:
         good.close()
+
+
+def test_extended_protocol_fuzz(server):
+    """Mutation fuzz of the extended-protocol layer (P/B/D/E/S) — the
+    COPY-BINARY fuzzer's sibling, same goal: kill the malformed-frame class
+    wholesale rather than per-bug. Start from a VALID
+    Parse/Bind/Describe/Execute/Sync sequence, then corrupt it: single-bit
+    flips anywhere in a payload, payload truncation, inserted unknown
+    message types, appended garbage counts. Invariant: the server always
+    TERMINATES the exchange — ErrorResponse + ReadyForQuery, or a clean
+    close on an unresynchronizable stream — and never hangs (a hang
+    surfaces as TimeoutError and fails the test) and never poisons other
+    connections."""
+    import random
+    import struct
+
+    rng = random.Random(0xBE111DB)
+
+    def valid_seq() -> list[tuple[bytes, bytes]]:
+        sql = b"SELECT $1::int + 1 AS v"
+        parse = b"\x00" + sql + b"\x00" + struct.pack("!H", 0)
+        bind = (
+            b"\x00\x00"
+            + struct.pack("!H", 1) + struct.pack("!H", 0)   # 1 param fmt: text
+            + struct.pack("!H", 1) + struct.pack("!i", 2) + b"41"
+            + struct.pack("!H", 0)                           # no result fmts
+        )
+        return [
+            (b"P", parse),
+            (b"B", bind),
+            (b"D", b"P\x00"),
+            (b"E", b"\x00" + struct.pack("!I", 0)),
+            (b"S", b""),
+        ]
+
+    for trial in range(80):
+        msgs = valid_seq()
+        mode = trial % 4
+        i = rng.randrange(len(msgs))
+        t, payload = msgs[i]
+        if mode == 0 and payload:  # flip one bit somewhere in the payload
+            pos = rng.randrange(len(payload))
+            flipped = payload[pos] ^ (1 << rng.randrange(8))
+            msgs[i] = (t, payload[:pos] + bytes([flipped]) + payload[pos + 1:])
+        elif mode == 1 and payload:  # truncate the payload mid-field
+            msgs[i] = (t, payload[: rng.randrange(len(payload))])
+        elif mode == 2:  # insert an unknown/misplaced message type
+            msgs.insert(i, (bytes([rng.randrange(65, 91)]),
+                            bytes(rng.randrange(8))))
+        else:  # append garbage (declared counts no longer match payload)
+            msgs[i] = (t, payload + struct.pack("!H", 0xFFFF))
+
+        c = MiniPgClient(server.host, server.port, timeout=30)
+        try:
+            c.sock.sendall(b"".join(
+                mt + struct.pack("!I", len(pl) + 4) + pl for mt, pl in msgs))
+            try:
+                got = c._read_until_ready()
+                assert got[-1][0] == b"Z"  # exchange terminated properly
+            except (ConnectionResetError, BrokenPipeError):
+                pass  # clean close on framing violation — pg behavior
+        finally:
+            try:
+                c.close()
+            except Exception:  # noqa: BLE001
+                pass
+
+    # the fuzzed connections never poison a fresh one
+    good = MiniPgClient(server.host, server.port)
+    try:
+        assert good.query("SELECT 3 AS v")["rows"] == [["3"]]
+        out = good.extended_query("SELECT $1::int + 1 AS v", params=[41])
+        assert out["rows"] == [["42"]]
+    finally:
+        good.close()
