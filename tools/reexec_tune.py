@@ -140,24 +140,49 @@ def main() -> None:
         if skipped:
             print(f"# {label}: not runtime-settable: {skipped}", flush=True)
 
-    samples: dict[str, list[float]] = {label: [] for label in VARIANTS}
-    for label, conf in VARIANTS.items():  # per-variant codegen warm-up
+    # Optional focus list: SPARK_GRAFT_TUNE_VARIANTS="nc,nc_bcast1m" runs a
+    # targeted A/B instead of the full grid (tighter interleave -> the two
+    # arms share each other's host window almost sample-for-sample).
+    focus = os.environ.get("SPARK_GRAFT_TUNE_VARIANTS")
+    variants = dict(VARIANTS)
+    if focus:
+        keep = [v.strip() for v in focus.split(",")]
+        variants = {k: VARIANTS[k] for k in keep}
+
+    def _steal() -> tuple[int, int]:
+        with open("/proc/stat") as fh:
+            f = fh.readline().split()
+        vals = [int(x) for x in f[1:9]]
+        return sum(vals), vals[7]
+
+    samples: dict[str, list[float]] = {label: [] for label in variants}
+    steals: dict[str, list[float]] = {label: [] for label in variants}
+    for label, conf in variants.items():  # per-variant codegen warm-up
         _apply(label, conf)
         one_pass()
     for rnd in range(PASSES):
-        order = list(VARIANTS.items())
+        order = list(variants.items())
         if rnd % 2:  # alternate direction so slot-in-round effects cancel
             order = order[::-1]
         for label, conf in order:
             _apply(label, conf)
-            samples[label].append(one_pass())
+            c0 = _steal()
+            t = one_pass()
+            c1 = _steal()
+            samples[label].append(t)
+            steals[label].append(
+                round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
 
     results: dict[str, dict] = {}
-    for label, s in samples.items():
-        s = sorted(s)
-        results[label] = {"median": s[len(s) // 2], "samples": s}
-        print(f"{label:24s} median={results[label]['median']:6.3f}  {s}",
-              flush=True)
+    for label in samples:
+        s = sorted(samples[label])
+        results[label] = {
+            "median": s[len(s) // 2],
+            "samples": s,
+            "steal_pct": steals[label],
+        }
+        print(f"{label:24s} median={results[label]['median']:6.3f}  {s}  "
+              f"steal={steals[label]}", flush=True)
 
     print(json.dumps(results))
 
