@@ -135,7 +135,12 @@ def main() -> None:
             run_one(i)
     with ThreadPoolExecutor(WORKERS) as ex:
         list(ex.map(run_one, range(1, 23)))
-    for _ in range(6):
+    # 10 passes: interleaved-sweep telemetry (tools/tune_ab_bcast1m.json,
+    # tune_combo_b1m.json) shows pass totals still descending through pass
+    # ~8 (5.5 -> 4.8 s at sf0.1) as C2 compiles the fresh-Dataset codegen
+    # classes; 6 warm-up passes left the measured samples ~0.4 s above the
+    # steady state a genuinely warm server serves.
+    for _ in range(10):
         for i in range(1, 23):
             reexecute(prepared[i]).collect()
 
