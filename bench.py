@@ -99,7 +99,16 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
     spark = build_session(
         app_name="bemidb-spark-bench",
-        extra_conf={"spark.scheduler.mode": "FAIR"},
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            # JVM unified logging defaults to STDOUT; a single
+            # "[warning][gc,alloc]" line there corrupts this script's
+            # one-JSON-line contract (observed at sf10: GCLocker retry
+            # warning landed in front of the JSON). Keep warnings, move
+            # them to stderr. build_session merges this with its own
+            # -XX flags.
+            "spark.driver.extraJavaOptions": "-Xlog:all=warning:stderr",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     if SMALL_CONF:
@@ -249,7 +258,12 @@ def main() -> None:
         srv.start()
         # socket timeout: a stalled wire query must fail the phase, not hang
         # the whole benchmark (ADVICE r4)
-        cli = MiniPgClient(srv.host, srv.port, timeout=120)
+        # 600 s: bounds a genuine hang (ADVICE r4) without tripping on a
+        # single heavy statement at synthetic scale — at sf10 a full wire
+        # re-execution statement runs 10-12 s clean, and a co-tenant steal
+        # burst stacked >120 s on one statement once (BENCH_sf10's first
+        # recording lost its wire_reexec number to exactly that).
+        cli = MiniPgClient(srv.host, srv.port, timeout=600)
         wire_sqls = [tpch.ORACLES[f"tpch_q{i}"] for i in range(1, 23)]
         # correctness guard: row counts must match the prepared Datasets —
         # a wrong-result regression on the wire path must not be timed as a

@@ -26,6 +26,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SFS = ["0.001", "0.01", "0.1"]
+# Extra scale points beyond the driver-provided data, e.g. the synthetic
+# key-offset replications: SPARK_GRAFT_EXTRA_SFS=".synth/sf1=1.0,.synth/sf10=10.0"
+# (dir=sf_label pairs; dirs are relative to the repo root or absolute).
+EXTRA_SFS = [
+    tuple(p.split("=", 1))
+    for p in os.environ.get("SPARK_GRAFT_EXTRA_SFS", "").split(",")
+    if "=" in p
+]
 OPS = [
     ("tpch_q1", "lineitem"),
     ("tpch_q9", "lineitem"),
@@ -47,19 +55,21 @@ def main() -> None:
 
     rows_cache: dict[tuple[str, str], int] = {}
 
-    def input_rows(sf: str, table: str) -> int:
-        key = (sf, table)
+    def input_rows(sf_dir: str, table: str) -> int:
+        key = (sf_dir, table)
         if key not in rows_cache:
             rows_cache[key] = spark.read.parquet(
-                f"/root/testdata/sf{sf}/{table}.parquet"
+                f"{sf_dir}/{table}.parquet"
             ).count()
         return rows_cache[key]
+
+    points = [(f"/root/testdata/sf{sf}", float(sf)) for sf in SFS]
+    points += [(d, float(label)) for d, label in EXTRA_SFS]
 
     out = []
     for name, table in OPS:
         fn = queries[name]
-        for sf in SFS:
-            sf_dir = f"/root/testdata/sf{sf}"
+        for sf_dir, sf in points:
             fn(spark, sf_dir).collect()  # warm: plan + codegen + JIT
             samples = []
             for _ in range(2):
@@ -67,9 +77,9 @@ def main() -> None:
                 fn(spark, sf_dir).collect()
                 samples.append(time.perf_counter() - t0)
             sec = min(samples)
-            n = input_rows(sf, table)
+            n = input_rows(sf_dir, table)
             out.append({
-                "op": name, "sf": float(sf), "sec": round(sec, 3),
+                "op": name, "sf": sf, "sec": round(sec, 3),
                 "input_rows": n, "rows_per_sec": int(n / sec) if sec else 0,
             })
 
