@@ -76,6 +76,29 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
         "spark.sql.shuffle.partitions": "4",
     },
+    # Round 4 of the sweep: stack the 1 MB winner with the other marginal
+    # round-2 wins to see whether they compose toward the 4.6 s budget.
+    "b1m": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+    },
+    "b1m_maxpart64m": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+        "spark.sql.files.maxPartitionBytes": str(64 * 1024 * 1024),
+    },
+    "b1m_norule_per": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+        "spark.sql.optimizer.excludedRules": (
+            "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation"
+        ),
+    },
+    "b1m_sp4": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+        "spark.sql.shuffle.partitions": "4",
+    },
 }
 
 BASE_SMALL = {
