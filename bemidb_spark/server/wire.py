@@ -476,9 +476,70 @@ class _Conn:
                 return sqlstate
         return None
 
+    @staticmethod
+    def _exc_condition(exc: Exception) -> str | None:
+        """Spark's structured error class (getCondition, 4.x name; falls back
+        to the deprecated getErrorClass) — unspoofable by statement text."""
+        for meth in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, meth, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 — JVM-side accessor can throw
+                cond = None
+            if cond:
+                return cond
+        return None
+
+    @staticmethod
+    def _exc_message(exc: Exception) -> str:
+        """The exception's OWN message (getMessage) when available —
+        str(exc) on captured Spark exceptions can append the statement
+        text / JVM stack, which lets a SQL literal mentioning a mapped
+        phrase spoof the classifier (r5 advice)."""
+        fn = getattr(exc, "getMessage", None)
+        if fn is not None:
+            try:
+                m = fn()
+                if m:
+                    return m
+            except Exception:  # noqa: BLE001
+                pass
+        return str(exc)
+
     @classmethod
-    def _is_cancel_exception(cls, message: str) -> bool:
-        return any(m in message for m in cls._CANCEL_MARKERS)
+    def _classify_exception(cls, exc: Exception) -> str | None:
+        """SQLSTATE for an execution failure. Order: structured error class
+        against the pg-faithful map, then the JVM's own SQLSTATE (Spark 4
+        errors carry SQL-standard states, e.g. TABLE_OR_VIEW_NOT_FOUND ->
+        42P01), then message markers — matched against the exception's own
+        message, never str(exc) (spoofable, see _exc_message)."""
+        cond = cls._exc_condition(exc)
+        if cond:
+            for marker, sqlstate in cls._SQLSTATE_MAP:
+                if marker in cond:
+                    return sqlstate
+            fn = getattr(exc, "getSqlState", None)
+            if fn is not None:
+                try:
+                    state = fn()
+                except Exception:  # noqa: BLE001
+                    state = None
+                if state:
+                    return state
+            return None  # structured-but-unknown: XX000, never message-spoofed
+        return cls._match_sqlstate(cls._exc_message(exc))
+
+    @classmethod
+    def _is_cancel_exception(cls, exc: Exception | str) -> bool:
+        if isinstance(exc, str):  # message-only callers (tests, logs)
+            return any(m in exc for m in cls._CANCEL_MARKERS)
+        cond = cls._exc_condition(exc)
+        if cond and "SPARK_JOB_CANCELLED" in cond:
+            return True
+        msg = cls._exc_message(exc)
+        return any(m in msg for m in cls._CANCEL_MARKERS)
 
     def _send_error(self, message: str, code: str = "XX000") -> None:
         if code == "XX000":
@@ -871,10 +932,12 @@ class _Conn:
         if extlen < 0 or extlen > len(data) - pos:
             raise _bad(f"invalid extension length in binary COPY: {extlen}")
         pos += extlen
+        saw_trailer = False
         while pos + 2 <= len(data):
             (nf,) = struct.unpack_from("!h", data, pos)
             pos += 2
             if nf == -1:
+                saw_trailer = True
                 break
             if nf < 0:
                 raise _bad(f"invalid tuple field count in binary COPY: {nf}")
@@ -898,6 +961,14 @@ class _Conn:
                 except Exception as exc:  # noqa: BLE001 — malformed cell bytes
                     raise _bad(f"invalid binary cell encoding: {exc}") from exc
             records.append(row)
+        # pg enforces the -1 file trailer and rejects bytes after it
+        # ("received copy data after EOF marker", 22P04); accepting a
+        # valid-prefix-plus-noise stream as a clean COPY would silently
+        # ingest a truncated/corrupted file's readable prefix (r5 advice).
+        if not saw_trailer:
+            raise _bad("unexpected EOF in binary COPY: missing file trailer")
+        if pos != len(data):
+            raise _bad("received copy data after EOF marker")
         return records
 
     def _split_statements(self, sql: str) -> list[str]:
@@ -1021,12 +1092,12 @@ class _Conn:
                 # analysis error — in the window between CancelRequest
                 # arrival and the kill landing reports its REAL error
                 # (VERDICT r4 #3).
-                genuine = getattr(exc, "sqlstate", None) or self._match_sqlstate(
-                    str(exc))
+                genuine = getattr(exc, "sqlstate", None) or \
+                    self._classify_exception(exc)
                 if genuine is None and isinstance(exc, UnsupportedQueryError):
                     genuine = "42601"  # always a real routing/syntax error
                 if self.cancel_requested and (
-                    self._is_cancel_exception(str(exc))
+                    self._is_cancel_exception(exc)
                     or genuine in (None, "57014")
                 ):
                     self.cancel_requested = False

@@ -72,9 +72,12 @@ def build_session(
         # per pass (jstack: broadcast-exchange in LongHashedRelation.apply,
         # 32 executor threads idle) and the humongous allocations drove long
         # concurrent-G1 cycles that fed back into build speed — the r4
-        # "bimodal sf1 slow mode" (25-53 s passes). At 10 MB the same suite
-        # runs 14.5-17 s flat (tools/probe_sf1_bcast10.json) with zero
-        # regression at sf0.1 (probe_sf01_bcast10.json). At cluster scale
+        # "bimodal sf1 slow mode" (25-53 s passes). At 10 MB the suite's
+        # low-steal passes run 14.3-18.8 s (tools/probe_sf1_r5final.json:
+        # all 8 passes with <=3% CPU steal; the >4%-steal passes in the same
+        # file are co-tenant interference, not engine variance — Spearman
+        # steal<->wall 0.84) with zero regression at sf0.1
+        # (probe_sf01_bcast10.json). At cluster scale
         # the same logic holds: oversized broadcasts serialize on the driver
         # and fan out to every executor; 10 MB is the battle-tested bound
         # and AQE upgrades shuffle joins to broadcast when runtime sizes

@@ -72,27 +72,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bemidb_spark.operators import tpch
 from bemidb_spark.session import apply_input_size_policy, build_session, reexecute
+from bemidb_spark.telemetry import bw_canary_sec, cpu_stat as _cpu_stat, steal_pct
 from bemidb_spark.warehouse import ensure_warehouse
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORKERS = int(os.environ.get("SPARK_GRAFT_BENCH_WORKERS", "16"))
 SMALL_CONF = os.environ.get("SPARK_GRAFT_BENCH_SMALL_CONF") == "1"
 
-
-def _cpu_stat() -> tuple[int, int]:
-    """(total_jiffies, steal_jiffies) from /proc/stat.
-
-    The box is a VM: bursty co-tenant steal is the dominant residual variance
-    source at sf1 (round-5 probes: 15% steal turned a 15 s pass into 43 s).
-    Each timed sample therefore carries its own steal%, so a slow sample is
-    attributable from the recorded JSON alone."""
-    try:
-        with open("/proc/stat") as fh:
-            f = fh.readline().split()
-        vals = [int(x) for x in f[1:9]]
-        return sum(vals), vals[7]
-    except Exception:  # noqa: BLE001 — non-Linux fallback
-        return (0, 0)
+# Every timed sample carries TWO host-condition readings (telemetry.py):
+# steal% over the sample window (co-tenant CPU theft — r5 probes: 15% steal
+# turned a 15 s sf1 pass into 43 s) and a bandwidth canary taken immediately
+# before the sample (fixed single-threaded STREAM-triad work — catches
+# neighbor memory-bandwidth pressure that steal% reads as 0%). A slow sample
+# is attributable from the recorded JSON alone, and two runs from different
+# host windows can be normalized instead of argued (VERDICT r5 #3).
 
 
 def main() -> None:
@@ -186,18 +179,19 @@ def main() -> None:
             spark._jvm.System.gc()
             time.sleep(1.0)
 
+    bw_canary_sec()  # untimed: first call pays buffer allocation
     reexec_samples = []
     reexec_steal = []
+    reexec_bw = []
     for _ in range(5):
         _drain_cleaner()
+        reexec_bw.append(bw_canary_sec())
         c0 = _cpu_stat()
         t0 = time.perf_counter()
         for i in range(1, 23):
             reexecute(prepared[i]).collect()
         reexec_samples.append(round(time.perf_counter() - t0, 4))
-        c1 = _cpu_stat()
-        reexec_steal.append(
-            round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
+        reexec_steal.append(steal_pct(c0, _cpu_stat()))
     # min hides worst-case behavior a real client would eat (VERDICT r3):
     # report the full min/median/max spread, keep `reexec_sequential_sec` =
     # median as the honest headline for this mode.
@@ -221,16 +215,16 @@ def main() -> None:
     # codegen compilation of any unit evicted since warm-up).
     cold_samples = []
     cold_steal = []
+    cold_bw = []
     for _ in range(2):
         _drain_cleaner()
+        cold_bw.append(bw_canary_sec())
         c0 = _cpu_stat()
         t0 = time.perf_counter()
         for i in range(1, 23):
             tpch.QUERIES[f"tpch_q{i}"](spark, wh).collect()
         cold_samples.append(round(time.perf_counter() - t0, 4))
-        c1 = _cpu_stat()
-        cold_steal.append(
-            round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
+        cold_steal.append(steal_pct(c0, _cpu_stat()))
     cold_sequential = min(cold_samples)
 
     # Wire-protocol pass — the reference's ACTUAL measurement protocol
@@ -244,9 +238,11 @@ def main() -> None:
     wire_sequential = None
     wire_samples: list[float] = []
     wire_steal: list[float] = []
+    wire_bw: list[float] = []
     wire_reexec_sequential = None
     wire_reexec_samples: list[float] = []
     wire_reexec_steal: list[float] = []
+    wire_reexec_bw: list[float] = []
     srv = cli = None
     try:
         from bemidb_spark.server.minipg import MiniPgClient
@@ -280,14 +276,13 @@ def main() -> None:
         for s in wire_sqls:
             cli.query(s)
         for _ in range(3):
+            wire_bw.append(bw_canary_sec())
             c0 = _cpu_stat()
             t0 = time.perf_counter()
             for s in wire_sqls:
                 cli.query(s)
             wire_samples.append(round(time.perf_counter() - t0, 4))
-            c1 = _cpu_stat()
-            wire_steal.append(
-                round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
+            wire_steal.append(steal_pct(c0, _cpu_stat()))
         wire_sorted = sorted(wire_samples)
         wire_sequential = wire_sorted[len(wire_sorted) // 2]
 
@@ -303,14 +298,13 @@ def main() -> None:
         for s in wire_sqls:  # warm the reexec path once
             cli.query(s)
         for _ in range(3):
+            wire_reexec_bw.append(bw_canary_sec())
             c0 = _cpu_stat()
             t0 = time.perf_counter()
             for s in wire_sqls:
                 cli.query(s)
             wire_reexec_samples.append(round(time.perf_counter() - t0, 4))
-            c1 = _cpu_stat()
-            wire_reexec_steal.append(
-                round(100.0 * (c1[1] - c0[1]) / max(1, c1[0] - c0[0]), 2))
+            wire_reexec_steal.append(steal_pct(c0, _cpu_stat()))
         wire_reexec_sorted = sorted(wire_reexec_samples)
         wire_reexec_sequential = wire_reexec_sorted[len(wire_reexec_sorted) // 2]
     except Exception as exc:  # noqa: BLE001 — wire phase is additive
@@ -359,6 +353,7 @@ def main() -> None:
         "reexec_sequential_sec": reexec_sequential,
         "reexec_sequential_samples": reexec_samples,
         "reexec_steal_pct": reexec_steal,
+        "reexec_bw_canary_sec": reexec_bw,
         "reexec_min_sec": reexec_min,
         "reexec_max_sec": reexec_max,
         "concurrent_sec": concurrent,
@@ -366,13 +361,16 @@ def main() -> None:
         "wire_sequential_sec": wire_sequential,
         "wire_samples": wire_samples,
         "wire_steal_pct": wire_steal,
+        "wire_bw_canary_sec": wire_bw,
         "wire_reexec_sequential_sec": wire_reexec_sequential,
         "wire_reexec_samples": wire_reexec_samples,
         "wire_reexec_steal_pct": wire_reexec_steal,
+        "wire_reexec_bw_canary_sec": wire_reexec_bw,
         "small_input_profile": small_profile,
         "cold_sequential_sec": cold_sequential,
         "cold_sequential_samples": cold_samples,
         "cold_steal_pct": cold_steal,
+        "cold_bw_canary_sec": cold_bw,
         "prepare_sec": prepare_sec,
         "ingest_sec": ingest_sec,
         "pipeline_sec": pipeline,
