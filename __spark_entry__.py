@@ -30,6 +30,7 @@ _MODULES = [
     "bemidb_spark.operators.multimodal",
     "bemidb_spark.operators.relational_ext",
     "bemidb_spark.operators.pgpath",
+    "bemidb_spark.operators.dmlpath",
     "bemidb_spark.streaming.windows",
     "bemidb_spark.streaming.stateful",
 ]
@@ -41,6 +42,12 @@ _MODULES = [
 # last driver row, then the stalest green rows. After this window every
 # registry entry has a driver CORRECTNESS row (cumulative 134/134).
 _PRIORITY = [
+    # round-6 window head: DML/write-path entries NEW this round (VERDICT r5
+    # #4 — C3/C4/C5 were pytest-only; operators/dmlpath.py applies the
+    # change-set via the pg route and SELECTs the resulting table state)
+    "dml_upsert_route",
+    "dml_update_delete_route",
+    "dml_cursor_append_route",
     # round-5 window head: entries NEW this round ship with their driver
     # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
     # (operators/pgpath.py)

@@ -1,0 +1,161 @@
+"""Driver-oracle entries for the DML/WRITE path (VERDICT r5 next-round #4).
+
+The write machinery (C2-C5: append, cursor append, bucket-pruned MERGE
+upsert, delete) was pytest-covered but had no driver CORRECTNESS rows. Each
+entry here applies a DETERMINISTIC change-set to a scratch catalog table
+built from the driver's own parquet, entirely through ``PgSession.execute``
+(INSERT / ON CONFLICT / UPDATE / DELETE -> sources/writer.py), then SELECTs
+the resulting table state. The DuckDB oracle expresses the same final state
+as pure SELECT algebra over the untouched base table (base minus deletes,
+CASE for updates, UNION ALL for inserts) — so the driver's row-count +
+schema + value-hash gate covers the mutation semantics end-to-end.
+
+Reference parity: the reference's writer applies the same
+insert/update/delete semantics when materializing incremental syncs into
+Iceberg tables (reference src/syncer-common iceberg_table_writer.go:304-452);
+its server is read-only, so routing client DML onto the writer is a
+capability extension, pinned here against pg semantics via DuckDB.
+
+Scale note: the upsert/delete entries run against a KEY-BUCKETED table, so
+the MERGE rewrites only the `_kb` partitions holding affected keys — the
+same plan shape that lets a k-row upsert touch ~k/n_buckets of a 100 TB
+table. The cursor-append entry's incremental predicate
+(``event_id > (SELECT max(event_id) FROM t)``) is the writer's cursor
+semantics expressed in SQL: a bounded scalar-subquery probe, then a
+map-only append of the new slice.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bemidb_spark.tables import register_views
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _scratch_session(spark: SparkSession, sf_dir: str):
+    """Fresh single-use catalog (tmpdir) + PgSession bound to it; the
+    driver's parquet views are (re)registered so CTAS/INSERT..SELECT can
+    read the base tables."""
+    from bemidb_spark.pgcompat.session import PgSession
+    from bemidb_spark.sources.catalog import Catalog
+
+    register_views(spark, sf_dir)
+    cat = Catalog(tempfile.mkdtemp(prefix="bemidb_dml_entry_"))
+    return cat, PgSession(spark, cat)
+
+
+# ---------------------------------------------------------------------------
+# C4: bucket-pruned MERGE upsert via INSERT .. ON CONFLICT (key) DO UPDATE.
+# Keys [500, 1000) conflict and take the EXCLUDED values; keys [1000, 1500)
+# are fresh inserts. Every bound exists at every driver SF (orders keys are
+# dense from 0), so entry and oracle agree at any sf_dir.
+# ---------------------------------------------------------------------------
+def _dml_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bemidb_spark.sources.writer import write_bucketed_table
+
+    cat, pg = _scratch_session(spark, sf_dir)
+    base = spark.table("orders").where("o_orderkey < 1000").selectExpr(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    write_bucketed_table(
+        spark, cat, "public", "ord_upsert", base, ["o_orderkey"], n_buckets=8)
+    pg.execute("""
+        INSERT INTO ord_upsert (o_orderkey, o_custkey, o_totalprice, o_orderstatus)
+        SELECT o_orderkey, o_custkey, o_totalprice + 1, o_orderstatus
+        FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+        ON CONFLICT (o_orderkey) DO UPDATE SET
+          o_totalprice = EXCLUDED.o_totalprice,
+          o_orderstatus = EXCLUDED.o_orderstatus
+    """)
+    return pg.execute(
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        "FROM ord_upsert ORDER BY o_orderkey")
+
+
+QUERIES["dml_upsert_route"] = _dml_upsert
+ORACLES["dml_upsert_route"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey < 500
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice + 1 AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# C5 + UPDATE: bucket-pruned rewrite — UPDATE one key slice, DELETE another,
+# then read the surviving state (update * 2 and the delete predicate are
+# exact in FP / integer arithmetic, so the oracle reproduces them verbatim).
+# ---------------------------------------------------------------------------
+def _dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bemidb_spark.sources.writer import write_bucketed_table
+
+    cat, pg = _scratch_session(spark, sf_dir)
+    base = spark.table("orders").where("o_orderkey < 1000").selectExpr(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    write_bucketed_table(
+        spark, cat, "public", "ord_mut", base, ["o_orderkey"], n_buckets=8)
+    pg.execute("UPDATE ord_mut SET o_orderstatus = 'U', "
+               "o_totalprice = o_totalprice * 2 WHERE o_orderkey % 10 = 3")
+    pg.execute("DELETE FROM ord_mut WHERE o_orderkey % 10 = 7")
+    return pg.execute(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice, "
+        "CAST(o_orderdate AS DATE) AS odate "
+        "FROM ord_mut ORDER BY o_orderkey")
+
+
+QUERIES["dml_update_delete_route"] = _dml_update_delete
+ORACLES["dml_update_delete_route"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN 'U' ELSE o_orderstatus END
+             AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           CAST(o_orderdate AS DATE) AS odate
+    FROM orders
+    WHERE o_orderkey < 1000 AND o_orderkey % 10 <> 7
+    ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# C3: cursor append — two incremental batches gated on the stored cursor
+# (max(event_id) of the target), then an IDEMPOTENT re-run of the second
+# batch that must insert zero rows. The final aggregate equals a plain scan
+# of the source below the last cursor iff the appends were exactly-once.
+# ---------------------------------------------------------------------------
+def _dml_cursor_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE ev_cursor AS "
+               "SELECT event_id, user_id, event_type, value "
+               "FROM events WHERE event_id < 300")
+    batch = ("INSERT INTO ev_cursor "
+             "SELECT event_id, user_id, event_type, value FROM events "
+             "WHERE event_id > (SELECT max(event_id) FROM ev_cursor) "
+             "AND event_id < {hi}")
+    pg.execute(batch.format(hi=600))
+    pg.execute(batch.format(hi=900))
+    replay = pg.execute(batch.format(hi=900))  # cursor makes replays no-ops
+    assert replay._pg_tag == "INSERT 0 0", replay._pg_tag
+    return pg.execute(
+        "SELECT event_type, count(*) AS n, "
+        "CAST(min(event_id) AS BIGINT) AS lo, "
+        "CAST(max(event_id) AS BIGINT) AS hi, "
+        "CAST(ROUND(sum(value), 4) AS DOUBLE) AS total_value "
+        "FROM ev_cursor GROUP BY event_type ORDER BY event_type")
+
+
+QUERIES["dml_cursor_append_route"] = _dml_cursor_append
+ORACLES["dml_cursor_append_route"] = """
+    SELECT event_type, count(*) AS n,
+           CAST(min(event_id) AS BIGINT) AS lo,
+           CAST(max(event_id) AS BIGINT) AS hi,
+           CAST(ROUND(sum(value), 4) AS DOUBLE) AS total_value
+    FROM events WHERE event_id < 900
+    GROUP BY event_type ORDER BY event_type
+"""
