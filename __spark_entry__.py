@@ -48,6 +48,8 @@ _PRIORITY = [
     "dml_upsert_route",
     "dml_update_delete_route",
     "dml_cursor_append_route",
+    # r6 new capability: at-ingest near-dup tagging (streaming/stateful.py)
+    "streaming_minhash_dedup",
     # round-5 window head: entries NEW this round ship with their driver
     # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
     # (operators/pgpath.py)

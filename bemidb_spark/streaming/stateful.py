@@ -94,3 +94,193 @@ ORACLES["streaming_stateful_user_profiles"] = """
     GROUP BY user_id
     ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# streaming MinHash-LSH near-dedup: cross-batch bucket ownership (r6)
+# ---------------------------------------------------------------------------
+# At-ingest near-duplicate detection — the streaming counterpart of the batch
+# dedup_minhash_lsh operator, for pipelines that must tag near-dups as
+# documents ARRIVE instead of re-sweeping the corpus. Per document: 3-word
+# shingles -> 8 minhash permutations (the same universal-hash family and
+# shingle salt as the batch operator, operators/_xengine.py) -> 4 LSH band
+# digests. The stateful operator keys on (band_no, digest): GroupState holds
+# the smallest doc_id that ever claimed the bucket, and an arriving document
+# is flagged dup on that band iff an earlier (smaller-id) document owns the
+# bucket — min-based ownership is batch-split-invariant, so the streaming
+# verdict equals the batch answer the DuckDB oracle computes.
+#
+# Scale notes: state is ONE long per distinct (band, digest) bucket — far
+# smaller than the corpus (buckets dedupe); in an unbounded run cold buckets
+# are evicted with a state TTL and re-learned (ownership then means "first
+# within the horizon", the standard at-ingest dedup contract). The signature
+# computation here is the per-row array-lambda form, NOT the batch module's
+# explode+GROUP BY MIN: chaining a minhash aggregation in front of
+# applyInPandasWithState would be two stateful operators in one streaming
+# query. The lambda re-evaluation Catalyst applies (CollapseProject) re-runs
+# the shingle->md5 pass once per permutation; with K=8 that is a bounded 8x
+# on a map-only stage — acceptable for an ingest tagger, and the batch
+# operator remains the bulk-sweep path.
+
+_MH_P = 2147483647
+_MH_K, _MH_BANDS, _MH_ROWS = 8, 4, 2
+
+_MH_OUT_SCHEMA = T.StructType([
+    T.StructField("band_no", T.IntegerType()),
+    T.StructField("digest", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("dup", T.IntegerType()),
+])
+_MH_STATE_SCHEMA = T.StructType([T.StructField("first_doc", T.LongType())])
+
+
+def _update_bucket_owner(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prior = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["doc_id"])
+    ids.sort()
+    batch_min = ids[0]
+    state.update((batch_min if prior is None else min(prior, batch_min),))
+    dup = [
+        1 if (prior is not None and prior < d) or batch_min < d else 0
+        for d in ids
+    ]
+    yield pd.DataFrame({
+        "band_no": [key[0]] * len(ids),
+        "digest": [key[1]] * len(ids),
+        "doc_id": ids,
+        "dup": dup,
+    })
+
+
+def minhash_tag_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) stream -> per-(doc, band) dup verdicts. Factored so the
+    cross-batch test (tests/test_streaming_ingest.py) can drive it with
+    maxFilesPerTrigger=1 and assert that bucket ownership persists in
+    GroupState across micro-batches — the property the single-batch oracle
+    gate cannot observe."""
+    from bemidb_spark.operators._xengine import (
+        _perm_consts,
+        hash_int,
+        shingles,
+        words,
+    )
+
+    sh = shingles("w", 3, spark=True)  # references `w` from the inner select
+    h = hash_int("s", spark=True, salt="mh")
+    docs = (
+        docs.selectExpr("doc_id", f"{words('text', spark=True)} AS w")
+        .selectExpr("doc_id", f"array_distinct({sh}) AS sh0")
+        .selectExpr("doc_id", f"transform(sh0, s -> {h}) AS hs")
+    )
+    mins = [
+        f"array_min(transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS m{j}"
+        for j, (a, b) in ((j, _perm_consts(j)) for j in range(_MH_K))
+    ]
+    digests = [
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * _MH_ROWS + r} AS STRING)" for r in range(_MH_ROWS)
+        )
+        + "))"
+        for b in range(_MH_BANDS)
+    ]
+    bands = (
+        docs.selectExpr("doc_id", *mins)
+        .selectExpr(
+            "doc_id",
+            f"posexplode(array({', '.join(digests)})) AS (band_no, digest)",
+        )
+        .select("band_no", "digest", "doc_id")
+    )
+    return bands.groupBy("band_no", "digest").applyInPandasWithState(
+        _update_bucket_owner,
+        outputStructType=_MH_OUT_SCHEMA,
+        stateStructType=_MH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def _streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    tagged = minhash_tag_stream(docs)
+    table = _run_to_memory(tagged, "stream_mh_dedup", output_mode="update")
+    # per (doc, band) the latest verdict wins (update mode may re-emit);
+    # a doc is a near-dup iff ANY band bucket is owned by an earlier doc
+    return spark.sql(f"""
+        SELECT doc_id,
+               CAST(MAX(d) AS INT) AS is_near_dup,
+               CAST(SUM(d) AS BIGINT) AS dup_bands
+        FROM (
+          SELECT doc_id, band_no, MAX(dup) AS d
+          FROM {table} GROUP BY doc_id, band_no
+        ) per_band
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """)
+
+
+def _mh_oracle() -> str:
+    from bemidb_spark.operators._xengine import (
+        hash_int,
+        minhash_min_aggs,
+        shingles,
+        words,
+    )
+
+    w = words("text", spark=False)
+    sh = shingles("w", 3, spark=False)
+    aggs = ", ".join(minhash_min_aggs(_MH_K))
+    digests = [
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"CAST(m{b * _MH_ROWS + r} AS VARCHAR)" for r in range(_MH_ROWS)
+        )
+        + "))"
+        for b in range(_MH_BANDS)
+    ]
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, list_distinct({sh}) AS sh
+      FROM (SELECT doc_id, {w} AS w FROM documents)
+    ),
+    ex AS (
+      SELECT doc_id, {hash_int("unnest(sh)", spark=False, salt="mh")} AS h
+      FROM docs
+    ),
+    mh AS (SELECT doc_id, {aggs} FROM ex GROUP BY doc_id),
+    bandrows AS (
+      SELECT doc_id, u.i - 1 AS band_no, u.d AS digest FROM
+      (SELECT doc_id, [{", ".join(digests)}] AS ds FROM mh) m,
+      LATERAL (SELECT unnest(ds) AS d, generate_subscripts(ds, 1) AS i) u
+    ),
+    own AS (
+      SELECT band_no, digest, MIN(doc_id) AS first_doc
+      FROM bandrows GROUP BY band_no, digest
+    )
+    SELECT b.doc_id,
+           CAST(MAX(CASE WHEN o.first_doc < b.doc_id THEN 1 ELSE 0 END)
+                AS INT) AS is_near_dup,
+           CAST(SUM(CASE WHEN o.first_doc < b.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_bands
+    FROM bandrows b
+    JOIN own o ON o.band_no = b.band_no AND o.digest = b.digest
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """
+
+
+QUERIES["streaming_minhash_dedup"] = _streaming_minhash_dedup
+ORACLES["streaming_minhash_dedup"] = _mh_oracle()

@@ -243,6 +243,10 @@ def main() -> None:
     wire_reexec_samples: list[float] = []
     wire_reexec_steal: list[float] = []
     wire_reexec_bw: list[float] = []
+    wire_concurrent = None
+    wire_concurrent_errors = None
+    wire_concurrent_steal = None
+    wire_concurrent_bw = None
     srv = cli = None
     try:
         from bemidb_spark.server.minipg import MiniPgClient
@@ -307,6 +311,64 @@ def main() -> None:
             wire_reexec_steal.append(steal_pct(c0, _cpu_stat()))
         wire_reexec_sorted = sorted(wire_reexec_samples)
         wire_reexec_sequential = wire_reexec_sorted[len(wire_reexec_sorted) // 2]
+
+        # Multi-client wire soak (VERDICT r5 #5): 8 FRESH connections run a
+        # mixed script concurrently against the warm server — simple-protocol
+        # TPC-H statements (2 per worker, rotating through the suite),
+        # extended protocol with a parameter + binary result, a deliberate
+        # error + recovery. The reference serves real multi-client load
+        # (reference src/server postgres_server.go:44-49); fresh connections
+        # mean each session's plan cache starts COLD, so this measures true
+        # concurrent multi-session serving (transpile + plan + execute + wire
+        # encode per session), not one resident cache hit N ways. Recorded:
+        # wall seconds for all 8 to finish + unexpected-error count (must be
+        # 0 — protocol desync or cross-session profile drift shows up here).
+        import struct as _struct
+        import threading as _threading
+
+        soak_errors: list[str] = []
+
+        def _soak_worker(wid: int) -> None:
+            conn = MiniPgClient(srv.host, srv.port, timeout=600)
+            try:
+                for s in (wire_sqls[(2 * wid) % 22], wire_sqls[(2 * wid + 1) % 22]):
+                    r = conn.query(s)
+                    if r["errors"]:
+                        soak_errors.append(f"w{wid} tpch: {r['errors']}")
+                r = conn.extended_query(
+                    "SELECT CAST($1 AS INT) AS v", [wid], result_formats=[1])
+                if r["errors"] or _struct.unpack("!i", r["rows"][0][0])[0] != wid:
+                    soak_errors.append(f"w{wid} extended: {r}")
+                r = conn.query("SELECT no_such_col FROM region")
+                if not r["errors"]:
+                    soak_errors.append(f"w{wid} expected an error")
+                r = conn.query("SELECT 1 AS ok")  # connection recovered
+                if r["errors"] or r["rows"] != [["1"]]:
+                    soak_errors.append(f"w{wid} recovery: {r}")
+            except Exception as exc:  # noqa: BLE001
+                soak_errors.append(f"w{wid} crashed: {exc!r}")
+            finally:
+                try:
+                    conn.close()
+                except Exception:  # noqa: BLE001
+                    pass
+
+        wire_concurrent_bw = bw_canary_sec()
+        c0 = _cpu_stat()
+        t0 = time.perf_counter()
+        threads = [_threading.Thread(target=_soak_worker, args=(i,))
+                   for i in range(8)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        wire_concurrent = round(time.perf_counter() - t0, 4)
+        wire_concurrent_steal = steal_pct(c0, _cpu_stat())
+        if any(th.is_alive() for th in threads):
+            soak_errors.append("soak worker hung")
+        wire_concurrent_errors = len(soak_errors)
+        if soak_errors:
+            print(f"# wire soak errors: {soak_errors[:4]}", file=sys.stderr)
     except Exception as exc:  # noqa: BLE001 — wire phase is additive
         print(f"# wire phase skipped: {exc}", file=sys.stderr)
     finally:
@@ -366,6 +428,10 @@ def main() -> None:
         "wire_reexec_samples": wire_reexec_samples,
         "wire_reexec_steal_pct": wire_reexec_steal,
         "wire_reexec_bw_canary_sec": wire_reexec_bw,
+        "wire_concurrent_sec": wire_concurrent,
+        "wire_concurrent_errors": wire_concurrent_errors,
+        "wire_concurrent_steal_pct": wire_concurrent_steal,
+        "wire_concurrent_bw_canary_sec": wire_concurrent_bw,
         "small_input_profile": small_profile,
         "cold_sequential_sec": cold_sequential,
         "cold_sequential_samples": cold_samples,

@@ -202,3 +202,57 @@ def test_late_data_drop_drops_stragglers(spark, sf_dir):
     """)
     want = {r.day: (r.n, r.total_value) for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
+    """Bucket ownership must persist in GroupState ACROSS micro-batches:
+    a near-duplicate arriving in a LATER batch is flagged against the
+    earlier batch's owner (the at-ingest contract). The oracle gate runs
+    the bounded input as one batch, so this is the only place the
+    cross-batch property is observable — maxFilesPerTrigger=1 forces one
+    micro-batch per dropped file."""
+    import pyspark.sql.functions as F
+
+    from bemidb_spark.streaming.stateful import minhash_tag_stream
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    nearly = base.replace("kappa", "kappa2")  # high-jaccard near-dup
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen")
+    inbox = str(tmp_path / "docs")
+    os.makedirs(inbox)
+    # batch 1: the original + an unrelated doc; batch 2: the near-dup +
+    # an exact dup of the unrelated doc
+    spark.createDataFrame([(10, base), (20, other)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b1")
+    spark.createDataFrame([(30, nearly), (40, other)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b2")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(inbox)
+    )
+    tagged = minhash_tag_stream(stream)
+    q = (
+        tagged.writeStream.format("memory").queryName("mh_xbatch")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.processAllAvailable()
+    n_batches = len([p for p in q.recentProgress])
+    q.stop()
+    assert n_batches >= 2, "maxFilesPerTrigger must split the input"
+
+    rows = spark.sql(
+        "SELECT doc_id, MAX(dup) AS d FROM ("
+        "  SELECT doc_id, band_no, MAX(dup) AS dup FROM mh_xbatch"
+        "  GROUP BY doc_id, band_no"
+        ") per_band GROUP BY doc_id ORDER BY doc_id"
+    ).collect()
+    verdict = {r.doc_id: r.d for r in rows}
+    # originals own their buckets; later arrivals sharing any bucket flag
+    assert verdict[10] == 0 and verdict[20] == 0, verdict
+    assert verdict[40] == 1, verdict  # exact dup across batches
+    assert verdict[30] == 1, verdict  # near-dup across batches (minhash)
