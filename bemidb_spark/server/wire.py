@@ -459,8 +459,10 @@ class _Conn:
         ("NUMERIC_VALUE_OUT_OF_RANGE", "22003"),
         ("AMBIGUOUS_REFERENCE", "42702"),
         # cancelJobGroup from a CancelRequest surfaces as a SparkException
-        # mentioning the cancelled job group; pg's code for that is 57014.
+        # mentioning the cancelled job group (message marker) or carrying
+        # the SPARK_JOB_CANCELLED error class; pg's code for both is 57014.
         ("cancelled job group", "57014"),
+        ("SPARK_JOB_CANCELLED", "57014"),
     ]
 
     # Markers that identify an exception as CAUSED BY a job-group kill (vs a

@@ -106,9 +106,16 @@ ORACLES["streaming_stateful_user_profiles"] = """
 # shingle salt as the batch operator, operators/_xengine.py) -> 4 LSH band
 # digests. The stateful operator keys on (band_no, digest): GroupState holds
 # the smallest doc_id that ever claimed the bucket, and an arriving document
-# is flagged dup on that band iff an earlier (smaller-id) document owns the
-# bucket — min-based ownership is batch-split-invariant, so the streaming
-# verdict equals the batch answer the DuckDB oracle computes.
+# is flagged dup on that band iff a smaller-id document has claimed the
+# bucket in its own batch or any earlier one. Taking the batch MIN (not
+# "first row the executor happened to see") makes the verdict independent of
+# partition/arrival nondeterminism WITHIN a batch; across batches the
+# contract is first-arrival-wins — the standard at-ingest semantics. When
+# ingest order follows doc_id (monotone ids, the usual ingest shape and the
+# oracle gate's single-batch input), the streaming verdict equals the batch
+# answer the DuckDB oracle computes; an out-of-order smaller id arriving
+# later keeps its earlier-arrived near-dups un-flagged, exactly as a real
+# at-ingest tagger must (it cannot retract an already-emitted verdict).
 #
 # Scale notes: state is ONE long per distinct (band, digest) bucket — far
 # smaller than the corpus (buckets dedupe); in an unbounded run cold buckets
