@@ -49,7 +49,9 @@ _PRIORITY = [
     "dml_update_delete_route",
     "dml_cursor_append_route",
     # r6 new capability: at-ingest near-dup tagging (streaming/stateful.py)
+    # + stream-static decontamination lookup (streaming/windows.py)
     "streaming_minhash_dedup",
+    "streaming_decontaminate",
     # round-5 window head: entries NEW this round ship with their driver
     # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
     # (operators/pgpath.py)

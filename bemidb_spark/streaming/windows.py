@@ -409,3 +409,91 @@ ORACLES["streaming_late_data_drop"] = f"""
     GROUP BY 1
     ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# stream-static join: at-ingest decontamination against an eval-set index
+# ---------------------------------------------------------------------------
+def _streaming_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the one streaming join shape the other entries
+    don't cover (stream-stream interval join exists; this is the lookup-
+    against-a-fixed-reference-table shape). Arriving training documents are
+    checked against the STATIC eval-benchmark shingle index exactly as the
+    batch ``decontaminate_eval_overlap`` operator defines it (same n-gram
+    size, eval source, and threshold — operators/curation.py), so the
+    bounded-input streaming result equals the batch oracle.
+
+    Plan at scale: the static side is the DISTINCT eval shingle set — small
+    relative to the corpus and broadcast by Spark's stream-static planning
+    (re-resolved per micro-batch, so an updated eval set is picked up
+    without restart). The stream side is map-only per batch (explode
+    distinct shingles -> broadcast hash lookup) into one update-mode
+    aggregation keyed by doc_id; in an unbounded run a doc's counter state
+    is dropped via event-time watermark once the doc's arrival window
+    closes (docs arrive once; the bounded test keeps full state so
+    streaming == batch exactly).
+    """
+    import os as _os
+
+    from bemidb_spark.operators._xengine import shingles, words
+    from bemidb_spark.operators.curation import (
+        DECON_MIN_SHARED,
+        DECON_NGRAM,
+        EVAL_SOURCE,
+    )
+
+    w = words("text", spark=True)
+    sh = shingles("w", DECON_NGRAM, spark=True)
+    path = _os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+
+    # STATIC side: distinct shingles of the held-out eval split
+    ev = (
+        spark.read.parquet(path)
+        .where(F.col("source") == EVAL_SOURCE)
+        .selectExpr(f"{w} AS w")
+        .selectExpr(f"explode(array_distinct({sh})) AS s")
+        .distinct()
+    )
+    # STREAM side: non-eval docs, one row per distinct shingle
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("source") != EVAL_SOURCE)
+        .selectExpr("doc_id", f"{w} AS w")
+        .selectExpr("doc_id", f"explode(array_distinct({sh})) AS ds")
+    )
+    hits = (
+        docs.join(ev, docs.ds == ev.s, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("s").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("shared_ngrams")
+        )
+    )
+    table = _run_to_memory(hits, "stream_decon", output_mode="update")
+    return spark.sql(f"""
+        SELECT doc_id, shared_ngrams,
+               CASE WHEN shared_ngrams >= {DECON_MIN_SHARED}
+                    THEN 1 ELSE 0 END AS contaminated
+        FROM (
+          SELECT doc_id, shared_ngrams,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY shared_ngrams DESC) AS rk
+          FROM {table}
+        ) final WHERE rk = 1
+        ORDER BY doc_id
+    """)
+
+
+QUERIES["streaming_decontaminate"] = _streaming_decontaminate
+# Batch equivalent: the decontaminate_eval_overlap definition verbatim
+# (operators/curation.py) — shared distinct n-grams with the eval split,
+# thresholded; zero-overlap docs report 0.
+from bemidb_spark.operators.curation import _decontaminate_sql as _decon_oracle  # noqa: E402
+
+ORACLES["streaming_decontaminate"] = _decon_oracle(False).replace(
+    "COALESCE(h.n_shared, 0) AS shared_ngrams",
+    "CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS shared_ngrams",
+)
