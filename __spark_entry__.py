@@ -52,6 +52,7 @@ _PRIORITY = [
     # + stream-static decontamination lookup (streaming/windows.py)
     "streaming_minhash_dedup",
     "streaming_decontaminate",
+    "streaming_embedding_dedup",
     # round-5 window head: entries NEW this round ship with their driver
     # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
     # (operators/pgpath.py)

@@ -291,3 +291,178 @@ def _mh_oracle() -> str:
 
 QUERIES["streaming_minhash_dedup"] = _streaming_minhash_dedup
 ORACLES["streaming_minhash_dedup"] = _mh_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming embedding near-dedup: hyperplane-LSH buckets + owner verification
+# ---------------------------------------------------------------------------
+# The embedding counterpart of streaming_minhash_dedup: arriving vectors are
+# bucketed by the SAME deterministic random-hyperplane LSH the batch
+# dedup_embedding_cosine operator uses (8 bands x 4 sign bits,
+# operators/dedup.py), bucket ownership lives in GroupState, and — because a
+# shared LSH bucket is only a CANDIDATE signal (16 buckets/band collide
+# heavily by design) — each candidate is VERIFIED by exact cosine against
+# its bucket owner before being called a near-dup. The verification runs
+# JVM-side after the sink with the identical sequential-fold cosine SQL the
+# DuckDB oracle uses (_xengine.cosine), so the threshold comparison is
+# bit-identical across engines; the pandas stateful op only tracks owner
+# ids (no float math in Python).
+#
+# At-ingest contract mirrors streaming_minhash_dedup: within a batch the
+# smallest vec_id owns a bucket (arrival-nondeterminism-free); across
+# batches first-arrival-wins; verdicts equal the batch oracle for
+# monotone-id ingest (the gate's single-batch input included). Scale: state
+# is one long per live (band, bucket); candidate fan-out is bounded by
+# LSH_BANDS per vector; the exact-cosine verify joins only (vector, owner)
+# pairs — never all bucket-mates.
+
+_EMB_OUT_SCHEMA = T.StructType([
+    T.StructField("band_no", T.IntegerType()),
+    T.StructField("bucket", T.IntegerType()),
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("owner", T.LongType()),
+])
+_EMB_STATE_SCHEMA = T.StructType([T.StructField("first_vec", T.LongType())])
+
+
+def _update_bucket_owner_vec(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    prior = state.get[0] if state.exists else None
+    ids: list[int] = []
+    for pdf in pdfs:
+        ids.extend(int(x) for x in pdf["vec_id"])
+    ids.sort()
+    batch_min = ids[0]
+    state.update((batch_min if prior is None else min(prior, batch_min),))
+    owner_now = batch_min if prior is None else min(prior, batch_min)
+    owners = [owner_now if owner_now < v else None for v in ids]
+    yield pd.DataFrame({
+        "band_no": [key[0]] * len(ids),
+        "bucket": [key[1]] * len(ids),
+        "vec_id": ids,
+        "owner": pd.array(owners, dtype="Int64"),
+    })
+
+
+def _streaming_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from bemidb_spark.operators.dedup import (
+        COSINE_MIN,
+        LSH_BANDS,
+        LSH_BITS_PER_BAND,
+        _hyperplane,
+    )
+    from bemidb_spark.operators._xengine import cosine, dot_fold
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)  # static `embeddings` for the verify join
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    schema = spark.read.parquet(path).schema
+    vecs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    arr = lambda v: "array(" + ",".join(  # noqa: E731
+        f"CAST({x!r} AS DOUBLE)" for x in v) + ")"
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(LSH_BITS_PER_BAND):
+            j = b * LSH_BITS_PER_BAND + r
+            d = dot_fold("embedding", arr(_hyperplane(j)), spark=True)
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        band_cols.append(" + ".join(bits) + f" AS band{b}")
+    band_arr = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+    bands = (
+        vecs.selectExpr("vec_id", *band_cols)
+        .selectExpr(
+            "vec_id",
+            f"posexplode(array({band_arr})) AS (band_no, bucket)",
+        )
+        .select("band_no", "bucket", "vec_id")
+    )
+    tagged = bands.groupBy("band_no", "bucket").applyInPandasWithState(
+        _update_bucket_owner_vec,
+        outputStructType=_EMB_OUT_SCHEMA,
+        stateStructType=_EMB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(tagged, "stream_emb_dedup", output_mode="update")
+    cos = cosine("a.embedding", "b.embedding", spark=True)
+    return spark.sql(f"""
+        SELECT s.vec_id,
+               CAST(SUM(CASE WHEN s.owner IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS cand_bands,
+               CAST(MAX(CASE WHEN s.owner IS NOT NULL
+                              AND {cos} >= {COSINE_MIN}
+                             THEN 1 ELSE 0 END) AS INT) AS is_near_dup
+        FROM (
+          SELECT band_no, bucket, vec_id, owner,
+                 ROW_NUMBER() OVER (PARTITION BY band_no, bucket, vec_id
+                                    ORDER BY owner ASC NULLS LAST) AS rk
+          FROM {table}
+        ) s
+        JOIN embeddings a ON a.vec_id = s.vec_id
+        LEFT JOIN embeddings b ON b.vec_id = s.owner
+        WHERE s.rk = 1
+        GROUP BY s.vec_id
+        ORDER BY s.vec_id
+    """)
+
+
+def _emb_oracle() -> str:
+    from bemidb_spark.operators.dedup import (
+        COSINE_MIN,
+        LSH_BANDS,
+        LSH_BITS_PER_BAND,
+        _hyperplane,
+    )
+    from bemidb_spark.operators._xengine import cosine, dot_fold
+
+    arr = lambda v: "[" + ",".join(  # noqa: E731
+        f"CAST({x!r} AS DOUBLE)" for x in v) + "]"
+    band_cols = []
+    for b in range(LSH_BANDS):
+        bits = []
+        for r in range(LSH_BITS_PER_BAND):
+            j = b * LSH_BITS_PER_BAND + r
+            d = dot_fold("embedding", arr(_hyperplane(j)), spark=False)
+            bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        band_cols.append(" + ".join(bits) + f" AS band{b}")
+    band_arr = ", ".join(f"band{b}" for b in range(LSH_BANDS))
+    cos = cosine("a.embedding", "b.embedding", spark=False)
+    return f"""
+    WITH sigs AS (
+      SELECT vec_id, {", ".join(band_cols)} FROM embeddings
+    ),
+    bandrows AS (
+      SELECT vec_id, u.i - 1 AS band_no, u.b AS bucket FROM
+      (SELECT vec_id, [{band_arr}] AS bs FROM sigs) m,
+      LATERAL (SELECT unnest(bs) AS b, generate_subscripts(bs, 1) AS i) u
+    ),
+    own AS (
+      SELECT band_no, bucket, MIN(vec_id) AS first_vec
+      FROM bandrows GROUP BY band_no, bucket
+    )
+    SELECT v.vec_id,
+           CAST(SUM(CASE WHEN o.first_vec < v.vec_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS cand_bands,
+           CAST(MAX(CASE WHEN o.first_vec < v.vec_id
+                          AND {cos} >= {COSINE_MIN}
+                         THEN 1 ELSE 0 END) AS INT) AS is_near_dup
+    FROM bandrows v
+    JOIN own o ON o.band_no = v.band_no AND o.bucket = v.bucket
+    JOIN embeddings a ON a.vec_id = v.vec_id
+    LEFT JOIN embeddings b ON b.vec_id =
+        CASE WHEN o.first_vec < v.vec_id THEN o.first_vec ELSE NULL END
+    GROUP BY v.vec_id
+    ORDER BY v.vec_id
+    """
+
+
+QUERIES["streaming_embedding_dedup"] = _streaming_embedding_dedup
+ORACLES["streaming_embedding_dedup"] = _emb_oracle()
