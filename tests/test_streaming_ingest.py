@@ -256,3 +256,59 @@ def test_streaming_minhash_dedup_cross_batch_state(spark, tmp_path):
     assert verdict[10] == 0 and verdict[20] == 0, verdict
     assert verdict[40] == 1, verdict  # exact dup across batches
     assert verdict[30] == 1, verdict  # near-dup across batches (minhash)
+
+
+def test_bucket_owner_update_fns_unit():
+    """Pure-pandas unit coverage of the GroupState transition functions:
+    ownership = min(prior, batch ids); within a batch the smallest id owns
+    (no arrival nondeterminism); owners are never self-flagged; the
+    embedding variant emits the effective owner id (or NULL for the owner
+    itself) for the downstream exact-cosine verify join."""
+    import pandas as pd
+
+    from bemidb_spark.streaming.stateful import (
+        _update_bucket_owner,
+        _update_bucket_owner_vec,
+    )
+
+    class FakeState:
+        def __init__(self, val=None):
+            self._v = val
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # batch 1, fresh bucket: 7 owns, 9 is dup-of-7
+    st = FakeState()
+    [out] = _update_bucket_owner(
+        (0, "d"), iter([pd.DataFrame({"doc_id": [9, 7]})]), st)
+    assert list(out.doc_id) == [7, 9] and list(out.dup) == [0, 1]
+    assert st.get == (7,)
+    # batch 2, smaller id arrives late: flagged against nothing (contract:
+    # verdicts are not retracted), but state min still updates
+    [out] = _update_bucket_owner(
+        (0, "d"), iter([pd.DataFrame({"doc_id": [3]})]), st)
+    assert list(out.dup) == [0] and st.get == (3,)
+    # batch 3: anything larger is now a dup of 3
+    [out] = _update_bucket_owner(
+        (0, "d"), iter([pd.DataFrame({"doc_id": [5]})]), st)
+    assert list(out.dup) == [1]
+
+    # embedding variant: emits owner ids for the verify join
+    st = FakeState()
+    [out] = _update_bucket_owner_vec(
+        (1, 4), iter([pd.DataFrame({"vec_id": [12, 10]})]), st)
+    assert list(out.vec_id) == [10, 12]
+    assert out.owner.isna().tolist() == [True, False]
+    assert out.owner.dropna().tolist() == [10]
+    [out] = _update_bucket_owner_vec(
+        (1, 4), iter([pd.DataFrame({"vec_id": [11]})]), st)
+    assert out.owner.tolist() == [10] and st.get == (10,)
