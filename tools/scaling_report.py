@@ -42,6 +42,11 @@ OPS = [
     ("unigram_logprob_score", "documents"),
     ("dedup_dup_clusters", "documents"),
     ("ann_ivf_topk", "embeddings"),
+    # r6: the at-ingest streaming taggers (stateful shuffle + verify join);
+    # dominated by fixed streaming-query setup at small SF — rows/sec must
+    # RISE with input if the per-row path is linear
+    ("streaming_minhash_dedup", "documents"),
+    ("streaming_embedding_dedup", "embeddings"),
 ]
 
 
