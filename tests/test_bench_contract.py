@@ -1,0 +1,62 @@
+"""bench.py driver contract: stdout is EXACTLY one parseable JSON line.
+
+The driver records bench.py's stdout as BENCH_r{N}.json — any stray print,
+JVM log line, or progress bar on stdout corrupts the round's performance
+artifact (it happened once at sf10: a GC warning landed in front of the
+JSON; bench now routes JVM unified logging to stderr). This test runs the
+real script end-to-end at sf0.001 in a subprocess and pins:
+
+- exactly one stdout line, valid JSON;
+- every field the driver and the judge read, including the r6 additions
+  (per-phase steal% + bandwidth canary, wire soak with error count);
+- the wire soak finished with zero unexpected errors.
+
+~2 min of runtime buys regression-proofing for the artifact every round's
+grading depends on.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_bench_stdout_is_one_json_line_with_contract_fields():
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got {lines[:5]}"
+    d = json.loads(lines[0])
+
+    assert d["metric"] == "tpch_22q_total" and d["unit"] == "sec"
+    assert d["sf"] == 0.001
+    assert set(d["queries"]) == {f"q{i}" for i in range(1, 23)}
+    for field in (
+        "sequential_sec", "sequential_samples",
+        "reexec_sequential_sec", "reexec_sequential_samples",
+        "reexec_steal_pct", "reexec_bw_canary_sec",
+        "reexec_min_sec", "reexec_max_sec",
+        "concurrent_sec",
+        "wire_sequential_sec", "wire_steal_pct", "wire_bw_canary_sec",
+        "wire_reexec_sequential_sec", "wire_reexec_steal_pct",
+        "wire_reexec_bw_canary_sec",
+        "wire_concurrent_sec", "wire_concurrent_errors",
+        "wire_concurrent_steal_pct", "wire_concurrent_bw_canary_sec",
+        "cold_sequential_sec", "cold_steal_pct", "cold_bw_canary_sec",
+        "prepare_sec", "ingest_sec", "pipeline_sec", "small_input_profile",
+    ):
+        assert field in d, f"missing contract field {field}"
+    # every timed phase carries one host-condition reading per sample
+    assert len(d["reexec_steal_pct"]) == len(d["reexec_sequential_samples"])
+    assert len(d["reexec_bw_canary_sec"]) == len(d["reexec_sequential_samples"])
+    # the multi-client soak must have completed cleanly
+    assert d["wire_concurrent_errors"] == 0
+    assert d["wire_concurrent_sec"] is not None and d["wire_concurrent_sec"] > 0
