@@ -512,10 +512,14 @@ def test_grouping_constructs_match_duckdb(pg, duck, sf_dir, pred, gclause, hmin)
     # super-aggregate row per () set where Spark emits none; the session
     # layer's lazy UNION compensation (pgcompat/grouping_comp.py) closes
     # that for these analyzable shapes.
+    # SUM(key) + 1 is the r6 compound-agg-over-grouping-key shape: the
+    # compensation arm must keep the aggregate's ARGUMENT verbatim (a
+    # sum(NULL) substitution types double and widens every row's bigint).
     sql = (
         "SELECT n_regionkey, n_nationkey % 3 AS k3, "
         "GROUPING(n_regionkey) AS g1, GROUPING(n_nationkey % 3) AS g2, "
-        "COUNT(*) AS c, SUM(n_nationkey) AS s "
+        "COUNT(*) AS c, SUM(n_nationkey) AS s, "
+        "SUM(n_regionkey) + 1 AS splus "
         f"FROM nation WHERE {pred} GROUP BY {gclause} "
         f"HAVING COUNT(*) >= {hmin} "
         "ORDER BY g1, g2, n_regionkey NULLS FIRST, k3 NULLS FIRST"
