@@ -48,6 +48,8 @@ _PRIORITY = [
     "dml_upsert_route",
     "dml_update_delete_route",
     "dml_cursor_append_route",
+    "dml_matview_refresh_route",
+    "dml_vacuum_compact_route",
     # r6 new capability: at-ingest near-dup tagging (streaming/stateful.py)
     # + stream-static decontamination lookup (streaming/windows.py)
     "streaming_minhash_dedup",

@@ -159,3 +159,68 @@ ORACLES["dml_cursor_append_route"] = """
     FROM events WHERE event_id < 900
     GROUP BY event_type ORDER BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# C6: materialized view lifecycle — CREATE ... AS, stale-read, REFRESH.
+# The matview pins its contents at creation; after base-table DML it serves
+# the STALE aggregate until REFRESH MATERIALIZED VIEW recomputes it (pg
+# semantics; reference syncs matviews the same way its tables sync). The
+# final SELECT reads the refreshed matview, so the oracle is the aggregate
+# over the post-DML state — stale-then-fresh is what the driver hash pins.
+# ---------------------------------------------------------------------------
+def _dml_matview_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE mv_base AS "
+               "SELECT o_orderkey, o_orderpriority, o_totalprice "
+               "FROM orders WHERE o_orderkey < 800")
+    pg.execute("CREATE MATERIALIZED VIEW mv_prio AS "
+               "SELECT o_orderpriority, count(*) AS n "
+               "FROM mv_base GROUP BY o_orderpriority")
+    pg.execute("INSERT INTO mv_base "
+               "SELECT o_orderkey, o_orderpriority, o_totalprice "
+               "FROM orders WHERE o_orderkey >= 800 AND o_orderkey < 1000")
+    # pg semantics: the matview serves its CREATE-time contents until
+    # refreshed — the 200 inserted rows must not be visible yet
+    stale_total = pg.execute(
+        "SELECT CAST(sum(n) AS BIGINT) AS t FROM mv_prio").collect()[0].t
+    assert stale_total == 800, f"matview not stale-pinned: {stale_total}"
+    pg.execute("REFRESH MATERIALIZED VIEW mv_prio")
+    return pg.execute(
+        "SELECT o_orderpriority, n FROM mv_prio ORDER BY o_orderpriority")
+
+
+QUERIES["dml_matview_refresh_route"] = _dml_matview_refresh
+ORACLES["dml_matview_refresh_route"] = """
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Maintenance path: DELETE -> VACUUM (snapshot GC) -> VACUUM FULL
+# (compaction rewrite). Compaction must be data-invariant: the final SELECT
+# over the compacted table equals the post-DELETE state (reference compacts
+# via its last-small-file rewrite, iceberg_table_writer.go; ours rewrites to
+# right-sized files under the same catalog pointer-swap commit).
+# ---------------------------------------------------------------------------
+def _dml_vacuum_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE vac_t AS "
+               "SELECT o_orderkey, o_orderstatus, o_totalprice "
+               "FROM orders WHERE o_orderkey < 1200")
+    pg.execute("DELETE FROM vac_t WHERE o_orderkey % 3 = 1")
+    pg.execute("VACUUM vac_t")        # drops superseded snapshots
+    pg.execute("VACUUM FULL vac_t")   # compacts to right-sized files
+    return pg.execute(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice "
+        "FROM vac_t ORDER BY o_orderkey")
+
+
+QUERIES["dml_vacuum_compact_route"] = _dml_vacuum_compact
+ORACLES["dml_vacuum_compact_route"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey < 1200 AND o_orderkey % 3 <> 1
+    ORDER BY o_orderkey
+"""
