@@ -163,12 +163,15 @@ def _update_bucket_owner(
     })
 
 
-def minhash_tag_stream(docs: DataFrame) -> DataFrame:
+def minhash_tag_stream(docs: DataFrame, output_mode: str = "update") -> DataFrame:
     """(doc_id, text) stream -> per-(doc, band) dup verdicts. Factored so the
     cross-batch test (tests/test_streaming_ingest.py) can drive it with
     maxFilesPerTrigger=1 and assert that bucket ownership persists in
     GroupState across micro-batches — the property the single-batch oracle
-    gate cannot observe."""
+    gate cannot observe. ``output_mode`` is the stateful OPERATOR's mode:
+    verdicts are emitted once and never retracted, so "append" is equally
+    valid and lets the tagger write to fault-tolerant file sinks with a
+    checkpoint (the restart-continuity test uses exactly that)."""
     from bemidb_spark.operators._xengine import (
         _perm_consts,
         hash_int,
@@ -207,7 +210,7 @@ def minhash_tag_stream(docs: DataFrame) -> DataFrame:
         _update_bucket_owner,
         outputStructType=_MH_OUT_SCHEMA,
         stateStructType=_MH_STATE_SCHEMA,
-        outputMode="update",
+        outputMode=output_mode,
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
 

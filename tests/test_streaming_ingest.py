@@ -312,3 +312,52 @@ def test_bucket_owner_update_fns_unit():
     [out] = _update_bucket_owner_vec(
         (1, 4), iter([pd.DataFrame({"vec_id": [11]})]), st)
     assert out.owner.tolist() == [10] and st.get == (10,)
+
+
+def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
+    """Restart continuity: bucket-ownership GroupState must be RESTORED from
+    the checkpoint state store when the tagger restarts — run 2 never sees
+    run 1's documents, yet a near-dup arriving after the restart is flagged
+    against run 1's owner. Also proves the file source's exactly-once file
+    tracking: run 2 processes only the newly dropped file. Uses the
+    operator's append output mode into a parquet sink (the fault-tolerant
+    production shape; memory-sink runs elsewhere are test plumbing)."""
+    from bemidb_spark.streaming.stateful import minhash_tag_stream
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    nearly = base.replace("iota", "iota9")
+    inbox = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+    spark.createDataFrame([(10, base)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b1")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(inbox)
+        )
+        q = (
+            minhash_tag_stream(stream, output_mode="append")
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()  # run 1: doc 10 claims its buckets
+    spark.createDataFrame([(30, nearly)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b2")
+    run_once()  # run 2: restored state must flag doc 30 against doc 10
+
+    rows = spark.read.parquet(out).groupBy("doc_id").agg(
+        {"dup": "max"}).withColumnRenamed("max(dup)", "d").collect()
+    verdict = {r.doc_id: r.d for r in rows}
+    assert verdict == {10: 0, 30: 1}, verdict
+    # exactly-once: doc 10's band rows were not re-emitted by run 2
+    n10 = spark.read.parquet(out).where("doc_id = 10").count()
+    assert n10 == 4, n10  # one row per band, from run 1 only
