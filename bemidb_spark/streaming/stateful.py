@@ -141,29 +141,53 @@ _MH_OUT_SCHEMA = T.StructType([
 _MH_STATE_SCHEMA = T.StructType([T.StructField("first_doc", T.LongType())])
 
 
-def _update_bucket_owner(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    prior = state.get[0] if state.exists else None
-    ids: list[int] = []
-    for pdf in pdfs:
-        ids.extend(int(x) for x in pdf["doc_id"])
-    ids.sort()
-    batch_min = ids[0]
-    state.update((batch_min if prior is None else min(prior, batch_min),))
-    dup = [
-        1 if (prior is not None and prior < d) or batch_min < d else 0
-        for d in ids
-    ]
-    yield pd.DataFrame({
-        "band_no": [key[0]] * len(ids),
-        "digest": [key[1]] * len(ids),
-        "doc_id": ids,
-        "dup": dup,
-    })
+def _bucket_owner_fn(ttl_ms: int | None = None):
+    """Build the GroupState transition fn, optionally with a processing-time
+    TTL: a bucket whose group receives no data for ``ttl_ms`` is invoked
+    with ``hasTimedOut`` at the end of the next batch and REMOVES itself —
+    the unbounded-run state bound. Ownership is then re-learned on the next
+    arrival ("first within the horizon", the at-ingest dedup contract).
+    Note Spark's timeout semantics: a group WITH data in a batch never
+    fires its timer — eviction happens only across batches of other keys,
+    which is exactly the cold-bucket case the TTL exists for."""
+
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        prior = state.get[0] if state.exists else None
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids.sort()
+        batch_min = ids[0]
+        state.update((batch_min if prior is None else min(prior, batch_min),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        dup = [
+            1 if (prior is not None and prior < d) or batch_min < d else 0
+            for d in ids
+        ]
+        yield pd.DataFrame({
+            "band_no": [key[0]] * len(ids),
+            "digest": [key[1]] * len(ids),
+            "doc_id": ids,
+            "dup": dup,
+        })
+
+    return _fn
 
 
-def minhash_tag_stream(docs: DataFrame, output_mode: str = "update") -> DataFrame:
+_update_bucket_owner = _bucket_owner_fn()  # no-TTL default (bounded tests)
+
+
+def minhash_tag_stream(
+    docs: DataFrame,
+    output_mode: str = "update",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
     """(doc_id, text) stream -> per-(doc, band) dup verdicts. Factored so the
     cross-batch test (tests/test_streaming_ingest.py) can drive it with
     maxFilesPerTrigger=1 and assert that bucket ownership persists in
@@ -171,7 +195,15 @@ def minhash_tag_stream(docs: DataFrame, output_mode: str = "update") -> DataFram
     gate cannot observe. ``output_mode`` is the stateful OPERATOR's mode:
     verdicts are emitted once and never retracted, so "append" is equally
     valid and lets the tagger write to fault-tolerant file sinks with a
-    checkpoint (the restart-continuity test uses exactly that)."""
+    checkpoint (the restart-continuity test uses exactly that).
+    ``state_ttl_ms`` bounds unbounded-run state: cold buckets evict via
+    processing-time timeout and ownership is re-learned on the next arrival
+    (tests pin both the eviction and the re-learning). Operational note:
+    with a TTL, drive the query with Trigger.Once or a periodic processing
+    trigger — Trigger.AvailableNow never terminates under processing-time
+    timers (it keeps scheduling "cleaning up state" batches against future
+    timers; observed live, and the reason the bounded oracle entry runs
+    WITHOUT a TTL)."""
     from bemidb_spark.operators._xengine import (
         _perm_consts,
         hash_int,
@@ -207,11 +239,14 @@ def minhash_tag_stream(docs: DataFrame, output_mode: str = "update") -> DataFram
         .select("band_no", "digest", "doc_id")
     )
     return bands.groupBy("band_no", "digest").applyInPandasWithState(
-        _update_bucket_owner,
+        _bucket_owner_fn(state_ttl_ms) if state_ttl_ms else _update_bucket_owner,
         outputStructType=_MH_OUT_SCHEMA,
         stateStructType=_MH_STATE_SCHEMA,
         outputMode=output_mode,
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_ttl_ms else GroupStateTimeout.NoTimeout
+        ),
     )
 
 

@@ -361,3 +361,98 @@ def test_streaming_minhash_dedup_state_survives_restart(spark, tmp_path):
     # exactly-once: doc 10's band rows were not re-emitted by run 2
     n10 = spark.read.parquet(out).where("doc_id = 10").count()
     assert n10 == 4, n10  # one row per band, from run 1 only
+
+
+def test_bucket_owner_ttl_fn_unit():
+    """TTL variant: a timed-out invocation removes the state and emits
+    nothing; live invocations arm the processing-time timer."""
+    import pandas as pd
+
+    from bemidb_spark.streaming.stateful import _bucket_owner_fn
+
+    class FakeState:
+        def __init__(self, val=None, timed_out=False):
+            self._v, self.hasTimedOut = val, timed_out
+            self.removed, self.timeout_set = False, None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = _bucket_owner_fn(ttl_ms=500)
+    st = FakeState()
+    [out] = fn((0, "d"), iter([pd.DataFrame({"doc_id": [5]})]), st)
+    assert list(out.dup) == [0] and st.get == (5,) and st.timeout_set == 500
+    # timeout invocation: state removed, nothing emitted
+    st.hasTimedOut = True
+    assert list(fn((0, "d"), iter([]), st)) == [] and st.removed
+
+
+def test_streaming_minhash_dedup_ttl_evicts_and_relearns(spark, tmp_path):
+    """Live TTL semantics across checkpointed runs: run 1's bucket owner
+    expires while run 2 (unrelated docs) triggers the timeout sweep, so a
+    near-dup arriving in run 3 is NOT flagged — ownership was evicted and
+    re-learned ("first within the horizon", the unbounded-run state bound).
+    Contrast test_streaming_minhash_dedup_state_survives_restart, where the
+    no-TTL tagger flags the same arrival."""
+    import time
+
+    from bemidb_spark.streaming.stateful import minhash_tag_stream
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    nearly = base.replace("zeta", "zeta7")
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    inbox = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inbox)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("recursiveFileLookup", "true")
+            .parquet(inbox)
+        )
+        # Trigger.Once, NOT AvailableNow: with processing-time timers an
+        # AvailableNow query never terminates — it loops "no new data but
+        # cleaning up state" batches waiting on future timers (observed
+        # live; a documented arbitrary-stateful limitation). Each Once
+        # batch processes the new file AND fires timers already due.
+        q = (
+            minhash_tag_stream(stream, output_mode="append", state_ttl_ms=500)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(once=True).start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    spark.createDataFrame([(10, base)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b1")
+    run_once()              # doc 10 claims its buckets, timers armed
+    time.sleep(1.0)         # let the 500 ms TTL lapse
+    spark.createDataFrame([(20, other)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b2")
+    run_once()              # unrelated batch -> timeout sweep evicts 10's buckets
+    spark.createDataFrame([(30, nearly)], "doc_id bigint, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(inbox + "/b3")
+    run_once()              # near-dup of 10 arrives AFTER eviction
+
+    rows = spark.read.parquet(out).groupBy("doc_id").agg(
+        {"dup": "max"}).withColumnRenamed("max(dup)", "d").collect()
+    verdict = {r.doc_id: r.d for r in rows}
+    assert verdict == {10: 0, 20: 0, 30: 0}, verdict  # 30 re-learned, not flagged
