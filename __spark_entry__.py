@@ -55,6 +55,11 @@ _PRIORITY = [
     "streaming_minhash_dedup",
     "streaming_decontaminate",
     "streaming_embedding_dedup",
+    # r6: four more transpiler rewrite families pinned through the route
+    "pg_distinct_on_route",
+    "pg_similar_to_route",
+    "pg_array_ops_route",
+    "pg_series_join_route",
     # round-5 window head: entries NEW this round ship with their driver
     # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
     # (operators/pgpath.py)

@@ -186,3 +186,88 @@ _WIN_ROUTE = """
     ORDER BY rnk, n_name
 """
 _register_pg("pg_window_route", _WIN_ROUTE, _WIN_ROUTE)
+
+# ---------------------------------------------------------------------------
+# Round-6 widening: four more rewrite families pinned end-to-end through the
+# route (r5 pinned eight). Reference remapper families per SURVEY §2.B2/B8.
+# ---------------------------------------------------------------------------
+
+# DISTINCT ON (pg-only syntax) -> row_number window rewrite (transpiler.py
+# _rewrite_distinct_on; handled at statement top level, the form pg clients
+# send): latest order per customer among the first 200 keys.
+_register_pg(
+    "pg_distinct_on_route",
+    """
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+    FROM orders WHERE o_custkey < 200
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC
+    """,
+    """
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderdate, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_custkey < 200
+    ) t WHERE rn = 1 ORDER BY o_custkey
+    """,
+)
+
+# SIMILAR TO (pg dialect: SQL wildcards % / _ MIXED with regex alternation)
+# -> RLIKE with pattern conversion (transpiler.py _rewrite_similar_to).
+# DuckDB's SIMILAR TO is plain RE2 with NO % wildcard (non-pg-conformant),
+# so the oracle spells the equivalent anchored regexes instead.
+_register_pg(
+    "pg_similar_to_route",
+    """
+    SELECT n_name, count(*) AS n
+    FROM nation
+    WHERE n_name SIMILAR TO 'NATION_(1|2)%' AND n_name NOT SIMILAR TO '%9'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    """
+    SELECT n_name, count(*) AS n
+    FROM nation
+    WHERE n_name SIMILAR TO 'NATION_(1|2).*' AND n_name NOT SIMILAR TO '.*9'
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+
+# Array operators && (overlap) / @> (contains) on collected per-region
+# nation-key arrays (transpiler.py _rewrite_array_ops; DuckDB natively).
+_register_pg(
+    "pg_array_ops_route",
+    """
+    SELECT a.r AS region_a, b.r AS region_b,
+           (a.ks) && (b.ks2) AS overlaps,
+           (a.ks) @> (b.ks2) AS contains
+    FROM (SELECT n_regionkey AS r, array_agg(n_nationkey % 7) AS ks
+          FROM nation GROUP BY n_regionkey) a
+    JOIN (SELECT n_regionkey AS r, array_agg(n_nationkey % 3) AS ks2
+          FROM nation GROUP BY n_regionkey) b ON b.r >= a.r
+    ORDER BY region_a, region_b
+    """,
+    """
+    SELECT a.r AS region_a, b.r AS region_b,
+           EXISTS (SELECT 1 FROM unnest(a.ks) AS u(x)
+                   WHERE list_contains(b.ks2, x)) AS overlaps,
+           NOT EXISTS (SELECT 1 FROM unnest(b.ks2) AS u(x)
+                       WHERE NOT list_contains(a.ks, x)) AS contains
+    FROM (SELECT n_regionkey AS r, list_sort(array_agg(n_nationkey % 7)) AS ks
+          FROM nation GROUP BY n_regionkey) a
+    JOIN (SELECT n_regionkey AS r, list_sort(array_agg(n_nationkey % 3)) AS ks2
+          FROM nation GROUP BY n_regionkey) b ON b.r >= a.r
+    ORDER BY region_a, region_b
+    """,
+)
+
+# generate_series SRF in FROM position joined against real data
+# (transpiler.py SRF rewrite; DuckDB runs the SRF natively).
+_SERIES_SQL = """
+    SELECT g.bucket, count(o.o_orderkey) AS n
+    FROM generate_series(0, 4) AS g(bucket)
+    LEFT JOIN orders o ON o.o_orderkey % 5 = g.bucket AND o.o_orderkey < 500
+    GROUP BY g.bucket ORDER BY g.bucket
+"""
+_register_pg("pg_series_join_route", _SERIES_SQL, _SERIES_SQL)

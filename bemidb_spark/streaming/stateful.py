@@ -352,7 +352,10 @@ ORACLES["streaming_minhash_dedup"] = _mh_oracle()
 # monotone-id ingest (the gate's single-batch input included). Scale: state
 # is one long per live (band, bucket); candidate fan-out is bounded by
 # LSH_BANDS per vector; the exact-cosine verify joins only (vector, owner)
-# pairs — never all bucket-mates.
+# pairs — never all bucket-mates. For unbounded runs, bound state the same
+# way the minhash tagger does (_bucket_owner_fn's processing-time TTL +
+# Trigger.Once/periodic triggers — see minhash_tag_stream's operational
+# note; the pattern transfers verbatim to this key space).
 
 _EMB_OUT_SCHEMA = T.StructType([
     T.StructField("band_no", T.IntegerType()),
