@@ -42,6 +42,18 @@ _MODULES = [
 # last driver row, then the stalest green rows. After this window every
 # registry entry has a driver CORRECTNESS row (cumulative 134/134).
 _PRIORITY = [
+    # r6 second wave: streaming heavy hitters (space-saving sketch in
+    # GroupState, streaming/stateful.py) + seven more transpiler rewrite
+    # families pinned through the pg route, incl. the 1-based
+    # array-subscript fix (pgpath.py)
+    "streaming_heavy_hitters",
+    "pg_array_slice_route",
+    "pg_regex_ops_route",
+    "pg_epoch_extract_route",
+    "pg_to_char_route",
+    "pg_fetch_first_route",
+    "pg_substring_pos_route",
+    "pg_tsearch_route",
     # round-6 window head: DML/write-path entries NEW this round (VERDICT r5
     # #4 — C3/C4/C5 were pytest-only; operators/dmlpath.py applies the
     # change-set via the pg route and SELECTs the resulting table state)

@@ -271,3 +271,129 @@ _SERIES_SQL = """
     GROUP BY g.bucket ORDER BY g.bucket
 """
 _register_pg("pg_series_join_route", _SERIES_SQL, _SERIES_SQL)
+
+# ---------------------------------------------------------------------------
+# Round-6 second wave: seven more rewrite families pinned end-to-end.
+# ---------------------------------------------------------------------------
+
+# POSIX regex operators ~ / !~ -> RLIKE (transpiler.py _rewrite_regex_ops;
+# pg ~ is a PARTIAL match, matching Spark RLIKE and DuckDB regexp_matches).
+_register_pg(
+    "pg_regex_ops_route",
+    """
+    SELECT n_name, count(*) AS n
+    FROM nation
+    WHERE n_name ~ '_1[0-9]$' AND n_name !~ '3$'
+    GROUP BY n_name ORDER BY n_name
+    """,
+    """
+    SELECT n_name, count(*) AS n
+    FROM nation
+    WHERE regexp_matches(n_name, '_1[0-9]$') AND NOT regexp_matches(n_name, '3$')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+
+# EXTRACT(EPOCH FROM x) / date_part('epoch', x) -> timestamp->double cast
+# (transpiler.py _rewrite_epoch_extract; Spark EXTRACT has no EPOCH field).
+# DuckDB evaluates the pg-ism natively; dates resolve at UTC midnight both
+# sides (the session pins spark.sql.session.timeZone=UTC).
+_EPOCH_SQL = """
+    SELECT o_orderpriority,
+           CAST(min(extract(epoch FROM o_orderdate)) AS BIGINT) AS min_epoch,
+           CAST(max(date_part('epoch', o_orderdate)) AS BIGINT) AS max_epoch,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+_register_pg("pg_epoch_extract_route", _EPOCH_SQL, _EPOCH_SQL)
+
+# to_char(date, 'YYYY-MM…') -> date_format with pg->Java pattern translation
+# (transpiler.py _to_char_java_pattern); DuckDB has no to_char, the oracle
+# spells the same rendering with strftime.
+_register_pg(
+    "pg_to_char_route",
+    """
+    SELECT to_char(o_orderdate, 'YYYY-MM') AS ym,
+           to_char(min(o_orderdate), 'DD Mon YYYY') AS first_day,
+           count(*) AS n
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY to_char(o_orderdate, 'YYYY-MM') ORDER BY ym
+    """,
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           strftime(min(o_orderdate), '%d %b %Y') AS first_day,
+           count(*) AS n
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1 ORDER BY ym
+    """,
+)
+
+# pg 1-based array subscripts and slices (transpiler.py _rewrite_array_slice
+# / _rewrite_array_index — Spark's bare [i] is 0-based, an off-by-one for
+# every pg client; fixed r6). DuckDB subscripts/slices are 1-based like pg.
+_register_pg(
+    "pg_array_slice_route",
+    """
+    SELECT n_nationkey,
+           to_json((ARRAY[n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 3])[2:3]) AS mid,
+           (string_to_array(n_name, '_'))[1] AS prefix,
+           (string_to_array(n_name, '_'))[2] AS tail
+    FROM nation ORDER BY n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           to_json(([n_nationkey, n_nationkey + 1, n_nationkey + 2, n_nationkey + 3])[2:3]) AS mid,
+           (string_to_array(n_name, '_'))[1] AS prefix,
+           (string_to_array(n_name, '_'))[2] AS tail
+    FROM nation ORDER BY n_nationkey
+    """,
+)
+
+# ANSI OFFSET … FETCH FIRST … ROWS ONLY (transpiler.py _rewrite_fetch_first);
+# both engines accept the ANSI form natively.
+_FETCH_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer ORDER BY c_acctbal DESC, c_custkey
+    OFFSET 5 ROWS FETCH FIRST 10 ROWS ONLY
+"""
+_register_pg("pg_fetch_first_route", _FETCH_SQL, _FETCH_SQL)
+
+# SQL-standard string primitives pg clients lean on: substring FROM/FOR,
+# position IN, split_part, left/right (remapped or native both sides).
+_SUBSTR_SQL = """
+    SELECT p_partkey,
+           substring(p_type FROM 1 FOR 5) AS ty5,
+           CAST(position('ED' IN p_type) AS INT) AS pos_ed,
+           split_part(p_type, ' ', 2) AS ty_mid,
+           left(p_name, 4) AS nm_l,
+           right(p_name, 3) AS nm_r
+    FROM part WHERE p_partkey <= 40 ORDER BY p_partkey
+"""
+_register_pg("pg_substring_pos_route", _SUBSTR_SQL, _SUBSTR_SQL)
+
+# Full-text search emulation: to_tsvector(...) @@ to_tsquery('a & (b|c) & !d')
+# -> boolean over the lowercased word array (transpiler.py _rewrite_tsearch;
+# no stemming — documented emulation limit). DuckDB has no FTS offline; the
+# oracle spells the same word-array predicate with list functions.
+_register_pg(
+    "pg_tsearch_route",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE to_tsvector('simple', text) @@ to_tsquery('vector & (hash | merge) & !quantumfoo')
+    ORDER BY doc_id LIMIT 40
+    """,
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         w -> w != '') AS words
+      FROM documents
+    )
+    WHERE list_contains(words, 'vector')
+      AND (list_contains(words, 'hash') OR list_contains(words, 'merge'))
+      AND NOT list_contains(words, 'quantumfoo')
+    ORDER BY doc_id LIMIT 40
+    """,
+)

@@ -1307,6 +1307,29 @@ def _rewrite_tablesample(sql: str) -> str:
     )
 
 
+def _primary_before(sql: str, end: int) -> int:
+    """Start index of the primary expression ending just before ``end``:
+    an identifier chain, or a balanced ``(...)`` optionally preceded by a
+    function-name identifier chain (``split(x, '_')``)."""
+    i = end - 1
+    while i >= 0 and sql[i].isspace():
+        i -= 1
+    if i >= 0 and sql[i] == ")":
+        depth = 0
+        while i >= 0:
+            depth += {"(": -1, ")": 1}.get(sql[i], 0)
+            i -= 1
+            if depth == 0:
+                break
+        # include a function name directly before the parens
+        while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+            i -= 1
+        return i + 1
+    while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+        i -= 1
+    return i + 1
+
+
 def _rewrite_array_slice(sql: str) -> str:
     """pg 1-based inclusive array slices ``expr[lo:hi]`` → Spark
     ``slice(expr, lo, hi-lo+1)`` (literal bounds — the form clients write).
@@ -1317,27 +1340,59 @@ def _rewrite_array_slice(sql: str) -> str:
         if not m:
             return sql
         lo, hi = int(m.group(1)), int(m.group(2))
-        end = m.start()
-        i = end - 1
-        while i >= 0 and sql[i].isspace():
-            i -= 1
-        if i >= 0 and sql[i] == ")":
-            depth = 0
-            while i >= 0:
-                depth += {"(": -1, ")": 1}.get(sql[i], 0)
-                i -= 1
-                if depth == 0:
-                    break
-            start = i + 1
-        else:
-            while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
-                i -= 1
-            start = i + 1
-        expr = sql[start:end].rstrip()
+        start = _primary_before(sql, m.start())
+        expr = sql[start:m.start()].rstrip()
         if not expr:  # stray bracket (shouldn't happen): leave untouched
             return sql
         sql = (sql[:start] + f"slice({expr}, {lo}, {hi - lo + 1})"
                + sql[m.end():])
+
+
+def _rewrite_array_index(sql: str) -> str:
+    """pg 1-based array subscripts ``expr[i]`` → ``try_element_at(expr, i)``
+    (Spark's bare ``expr[i]`` is 0-based — silently off-by-one for every pg
+    client). Runs after ARRAY[...] literals became array(...) and after
+    slices were rewritten, so any surviving bracket is a subscript. pg
+    returns NULL for out-of-range/zero/negative subscripts; try_element_at
+    NULLs out-of-range, and non-positive indexes are redirected past the
+    end (Spark would throw on 0 / count from the back on negatives).
+    Reference parity: the engine under the reference subscripts 1-based
+    (SURVEY §2.A array ops); driver entry pg_array_slice_route pins this.
+    Quote-aware: earlier rewrites emit raw string literals (e.g. the
+    jsonb_agg FILTER path's concat('[', …, ']')) whose brackets must not be
+    treated as subscripts."""
+
+    def _find_subscript(s: str) -> tuple[int, int] | None:
+        in_q = False
+        opens: list[int] = []
+        for i, c in enumerate(s):
+            if c == "'":
+                in_q = not in_q
+            elif not in_q:
+                if c == "[":
+                    opens.append(i)
+                elif c == "]" and opens:
+                    return opens.pop(), i
+        return None
+
+    while True:
+        pos = _find_subscript(sql)
+        if not pos:
+            return sql
+        b, e = pos
+        idx = sql[b + 1:e].strip()
+        if not idx or ":" in idx:
+            return sql
+        start = _primary_before(sql, b)
+        expr = sql[start:b].rstrip()
+        if not expr or expr.upper() == "ARRAY":
+            return sql
+        if re.fullmatch(r"\d+", idx) and int(idx) >= 1:
+            at = idx
+        else:
+            at = (f"CASE WHEN ({idx}) >= 1 THEN ({idx}) "
+                  f"ELSE cardinality({expr}) + 1 END")
+        sql = (sql[:start] + f"try_element_at({expr}, {at})" + sql[e + 1:])
 
 
 def _ts_query_to_bool(query: str, arr: str) -> str:
@@ -1634,6 +1689,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_tablesample(shielded)
     shielded = _rewrite_fetch_first(shielded)
     shielded = _rewrite_array_slice(shielded)
+    shielded = _rewrite_array_index(shielded)
     shielded = _rewrite_window_filter(shielded)
     shielded = _rewrite_tsearch(shielded, literals)
     shielded = _rewrite_epoch_extract(shielded, literals)

@@ -507,3 +507,135 @@ def _emb_oracle() -> str:
 
 QUERIES["streaming_embedding_dedup"] = _streaming_embedding_dedup
 ORACLES["streaming_embedding_dedup"] = _emb_oracle()
+
+
+# ---------------------------------------------------------------------------
+# streaming heavy hitters: space-saving sketch in GroupState (r6)
+# ---------------------------------------------------------------------------
+# Top-k keys over an unbounded stream with BOUNDED state — the classic
+# space-saving summary (Metwally, Agrawal, El Abbadi, ICDT 2005). The stream
+# is hash-split into _HH_GROUPS partition-groups (pmod(user_id, G)); each
+# group's GroupState holds at most _HH_CAPACITY (key, count, err) counters.
+# A key not in a full summary evicts the minimum counter and inherits its
+# count (+batch count) with err = the evicted count — the standard
+# overestimate bound (true_count <= count, count - err <= true_count).
+# Because each key hashes to exactly one group, the final merge is a plain
+# union of G bounded summaries -> ORDER BY count -> LIMIT k; no counter for
+# the same key ever lives in two groups, so no cross-group combination rule
+# is needed (the reason to salt by KEY hash, not round-robin).
+#
+# Exactness contract: while a group has seen <= capacity distinct keys the
+# summary is EXACT (err 0 for every counter) — the driver entry runs with
+# G*C comfortably above the gate corpus's distinct-user count and asserts
+# err = 0 through the oracle. At 100 TB the same operator is the approximate
+# path: state is G*C counters total regardless of stream length; accuracy
+# degrades gracefully (any key with true count > N/C is guaranteed present —
+# the space-saving guarantee). Within a batch, per-key counts are summed
+# vectorized (pandas groupby) and merged in (count DESC, key ASC) order so
+# eviction choices — and therefore the summary — are independent of row
+# arrival order inside the batch; across batches the summary depends only on
+# batch boundaries, which the single-batch gate input fixes.
+
+_HH_GROUPS = 8
+_HH_CAPACITY = 32
+
+_HH_OUT_SCHEMA = T.StructType([
+    T.StructField("grp", T.IntegerType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("err", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+])
+_HH_STATE_SCHEMA = T.StructType([
+    T.StructField("keys", T.ArrayType(T.LongType())),
+    T.StructField("counts", T.ArrayType(T.LongType())),
+    T.StructField("errs", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def _update_space_saving(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        keys, counts, errs, n_seen = state.get
+        summary = {k: [c, e] for k, c, e in zip(keys, counts, errs)}
+    else:
+        summary, n_seen = {}, 0
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        batch = pdf.groupby("user_id").size()
+        # deterministic merge order: heaviest first, then smallest key
+        for uid, c in sorted(
+            batch.items(), key=lambda kv: (-kv[1], kv[0])
+        ):
+            uid, c = int(uid), int(c)
+            if uid in summary:
+                summary[uid][0] += c
+            elif len(summary) < _HH_CAPACITY:
+                summary[uid] = [c, 0]
+            else:
+                # evict the min counter (tie: largest key, so the survivor
+                # set is arrival-order independent); inherit its count
+                evict, (mc, _me) = min(
+                    summary.items(), key=lambda kv: (kv[1][0], -kv[0])
+                )
+                del summary[evict]
+                summary[uid] = [mc + c, mc]
+    ks = sorted(summary)
+    state.update((
+        [int(k) for k in ks],
+        [int(summary[k][0]) for k in ks],
+        [int(summary[k][1]) for k in ks],
+        int(n_seen),
+    ))
+    yield pd.DataFrame({
+        "grp": [key[0]] * len(ks),
+        "user_id": ks,
+        "cnt": [summary[k][0] for k in ks],
+        "err": [summary[k][1] for k in ks],
+        "n_seen": [n_seen] * len(ks),
+    })
+
+
+def _streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir).select(
+        F.pmod(F.col("user_id"), F.lit(_HH_GROUPS)).cast("int").alias("grp"),
+        "user_id",
+    )
+    summaries = ev.groupBy("grp").applyInPandasWithState(
+        _update_space_saving,
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(summaries, "stream_heavy_hitters",
+                           output_mode="update")
+    # update mode re-emits a group's whole summary every batch; the live one
+    # is the LATEST snapshot per group (highest n_seen — rows only, so a key
+    # evicted in a later batch does not resurrect from an older snapshot).
+    # Union of the G final summaries -> global top 10, count-desc with key
+    # tie-break.
+    return spark.sql(f"""
+        SELECT DISTINCT user_id, cnt AS n_events, err
+        FROM (
+          SELECT grp, user_id, cnt, err, n_seen,
+                 MAX(n_seen) OVER (PARTITION BY grp) AS live_seen
+          FROM {table}
+        ) s WHERE n_seen = live_seen
+        ORDER BY n_events DESC, user_id
+        LIMIT 10
+    """)
+
+
+QUERIES["streaming_heavy_hitters"] = _streaming_heavy_hitters
+# Gate-scale exactness: G*C = 256 counters >= distinct users, so the sketch
+# IS the exact count and every err is 0 — the oracle pins both.
+ORACLES["streaming_heavy_hitters"] = """
+    SELECT user_id, COUNT(*) AS n_events, CAST(0 AS BIGINT) AS err
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 10
+"""

@@ -83,9 +83,26 @@ def one(pg, sql):
     # transpiler rewrites to \' (ADVICE r3)
     ("SELECT E'it''s'", "SELECT 'it\\'s' AS `?column?`"),
     ("SELECT E'a\\nb''c'", "SELECT 'a\\nb\\'c' AS `?column?`"),
+    # pg array subscripts are 1-based (Spark's bare [i] is 0-based) — r6
+    ("SELECT (arr)[1] FROM t", "SELECT try_element_at((arr), 1) FROM t"),
+    ("SELECT arr[2][1] FROM t",
+     "SELECT try_element_at(try_element_at(arr, 2), 1) FROM t"),
+    ("SELECT arr[i] FROM t",
+     "SELECT try_element_at(arr, CASE WHEN (i) >= 1 THEN (i) "
+     "ELSE cardinality(arr) + 1 END) FROM t"),
 ])
 def test_transpile(src, expected):
     assert transpile(src) == expected
+
+
+def test_array_index_skips_emitted_bracket_literals():
+    """The jsonb_agg FILTER path emits concat('[', …, ']') — raw bracket
+    literals the subscript rewrite must not treat as an index (r6)."""
+    out = transpile(
+        "SELECT jsonb_agg(props -> 'k') FILTER (WHERE user_id > 0) FROM events"
+    )
+    assert "concat('[', concat_ws(" in out
+    assert "try_element_at" not in out
 
 
 # -- PG functions (reference query_handler_test.go "PG functions") -----------

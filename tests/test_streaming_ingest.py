@@ -456,3 +456,78 @@ def test_streaming_minhash_dedup_ttl_evicts_and_relearns(spark, tmp_path):
         {"dup": "max"}).withColumnRenamed("max(dup)", "d").collect()
     verdict = {r.doc_id: r.d for r in rows}
     assert verdict == {10: 0, 20: 0, 30: 0}, verdict  # 30 re-learned, not flagged
+
+
+def test_space_saving_update_fn_unit():
+    """Space-saving transition function: exact under capacity, increments
+    existing counters, eviction inherits min count with err = evicted count,
+    merge order (count DESC, key ASC) is arrival-order independent."""
+    import pandas as pd
+
+    import bemidb_spark.streaming.stateful as st_mod
+    from bemidb_spark.streaming.stateful import _update_space_saving
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # force tiny capacity for the eviction path
+    orig = st_mod._HH_CAPACITY
+    st_mod._HH_CAPACITY = 2
+    try:
+        st = FakeState()
+        # batch 1: two keys fit exactly; counts exact, err 0
+        [out] = _update_space_saving(
+            (0,), iter([pd.DataFrame({"user_id": [7, 7, 9]})]), st)
+        assert dict(zip(out.user_id, out.cnt)) == {7: 2, 9: 1}
+        assert list(out.err) == [0, 0] and list(out.n_seen) == [3, 3]
+        # batch 2: existing key increments without eviction
+        [out] = _update_space_saving(
+            (0,), iter([pd.DataFrame({"user_id": [9, 9]})]), st)
+        assert dict(zip(out.user_id, out.cnt)) == {7: 2, 9: 3}
+        # batch 3: new key evicts the min counter (7: count 2), inherits it
+        [out] = _update_space_saving(
+            (0,), iter([pd.DataFrame({"user_id": [5]})]), st)
+        got = {u: (c, e) for u, c, e in zip(out.user_id, out.cnt, out.err)}
+        assert got == {9: (3, 0), 5: (3, 2)}   # 5 overestimated, err bound 2
+        assert list(out.n_seen) == [6, 6]
+
+        # arrival-order independence within a batch: same multiset, two orders
+        a, b = FakeState(), FakeState()
+        [oa] = _update_space_saving(
+            (0,), iter([pd.DataFrame({"user_id": [1, 2, 2, 3]})]), a)
+        [ob] = _update_space_saving(
+            (0,), iter([pd.DataFrame({"user_id": [3, 2, 1, 2]})]), b)
+        assert a.get == b.get
+        assert oa.to_dict("records") == ob.to_dict("records")
+    finally:
+        st_mod._HH_CAPACITY = orig
+
+
+def test_streaming_heavy_hitters_matches_batch(spark):
+    """End-to-end at sf0.001: the sketch at full capacity equals the exact
+    batch top-10 (the same contract the driver oracle pins at sf0.01)."""
+    from conftest import SF_DIR
+
+    from bemidb_spark.streaming.stateful import _streaming_heavy_hitters
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    got = _streaming_heavy_hitters(spark, SF_DIR).collect()
+    exact = spark.sql("""
+        SELECT user_id, COUNT(*) AS n_events, CAST(0 AS BIGINT) AS err
+        FROM events GROUP BY user_id
+        ORDER BY n_events DESC, user_id LIMIT 10
+    """).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exact]
