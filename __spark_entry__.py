@@ -47,6 +47,7 @@ _PRIORITY = [
     # families pinned through the pg route, incl. the 1-based
     # array-subscript fix (pgpath.py)
     "streaming_heavy_hitters",
+    "dml_incremental_matview_route",
     "pg_array_slice_route",
     "pg_regex_ops_route",
     "pg_epoch_extract_route",

@@ -224,3 +224,63 @@ ORACLES["dml_vacuum_compact_route"] = """
     FROM orders WHERE o_orderkey < 1200 AND o_orderkey % 3 <> 1
     ORDER BY o_orderkey
 """
+
+
+# ---------------------------------------------------------------------------
+# C6 extension (r6, beyond-reference): INCREMENTAL matview maintenance.
+# The matview is built over a 700-key snapshot of orders, then two appends
+# arrive; each refresh merges ONLY the delta's partial aggregates into the
+# bucketed matview (sources/matview.py refresh_incremental_matview) — the
+# returned delta counts and the empty-delta no-op are asserted in-entry, and
+# the final contents must equal DuckDB's full aggregate over the complete
+# range. Money is summed as integral cents so the incremental fold is
+# byte-exact (float sums are non-associative by design; documented).
+# ---------------------------------------------------------------------------
+def _dml_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.sources.matview import (
+        create_incremental_matview,
+        read_materialized_view,
+        refresh_incremental_matview,
+    )
+
+    cat, _pg = _scratch_session(spark, sf_dir)
+    base = spark.table("orders").selectExpr(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+
+    def snap(hi: int):
+        return base.where(F.col("o_orderkey") < hi)
+
+    aggs = {
+        "n": ("count", "*"),
+        "cents": ("sum", "CAST(round(o_totalprice * 100) AS BIGINT)"),
+        "first_key": ("min", "o_orderkey"),
+        "last_key": ("max", "o_orderkey"),
+    }
+    create_incremental_matview(
+        spark, cat, "ord_inc", snap(700), ["o_orderpriority"], aggs,
+        cursor_col="o_orderkey")
+    n1 = refresh_incremental_matview(spark, cat, "ord_inc", snap(900))
+    assert n1 == 200, f"first delta processed {n1} rows, expected 200"
+    n2 = refresh_incremental_matview(spark, cat, "ord_inc", snap(900))
+    assert n2 == 0, f"empty delta must be a no-op, processed {n2}"
+    n3 = refresh_incremental_matview(spark, cat, "ord_inc", snap(1000))
+    assert n3 == 100, f"second delta processed {n3} rows, expected 100"
+    return read_materialized_view(spark, cat, "ord_inc").selectExpr(
+        "o_orderpriority", "n", "CAST(cents AS BIGINT) AS cents",
+        "first_key", "last_key",
+    ).orderBy("o_orderpriority")
+
+
+QUERIES["dml_incremental_matview_route"] = _dml_incremental_matview
+ORACLES["dml_incremental_matview_route"] = """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+           min(o_orderkey) AS first_key,
+           max(o_orderkey) AS last_key
+    FROM orders WHERE o_orderkey < 1000
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

@@ -332,3 +332,63 @@ def test_parquet_footers_carry_iceberg_field_ids(spark, catalog):
             for i in range(len(sch.names))
         }
         assert got == want
+
+
+def test_incremental_matview_delta_merge(spark, catalog, sf_dir):
+    """Incremental refresh must equal a full recompute after each append-only
+    delta, process only the delta (returned row count), no-op on an empty
+    delta, and leave untouched buckets' files byte-identical (the merge is
+    bucket-pruned like any upsert)."""
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    base_all = spark.table("orders").selectExpr(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    aggs = {
+        "n": ("count", "*"),
+        "total": ("sum", "o_totalprice"),
+        "first_key": ("min", "o_orderkey"),
+        "last_key": ("max", "o_orderkey"),
+    }
+
+    def snapshot(hi):
+        return base_all.where(F.col("o_orderkey") < hi)
+
+    matview.create_incremental_matview(
+        spark, catalog, "mv_inc", snapshot(500),
+        ["o_orderpriority"], aggs, cursor_col="o_orderkey")
+
+    def _norm(rows):
+        # float SUM is non-associative: the incremental total differs from a
+        # full recompute in the last bits, by design — compare at 4 decimals
+        return {(r[0], r[1], round(r[2], 4), r[3], r[4]) for r in rows}
+
+    def expect(hi):
+        return _norm(snapshot(hi).groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        ).collect())
+
+    def got():
+        return _norm(matview.read_materialized_view(
+            spark, catalog, "mv_inc"
+        ).select("o_orderpriority", "n", "total", "first_key", "last_key")
+         .collect())
+
+    assert got() == expect(500)
+    # first delta: rows [500, 800)
+    n = matview.refresh_incremental_matview(spark, catalog, "mv_inc", snapshot(800))
+    assert n == 300
+    assert got() == expect(800)
+    # empty delta: no-op, nothing rewritten
+    before = _file_digests(catalog.location(matview.MATVIEW_SCHEMA, "mv_inc"))
+    assert matview.refresh_incremental_matview(
+        spark, catalog, "mv_inc", snapshot(800)) == 0
+    assert _file_digests(
+        catalog.location(matview.MATVIEW_SCHEMA, "mv_inc")) == before
+    # second delta stacks on the first
+    assert matview.refresh_incremental_matview(
+        spark, catalog, "mv_inc", snapshot(1000)) == 200
+    assert got() == expect(1000)
