@@ -48,6 +48,7 @@ _PRIORITY = [
     # array-subscript fix (pgpath.py)
     "streaming_heavy_hitters",
     "dml_incremental_matview_route",
+    "text_nb_quality_classifier",
     "pg_array_slice_route",
     "pg_regex_ops_route",
     "pg_epoch_extract_route",

@@ -464,3 +464,83 @@ def _novelty_sql(spark: bool) -> str:
 
 
 _register("text_novelty_ratio", _novelty_sql(True), _novelty_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier: naive Bayes log-odds over word counts (r6)
+# ---------------------------------------------------------------------------
+# The CCNet/DCLM-style quality gate: train a word-level classifier on a
+# TRUSTED subset vs an UNTRUSTED subset, then score the whole corpus with
+# smoothed log-odds — the trained counterpart of the heuristic `text_quality`
+# battery (CCNet trains fastText wiki-vs-crawl; a unigram naive Bayes is the
+# same decision rule with independence assumptions made explicit). Splits
+# here are source-based (src0-4 = trusted, src15-19 = untrusted), mirroring
+# how real pipelines label by provenance.
+#
+# Determinism: every ln() input is an exact integer (add-1 smoothed count,
+# class totals + vocabulary size), so ln is correctly-rounded libm on an
+# identical double in both engines; each term is quantized to integer
+# micro-nats (FLOOR * 1e6, the same rule as unigram_logprob_score / BM25)
+# and per-document scores are INTEGER sums of those — bit-identical
+# regardless of fold order. OOV words take the smoothing-only odds.
+#
+# Scale shape: token explode is map-only; per-class word counts are one
+# map-side-combinable shuffle on the word; the odds table is vocab-sized
+# (broadcastable); scoring is a broadcast join + one integer-sum shuffle on
+# doc_id. No driver materialization anywhere.
+NB_POS_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+NB_NEG_SOURCES = ["src15", "src16", "src17", "src18", "src19"]
+
+
+def _nb_classifier_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    if spark:
+        toks = (f"SELECT doc_id, source, w FROM "
+                f"(SELECT doc_id, source, {w} AS ws FROM documents) "
+                f"LATERAL VIEW explode(ws) t AS w")
+    else:
+        toks = (f"SELECT doc_id, source, unnest({w}) AS w "
+                f"FROM documents")
+    unat = lambda x: f"CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"  # noqa: E731
+    pos = _in_list(NB_POS_SOURCES)
+    neg = _in_list(NB_NEG_SOURCES)
+    return f"""
+    WITH toks AS ({toks}),
+    counts AS (
+      SELECT w,
+             CAST(SUM(CASE WHEN source IN {pos} THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+             CAST(SUM(CASE WHEN source IN {neg} THEN 1 ELSE 0 END) AS BIGINT) AS c_neg
+      FROM toks WHERE source IN {pos} OR source IN {neg}
+      GROUP BY w
+    ),
+    stats AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c_neg) AS BIGINT) AS n_neg,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM counts
+    ),
+    odds AS (
+      SELECT w,
+             {unat("c.c_pos + 1")} - {unat("s.n_pos + s.v")}
+           - {unat("c.c_neg + 1")} + {unat("s.n_neg + s.v")} AS q
+      FROM counts c CROSS JOIN stats s
+    ),
+    oov AS (
+      SELECT {unat("s.n_neg + s.v")} - {unat("s.n_pos + s.v")} AS q_oov
+      FROM stats s
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_toks,
+           CAST(SUM(COALESCE(o.q, ov.q_oov)) AS BIGINT) AS score_unats,
+           CASE WHEN CAST(SUM(COALESCE(o.q, ov.q_oov)) AS BIGINT) > 0
+                THEN 1 ELSE 0 END AS pred_trusted
+    FROM toks t
+    LEFT JOIN odds o ON o.w = t.w
+    CROSS JOIN oov ov
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """
+
+
+_register("text_nb_quality_classifier",
+          _nb_classifier_sql(True), _nb_classifier_sql(False))

@@ -411,3 +411,28 @@ def test_contamination_span_flags_planted_eval_copies(spark, sf_dir_med):
     assert flagged, "planted eval near-copies should carry contiguous spans"
     for d in flagged:
         assert counts[d].shared_ngrams > 0
+
+
+def test_nb_quality_classifier_separates_train_sources(spark, sf_dir):
+    """The naive-Bayes log-odds must be higher on the trusted training
+    sources than the untrusted ones (it trained on them), scores must be
+    integral micro-nats, and every document must be scored."""
+    import __spark_entry__ as entry_mod
+
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = entry_mod.queries()["text_nb_quality_classifier"](spark, sf_dir)
+    df.createOrReplaceTempView("nb_scores")
+    n_docs = spark.table("documents").count()
+    assert spark.table("nb_scores").count() == n_docs
+
+    from bemidb_spark.operators.text import NB_NEG_SOURCES, NB_POS_SOURCES
+    pos = ", ".join(f"'{s}'" for s in NB_POS_SOURCES)
+    neg = ", ".join(f"'{s}'" for s in NB_NEG_SOURCES)
+    row = spark.sql(f"""
+        SELECT avg(CASE WHEN d.source IN ({pos}) THEN s.score_unats END) AS m_pos,
+               avg(CASE WHEN d.source IN ({neg}) THEN s.score_unats END) AS m_neg
+        FROM nb_scores s JOIN documents d ON d.doc_id = s.doc_id
+    """).collect()[0]
+    assert row.m_pos > row.m_neg, (row.m_pos, row.m_neg)

@@ -47,6 +47,9 @@ SCAN_BOUNDS = {
     "mm_frame_dedup": 1,  # one scan -> mapInPandas -> one agg shuffle
     # one scan per power iteration (exchange reuse covers v1's two refs)
     "embedding_top_component": 2,
+    # token explode feeds train counts + scoring; exchange reuse folds the
+    # counts/stats/odds subtree, leaving the two token scans (r6)
+    "text_nb_quality_classifier": 3,
 }
 
 
