@@ -47,6 +47,7 @@ _PRIORITY = [
     # families pinned through the pg route, incl. the 1-based
     # array-subscript fix (pgpath.py)
     "streaming_heavy_hitters",
+    "streaming_kmv_distinct",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -629,6 +629,121 @@ def _streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ---------------------------------------------------------------------------
+# streaming distinct-count sketch: k-minimum-values in GroupState (r6)
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT …) over an unbounded stream with bounded state — the KMV
+# sketch (Bar-Yossef et al., RANDOM 2002): per key, keep the k smallest
+# DISTINCT 32-bit hashes of the counted values. With fewer than k distinct
+# values the sketch IS the exact count; past k the estimator
+# (k-1) * 2^32 / h_(k) is a deterministic function of the input SET —
+# unlike a sampled or timing-dependent sketch, the same inputs give the
+# same estimate in ANY arrival order, so the DuckDB oracle reproduces the
+# APPROXIMATE value bit-for-bit (same md5-derived hash, same k smallest,
+# same one-division estimator). Hashing runs JVM-side before the stateful
+# operator (the md5/conv expression from operators/_xengine.hash_int);
+# the pandas fn only merges sorted sets.
+#
+# State: at most _KMV_K longs per key, no matter how many distinct values
+# the stream carries. The gate corpus has ~150 distinct users per event
+# type vs k=64, so the driver entry exercises the ESTIMATION path, not just
+# the exact-under-k path.
+
+_KMV_K = 64
+
+_KMV_OUT_SCHEMA = T.StructType([
+    T.StructField("event_type", T.StringType()),
+    T.StructField("n_kept", T.IntegerType()),
+    T.StructField("kth_hash", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+])
+_KMV_STATE_SCHEMA = T.StructType([
+    T.StructField("hashes", T.ArrayType(T.LongType())),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def _update_kmv(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    hashes, n_seen = state.get if state.exists else ([], 0)
+    kept = set(hashes)
+    for pdf in pdfs:
+        n_seen += len(pdf)
+        kept.update(int(h) for h in pdf["hv"].unique())
+    smallest = sorted(kept)[:_KMV_K]
+    state.update(([int(h) for h in smallest], int(n_seen)))
+    yield pd.DataFrame({
+        "event_type": [key[0]],
+        "n_kept": [len(smallest)],
+        "kth_hash": [smallest[-1] if smallest else None],
+        "n_seen": [n_seen],
+    })
+
+
+def _streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bemidb_spark.operators._xengine import hash_int
+
+    ev = _events_stream(spark, sf_dir).selectExpr(
+        "event_type",
+        hash_int("CAST(user_id AS STRING)", spark=True, salt="kmv") + " AS hv",
+    )
+    sketches = ev.groupBy("event_type").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(sketches, "stream_kmv", output_mode="update")
+    # latest snapshot per key; estimator in one deterministic double division
+    return spark.sql(f"""
+        SELECT event_type,
+               n_kept,
+               kth_hash,
+               CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS BIGINT)
+                    ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE)
+                              * CAST(4294967296 AS DOUBLE) / kth_hash)
+                         AS BIGINT) END AS est_distinct
+        FROM (
+          SELECT event_type, n_kept, kth_hash, n_seen,
+                 MAX(n_seen) OVER (PARTITION BY event_type) AS live_seen
+          FROM {table}
+        ) s WHERE n_seen = live_seen
+        ORDER BY event_type
+    """)
+
+
+def _kmv_oracle() -> str:
+    from bemidb_spark.operators._xengine import hash_int
+
+    hv = hash_int("CAST(user_id AS VARCHAR)", spark=False, salt="kmv")
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {hv} AS hv FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS INT) AS n_kept,
+           MAX(hv) AS kth_hash,
+           CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS BIGINT)
+                ELSE CAST(FLOOR(CAST({_KMV_K - 1} AS DOUBLE)
+                          * CAST(4294967296 AS DOUBLE) / MAX(hv))
+                     AS BIGINT) END AS est_distinct
+    FROM ranked WHERE rn <= {_KMV_K}
+    GROUP BY event_type
+    ORDER BY event_type
+    """
+
+
+QUERIES["streaming_kmv_distinct"] = _streaming_kmv_distinct
+ORACLES["streaming_kmv_distinct"] = _kmv_oracle()
+
+
 QUERIES["streaming_heavy_hitters"] = _streaming_heavy_hitters
 # Gate-scale exactness: G*C = 256 counters >= distinct users, so the sketch
 # IS the exact count and every err is 0 — the oracle pins both.

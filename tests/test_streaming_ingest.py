@@ -531,3 +531,72 @@ def test_streaming_heavy_hitters_matches_batch(spark):
         ORDER BY n_events DESC, user_id LIMIT 10
     """).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exact]
+
+
+def test_kmv_update_fn_unit():
+    """KMV transition: dedups across batches, caps at k smallest, and the
+    final sketch is independent of how the same values are batched."""
+    import pandas as pd
+
+    import bemidb_spark.streaming.stateful as st_mod
+    from bemidb_spark.streaming.stateful import _update_kmv
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    orig = st_mod._KMV_K
+    st_mod._KMV_K = 4
+    try:
+        st = FakeState()
+        [out] = _update_kmv(
+            ("a",), iter([pd.DataFrame({"hv": [50, 10, 50, 30]})]), st)
+        assert st.get == ([10, 30, 50], 4)
+        assert out.n_kept.iloc[0] == 3 and out.kth_hash.iloc[0] == 50
+        # second batch: dedup vs state, cap at k=4 smallest
+        [out] = _update_kmv(
+            ("a",), iter([pd.DataFrame({"hv": [20, 10, 99, 5]})]), st)
+        assert st.get == ([5, 10, 20, 30], 8)
+        assert out.kth_hash.iloc[0] == 30
+
+        # batching independence: one batch vs two batches, same value set
+        one, two = FakeState(), FakeState()
+        vals = [50, 10, 30, 20, 99, 5]
+        [a] = _update_kmv(("a",), iter([pd.DataFrame({"hv": vals})]), one)
+        [_] = _update_kmv(("a",), iter([pd.DataFrame({"hv": vals[:3]})]), two)
+        [b] = _update_kmv(("a",), iter([pd.DataFrame({"hv": vals[3:]})]), two)
+        assert one.get[0] == two.get[0]
+        assert a.kth_hash.iloc[0] == b.kth_hash.iloc[0]
+    finally:
+        st_mod._KMV_K = orig
+
+
+def test_streaming_kmv_estimate_accuracy(spark):
+    """At sf0.001 each event type sees ~150 distinct users (> k=64), so the
+    entry exercises the estimation path; KMV with k=64 has ~1/sqrt(62) ≈ 13%
+    relative std — assert every estimate lands within 40% of truth."""
+    from conftest import SF_DIR
+
+    from bemidb_spark.streaming.stateful import _streaming_kmv_distinct
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, SF_DIR)
+    est = {r.event_type: r.est_distinct
+           for r in _streaming_kmv_distinct(spark, SF_DIR).collect()}
+    true = {r.event_type: r.n for r in spark.sql(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS n "
+        "FROM events GROUP BY event_type").collect()}
+    assert set(est) == set(true)
+    for et, n in true.items():
+        assert abs(est[et] - n) <= 0.4 * n, (et, est[et], n)
