@@ -48,6 +48,8 @@ _PRIORITY = [
     # array-subscript fix (pgpath.py)
     "streaming_heavy_hitters",
     "streaming_kmv_distinct",
+    "sketch_set_overlap",
+    "timeseries_interpolate",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -711,3 +711,176 @@ _register_sql(
     _recency_value_sql(True),
     _recency_value_sql(False),
 )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch set algebra: pairwise audience overlap from bounded sketches (r6)
+# ---------------------------------------------------------------------------
+# The scale path for source_overlap_matrix-style questions: estimate the
+# union size and Jaccard similarity of every event-type pair's user
+# population from k-minimum-values sketches (k smallest distinct hashes per
+# set), never materializing the full sets. Union sketch = k smallest of the
+# merged sketches; Jaccard = fraction of union-sketch members present in
+# BOTH input sketches (Beyer et al., SIGMOD 2007); union cardinality =
+# (k-1)*2^32/h_(k). Every step is a deterministic function of the input
+# sets — the oracle reproduces even the approximate columns bit-for-bit —
+# and the exact hash-set Jaccard rides along to show the estimate's error.
+# Shape at scale: per-set sketches are one shuffle over distinct hashes;
+# everything pairwise operates on k-row sketches (broadcastable), never on
+# the data.
+KMV_SET_K = 64
+
+
+def _kmv_overlap_sql(spark: bool) -> str:
+    from bemidb_spark.operators._xengine import hash_int
+
+    cast = "STRING" if spark else "VARCHAR"
+    hv = hash_int(f"CAST(user_id AS {cast})", spark=spark, salt="kmvset")
+    k = KMV_SET_K
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type, {hv} AS hv FROM events
+    ),
+    sk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h
+      ) r WHERE rn <= {k}
+    ),
+    pairs AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b
+      FROM (SELECT DISTINCT event_type FROM h) a
+      JOIN (SELECT DISTINCT event_type FROM h) b ON a.event_type < b.event_type
+    ),
+    us AS (
+      SELECT p.et_a, p.et_b, s.hv
+      FROM pairs p JOIN sk s ON s.event_type = p.et_a
+      UNION
+      SELECT p.et_a, p.et_b, s.hv
+      FROM pairs p JOIN sk s ON s.event_type = p.et_b
+    ),
+    u AS (
+      SELECT et_a, et_b, hv,
+             ROW_NUMBER() OVER (PARTITION BY et_a, et_b ORDER BY hv) AS rn
+      FROM us
+    ),
+    m AS (
+      SELECT u.et_a, u.et_b,
+             CAST(COUNT(*) AS INT) AS n_u,
+             MAX(u.hv) AS kth,
+             CAST(SUM(CASE WHEN sa.hv IS NOT NULL AND sb.hv IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM u
+      LEFT JOIN sk sa ON sa.event_type = u.et_a AND sa.hv = u.hv
+      LEFT JOIN sk sb ON sb.event_type = u.et_b AND sb.hv = u.hv
+      WHERE u.rn <= {k}
+      GROUP BY u.et_a, u.et_b
+    ),
+    sizes AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY event_type
+    ),
+    inter AS (
+      SELECT a.event_type AS et_a, b.event_type AS et_b,
+             CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM h a JOIN h b ON b.hv = a.hv AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT m.et_a, m.et_b,
+           m.n_u AS n_union_kept,
+           CASE WHEN m.n_u < {k} THEN CAST(m.n_u AS BIGINT)
+                ELSE CAST(FLOOR(CAST({k - 1} AS DOUBLE)
+                          * CAST(4294967296 AS DOUBLE) / m.kth) AS BIGINT)
+           END AS est_union_distinct,
+           CAST(FLOOR(CAST(m.matches AS DOUBLE) * 1000000 / m.n_u)
+                AS BIGINT) AS est_jaccard_ppm,
+           CAST(FLOOR(CAST(COALESCE(i.n_i, 0) AS DOUBLE) * 1000000
+                      / (sa.n + sb.n - COALESCE(i.n_i, 0)))
+                AS BIGINT) AS exact_jaccard_ppm
+    FROM m
+    JOIN sizes sa ON sa.event_type = m.et_a
+    JOIN sizes sb ON sb.event_type = m.et_b
+    LEFT JOIN inter i ON i.et_a = m.et_a AND i.et_b = m.et_b
+    ORDER BY m.et_a, m.et_b
+    """
+
+
+_register_sql("sketch_set_overlap", _kmv_overlap_sql(True), _kmv_overlap_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# time-series gap fill: calendar spine + linear interpolation (r6)
+# ---------------------------------------------------------------------------
+# The missing-day repair step for per-key daily series (sensor/metric
+# pipelines): build each key's calendar spine between its first and last
+# observed day, join the observed daily totals, and fill gaps by LINEAR
+# interpolation between the surrounding observations (edge gaps fall back
+# to nearest-value fill; unreachable only if a key has a single day).
+# Spark-side shape: one aggregate over the sparse input, a per-key sequence()
+# explode for the spine (map-only), then two IGNORE-NULLS window passes per
+# key — at 100 TB this is one shuffle on the key plus in-partition windows,
+# never a self-join per gap. Observed totals and the interpolated output are
+# rounded to 4 decimals so the double arithmetic is cross-engine exact
+# (sub-1e-9 accumulation error vs a 1e-4 quantum).
+def _interp_sql(spark: bool) -> str:
+    # sparse slice so gaps exist at every gate SF (≈1% of events)
+    if spark:
+        spine = ("SELECT event_type, explode(sequence(dmin, dmax, "
+                 "interval 1 day)) AS d FROM bounds")
+        ig_last = ("last_value({x}) IGNORE NULLS OVER (PARTITION BY event_type "
+                   "ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        ig_first = ("first_value({x}) IGNORE NULLS OVER (PARTITION BY event_type "
+                    "ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        ddiff = "datediff({b}, {a})"
+    else:
+        spine = ("SELECT event_type, CAST(unnest(generate_series(dmin, dmax, "
+                 "INTERVAL 1 DAY)) AS DATE) AS d FROM bounds")
+        ig_last = ("last_value({x} IGNORE NULLS) OVER (PARTITION BY event_type "
+                   "ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+        ig_first = ("first_value({x} IGNORE NULLS) OVER (PARTITION BY event_type "
+                    "ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)")
+        ddiff = "date_diff('day', {a}, {b})"
+    return f"""
+    WITH sparse AS (
+      SELECT event_type, CAST(ts AS DATE) AS d, value
+      FROM events WHERE event_id % 101 = 0
+    ),
+    daily AS (
+      SELECT event_type, d, CAST(ROUND(SUM(value), 4) AS DOUBLE) AS v
+      FROM sparse GROUP BY event_type, d
+    ),
+    bounds AS (
+      SELECT event_type, MIN(d) AS dmin, MAX(d) AS dmax
+      FROM daily GROUP BY event_type
+    ),
+    spine AS ({spine}),
+    joined AS (
+      SELECT s.event_type, s.d, dl.v
+      FROM spine s LEFT JOIN daily dl
+        ON dl.event_type = s.event_type AND dl.d = s.d
+    ),
+    ctx AS (
+      SELECT event_type, d, v,
+             {ig_last.format(x="v")} AS prev_v,
+             {ig_last.format(x="CASE WHEN v IS NOT NULL THEN d END")} AS prev_d,
+             {ig_first.format(x="v")} AS next_v,
+             {ig_first.format(x="CASE WHEN v IS NOT NULL THEN d END")} AS next_d
+      FROM joined
+    )
+    SELECT event_type, d,
+           CAST(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               ROUND(prev_v + (next_v - prev_v)
+                     * {ddiff.format(a="prev_d", b="d")}
+                     / {ddiff.format(a="prev_d", b="next_d")}, 4)
+             WHEN prev_v IS NOT NULL THEN prev_v
+             ELSE next_v
+           END AS DOUBLE) AS v_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS interpolated
+    FROM ctx
+    ORDER BY event_type, d
+    """
+
+
+_register_sql("timeseries_interpolate", _interp_sql(True), _interp_sql(False))

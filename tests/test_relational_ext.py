@@ -175,3 +175,45 @@ def test_recency_weighted_value_exact_recompute(spark, sf_dir):
         r = rows[uid]
         assert r.n_events == n and r.n_in_window == nw
         assert r.weighted_value == s / 1048576.0
+
+
+def test_sketch_set_overlap_estimates_track_exact(spark, sf_dir):
+    """KMV pairwise Jaccard/union estimates must land near the exact values
+    (k=64 → ~13% relative std; assert generous 3-sigma-ish bounds) and the
+    estimate must be exact whenever the union fits in the sketch."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["sketch_set_overlap"](spark, sf_dir).collect()
+    assert rows, "no event-type pairs"
+    for r in rows:
+        if r.n_union_kept < 64:
+            continue  # degenerate: sketch is exact, covered by the oracle
+        assert abs(r.est_jaccard_ppm - r.exact_jaccard_ppm) <= 400_000, r
+
+
+def test_timeseries_interpolate_fills_gaps_linearly(spark, sf_dir):
+    """Every spine day appears exactly once per key, observed days keep their
+    value, and at least one genuinely interpolated day sits strictly between
+    its neighbors' values when they differ."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["timeseries_interpolate"](spark, sf_dir).collect()
+    assert rows
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    n_interp = 0
+    for et, series in by_key.items():
+        days = [r.d for r in series]
+        assert days == sorted(days) and len(set(days)) == len(days)
+        span = (days[-1] - days[0]).days + 1
+        assert len(days) == span, (et, len(days), span)
+        assert all(r.v_filled is not None for r in series), et
+        n_interp += sum(r.interpolated for r in series)
+        # linear fill lies within [min, max] of the bracketing observations
+        obs = [(i, r.v_filled) for i, r in enumerate(series) if not r.interpolated]
+        for (i0, v0), (i1, v1) in zip(obs, obs[1:]):
+            lo, hi = min(v0, v1), max(v0, v1)
+            for j in range(i0 + 1, i1):
+                assert lo - 1e-9 <= series[j].v_filled <= hi + 1e-9, (et, j)
+    assert n_interp > 0, "sparse slice produced no gaps — operator untested"
