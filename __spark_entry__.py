@@ -50,6 +50,7 @@ _PRIORITY = [
     "streaming_kmv_distinct",
     "sketch_set_overlap",
     "timeseries_interpolate",
+    "pagerank_event_graph",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -884,3 +884,73 @@ def _interp_sql(spark: bool) -> str:
 
 
 _register_sql("timeseries_interpolate", _interp_sql(True), _interp_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# graph centrality: deterministic fixed-point PageRank (r6)
+# ---------------------------------------------------------------------------
+# PageRank over the event-type transition graph (edges = consecutive events
+# per user, weighted by transition count). Float PageRank cannot be
+# oracle-hashed — per-node contribution sums are fold-order dependent — so
+# ranks are kept in integer MICRO-UNITS: r0 = 1e6 per node, each iteration
+# r' = 0.15e6 + 0.85 * Σ (r_src * w) DIV out_w, all in exact BIGINT
+# arithmetic (multiply before divide; values stay ≤ 1e6·w << 2^63). Every
+# engine computes identical integers at every iteration, so the driver
+# oracle pins the full K-iteration fixpoint. Iterations are unrolled CTEs:
+# one broadcast-sized join + aggregate per iteration — at graph scale each
+# iteration is one shuffle on dst, the textbook distributed-PageRank shape.
+# Dangling mass is dropped (no out-edge nodes contribute nothing) —
+# documented deviation from renormalized PageRank variants.
+PAGERANK_ITERS = 4
+PAGERANK_DAMP_PCT = 85  # 0.85 damping as an integer percentage
+
+
+def _pagerank_sql(spark: bool) -> str:
+    div = "DIV" if spark else "//"
+    base = 1_000_000
+    jump = base * (100 - PAGERANK_DAMP_PCT) // 100
+    iters = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(f"""
+    r{i} AS (
+      SELECT n.node,
+             CAST({jump} + ({PAGERANK_DAMP_PCT} *
+                  COALESCE(SUM((p.rank * e.w) {div} e.outw), 0)) {div} 100
+                  AS BIGINT) AS rank
+      FROM nodes n
+      LEFT JOIN edges e ON e.dst = n.node
+      LEFT JOIN r{i - 1} p ON p.node = e.src
+      GROUP BY n.node
+    )""")
+    return f"""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    edges AS (
+      SELECT src, dst, w,
+             CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS outw
+      FROM (
+        SELECT event_type AS src, next_type AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY event_type, next_type
+      ) e
+    ),
+    nodes AS (
+      SELECT DISTINCT event_type AS node FROM events
+    ),
+    r0 AS (
+      SELECT node, CAST({base} AS BIGINT) AS rank FROM nodes
+    ),{",".join(iters)}
+    SELECT node,
+           rank AS rank_microunits,
+           CAST(ROW_NUMBER() OVER (ORDER BY rank DESC, node) AS INT) AS rank_pos
+    FROM r{PAGERANK_ITERS}
+    ORDER BY rank_pos
+    """
+
+
+_register_sql("pagerank_event_graph", _pagerank_sql(True), _pagerank_sql(False))

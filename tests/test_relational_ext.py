@@ -217,3 +217,24 @@ def test_timeseries_interpolate_fills_gaps_linearly(spark, sf_dir):
             for j in range(i0 + 1, i1):
                 assert lo - 1e-9 <= series[j].v_filled <= hi + 1e-9, (et, j)
     assert n_interp > 0, "sparse slice produced no gaps — operator untested"
+
+
+def test_pagerank_event_graph_invariants(spark, sf_dir):
+    """Ranks are positive micro-unit integers, one row per node, and each
+    node's rank exceeds the random-jump floor iff it has inbound edges."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["pagerank_event_graph"](spark, sf_dir).collect()
+    types = {r.event_type for r in spark.table("events").select("event_type").distinct().collect()}
+    assert {r.node for r in rows} == types
+    assert [r.rank_pos for r in rows] == list(range(1, len(rows) + 1))
+    inbound = {r.dst for r in spark.sql("""
+        SELECT DISTINCT next_type AS dst FROM (
+          SELECT LEAD(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS next_type
+          FROM events) WHERE next_type IS NOT NULL
+    """).collect()}
+    for r in rows:
+        assert r.rank_microunits >= 150_000, r
+        if r.node in inbound:
+            assert r.rank_microunits > 150_000, r
