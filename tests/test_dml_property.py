@@ -26,6 +26,8 @@ import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
+from pyspark.sql import functions as F
+
 from bemidb_spark.pgcompat.session import PgSession
 from bemidb_spark.sources.catalog import Catalog
 from bemidb_spark.sources.writer import write_bucketed_table
@@ -114,3 +116,60 @@ def test_dml_sequences_match_duckdb(spark, tmp_path_factory, duck, ops):
     want = duck.execute("SELECT k, v, x FROM t ORDER BY k").fetchall()
     assert got == want, f"ops={ops}"
     pg.dispose()
+
+
+# ---------------------------------------------------------------------------
+# incremental matview property: any batching of the same appends converges
+# to the full recompute (r6)
+# ---------------------------------------------------------------------------
+_MV_SETTINGS = settings(
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES_MV", "6")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_MV_N = 60
+
+
+@st.composite
+def mv_batches(draw):
+    """Random values for _MV_N append-only rows plus random batch cut points
+    (the id column doubles as the monotone cursor)."""
+    vals = [draw(st.integers(min_value=-50, max_value=50)) for _ in range(_MV_N)]
+    n_cuts = draw(st.integers(min_value=0, max_value=4))
+    cuts = sorted(draw(st.sets(
+        st.integers(min_value=1, max_value=_MV_N - 1),
+        min_size=n_cuts, max_size=n_cuts)))
+    return vals, [0, *cuts, _MV_N]
+
+
+@_MV_SETTINGS
+@given(data=mv_batches())
+def test_incremental_matview_any_batching_matches_full(
+    spark, tmp_path_factory, data
+):
+    from bemidb_spark.sources import matview
+
+    vals, bounds = data
+    rows = [(i, i % 5, vals[i]) for i in range(_MV_N)]
+    full_df = spark.createDataFrame(rows, "id bigint, grp bigint, val bigint")
+    aggs = {
+        "n": ("count", "*"),
+        "s": ("sum", "val"),
+        "lo": ("min", "val"),
+        "hi": ("max", "val"),
+    }
+    cat = Catalog(str(tmp_path_factory.mktemp("mvfuzz")))
+    matview.create_incremental_matview(
+        spark, cat, "mv", full_df.where(f"id < {bounds[1]}"),
+        ["grp"], aggs, cursor_col="id", n_buckets=4)
+    for hi in bounds[2:]:
+        n = matview.refresh_incremental_matview(
+            spark, cat, "mv", full_df.where(f"id < {hi}"))
+        assert n > 0
+    got = {tuple(r) for r in matview.read_materialized_view(spark, cat, "mv")
+           .select("grp", "n", "s", "lo", "hi").collect()}
+    want = {tuple(r) for r in full_df.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"),
+        F.min("val").alias("lo"), F.max("val").alias("hi")).collect()}
+    assert got == want, f"bounds={bounds}"
