@@ -51,6 +51,7 @@ _PRIORITY = [
     "sketch_set_overlap",
     "timeseries_interpolate",
     "pagerank_event_graph",
+    "anomaly_daily_zscore",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

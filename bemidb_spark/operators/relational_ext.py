@@ -954,3 +954,53 @@ def _pagerank_sql(spark: bool) -> str:
 
 
 _register_sql("pagerank_event_graph", _pagerank_sql(True), _pagerank_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# anomaly detection: per-key daily outliers in exact integer algebra (r6)
+# ---------------------------------------------------------------------------
+# Flag days whose total deviates from the key's mean by more than Z standard
+# deviations. A float z-score cannot be oracle-hashed (mean/std sums are
+# fold-order dependent, sqrt compounds it) — so the test is cross-multiplied
+# into EXACT integer arithmetic on cent-quantized totals: with S = Σx,
+# Q = Σx², n = day count, flag x iff
+#     (n·x − S)² · (n − 1)  >  Z² · n · (n·Q − S²)
+# which is |x − mean| > Z·std(sample) with both sides scaled by n²(n−1) —
+# every term a BIGINT product of exact integers, identical in any engine
+# and any fold order. One aggregate for (S, Q, n) per key, one broadcast
+# join back to days: two shuffles total at any scale.
+# Overflow bound: the largest term is (n·x−S)²·(n−1) ≈ n³·x², safe in
+# BIGINT while n·|x| < ~3·10⁹ quantized units (n=30 days, per-day totals
+# up to ~10⁸ cents); at larger magnitudes pick a coarser quantum (dollars,
+# thousands) — the algebra is scale-free.
+ANOMALY_Z = 2
+
+
+def _anomaly_sql(spark: bool) -> str:
+    return f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(ROUND(SUM(value) * 100) AS BIGINT) AS cents
+      FROM events
+      GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS q
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.d, d.cents,
+           CASE WHEN st.n > 1 AND
+                     (st.n * d.cents - st.s) * (st.n * d.cents - st.s)
+                       * (st.n - 1)
+                     > {ANOMALY_Z * ANOMALY_Z} * st.n
+                       * (st.n * st.q - st.s * st.s)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM daily d JOIN stats st ON st.event_type = d.event_type
+    ORDER BY d.event_type, d.d
+    """
+
+
+_register_sql("anomaly_daily_zscore", _anomaly_sql(True), _anomaly_sql(False))

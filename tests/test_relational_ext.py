@@ -238,3 +238,48 @@ def test_pagerank_event_graph_invariants(spark, sf_dir):
         assert r.rank_microunits >= 150_000, r
         if r.node in inbound:
             assert r.rank_microunits > 150_000, r
+
+
+def test_anomaly_zscore_flags_synthetic_spike(spark, sf_dir):
+    """The integer z-test must agree with the float z-score it encodes, and
+    a synthetic 10x spike day must be flagged."""
+    import statistics
+
+    import __spark_entry__ as entry_mod
+
+    from bemidb_spark.tables import register_views
+
+    rows = entry_mod.queries()["anomaly_daily_zscore"](spark, sf_dir).collect()
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r.event_type, []).append(r)
+    for et, series in by_key.items():
+        cents = [r.cents for r in series]
+        if len(cents) < 2:
+            continue
+        mean = statistics.fmean(cents)
+        std = statistics.stdev(cents)
+        for r in series:
+            want = std > 0 and abs(r.cents - mean) > 2 * std
+            assert bool(r.is_anomaly) == want, (et, r.d, r.cents, mean, std)
+
+    # synthetic spike: one day 10x the others must be the only flagged day
+    # (run the operator's SQL directly so the patched view isn't clobbered
+    # by the entry's register_views)
+    from bemidb_spark.operators.relational_ext import _anomaly_sql
+
+    data = [("k", f"2024-02-{d:02d}", 100.0) for d in range(1, 11)]
+    data.append(("k", "2024-02-15", 1000.0))
+    spark.createDataFrame(
+        [(i, et, d, v) for i, (et, d, v) in enumerate(data)],
+        "event_id bigint, event_type string, ds string, value double",
+    ).selectExpr("event_id", "event_type",
+                 "CAST(ds AS TIMESTAMP) AS ts", "value") \
+     .createOrReplaceTempView("events")
+    try:
+        got = {(r.d.isoformat(), r.is_anomaly)
+               for r in spark.sql(_anomaly_sql(True)).collect()}
+    finally:
+        register_views(spark, sf_dir)
+    assert ("2024-02-15", 1) in got, got
+    assert sum(f for _, f in got) == 1, got
