@@ -52,6 +52,7 @@ _PRIORITY = [
     "timeseries_interpolate",
     "pagerank_event_graph",
     "anomaly_daily_zscore",
+    "text_bigram_logprob",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

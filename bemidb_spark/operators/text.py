@@ -544,3 +544,74 @@ def _nb_classifier_sql(spark: bool) -> str:
 
 _register("text_nb_quality_classifier",
           _nb_classifier_sql(True), _nb_classifier_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# interpolated bigram LM fluency score (r6)
+# ---------------------------------------------------------------------------
+# The KenLM-style fluency signal: score every document by the corpus bigram
+# model with unigram interpolation, P(w2|w1) ~ 0.75*c12/c1 + 0.25*c2/N.
+# The interpolated probability is kept as ONE exact rational —
+#     (3*c12*N + c2*c1) / (4*c1*N)
+# — so each bigram's log-probability is ln(num) - ln(den) on exact integer
+# inputs, quantized to micro-nats and summed as integers per document:
+# bit-identical in any engine and fold order (same discipline as
+# unigram_logprob_score; the naive float interpolation inside ln would
+# diverge in the last ulp between engines). c1 counts w1 as a CONTEXT
+# (bigram predecessors), c2 is the plain unigram count, N total tokens.
+# Shape: shingle explode -> two map-side-combinable count shuffles (bigram,
+# unigram) -> model join (vocab-sized, broadcastable) -> integer sum per
+# doc. BIGINT->DOUBLE conversion before ln is IEEE round-to-nearest in both
+# engines, so determinism survives counts past 2^53.
+def _bigram_lm_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 2, spark=spark)
+    unat = lambda x: f"CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"  # noqa: E731
+    if spark:
+        toks = (f"SELECT doc_id, w FROM (SELECT doc_id, {w} AS ws FROM documents) "
+                f"LATERAL VIEW explode(ws) t AS w")
+    else:
+        toks = f"SELECT doc_id, unnest({w}) AS w FROM documents"
+    # shingles() operates on a column named w holding the word array
+    if spark:
+        bgs = (f"SELECT doc_id, s FROM (SELECT doc_id, {sh} AS shs FROM "
+               f"(SELECT doc_id, {w} AS w FROM documents) WHERE size(w) >= 2) "
+               f"LATERAL VIEW explode(shs) t AS s")
+    else:
+        bgs = (f"SELECT doc_id, unnest({sh}) AS s FROM "
+               f"(SELECT doc_id, {w} AS w FROM documents) WHERE len(w) >= 2")
+    return f"""
+    WITH toks AS ({toks}),
+    uni AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS c2 FROM toks GROUP BY w
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    bg AS ({bgs}),
+    bgc AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY s
+    ),
+    ctx AS (
+      SELECT split_part(s, ' ', 1) AS w1, CAST(SUM(c12) AS BIGINT) AS c1
+      FROM bgc GROUP BY split_part(s, ' ', 1)
+    ),
+    model AS (
+      SELECT b.s,
+             {unat("3 * b.c12 * t.n + u.c2 * c.c1")}
+           - {unat("4 * c.c1 * t.n")} AS q
+      FROM bgc b
+      JOIN ctx c ON c.w1 = split_part(b.s, ' ', 1)
+      JOIN uni u ON u.w = split_part(b.s, ' ', 2)
+      CROSS JOIN tot t
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(m.q) AS BIGINT) AS logprob_unats,
+           CAST(SUM(m.q) AS BIGINT) {"DIV" if spark else "//"} COUNT(*)
+             AS mean_unats
+    FROM bg g JOIN model m ON m.s = g.s
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """
+
+
+_register("text_bigram_logprob", _bigram_lm_sql(True), _bigram_lm_sql(False))

@@ -436,3 +436,23 @@ def test_nb_quality_classifier_separates_train_sources(spark, sf_dir):
         FROM nb_scores s JOIN documents d ON d.doc_id = s.doc_id
     """).collect()[0]
     assert row.m_pos > row.m_neg, (row.m_pos, row.m_neg)
+
+
+def test_bigram_logprob_scores_every_multiword_doc(spark, sf_dir):
+    """Every document with >= 2 words gets a score; scores are negative
+    (log-probabilities) and integral micro-nats; repeated text (high corpus
+    bigram frequency) scores higher per-bigram than unique text."""
+    import __spark_entry__ as entry_mod
+
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    df = entry_mod.queries()["text_bigram_logprob"](spark, sf_dir)
+    rows = df.collect()
+    n_multi = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents WHERE size(split(text, ' ')) >= 2"
+    ).collect()[0].n
+    assert len(rows) == n_multi
+    for r in rows:
+        assert r.logprob_unats < 0 and r.n_bigrams >= 1
+        assert r.mean_unats <= 0
