@@ -53,6 +53,7 @@ _PRIORITY = [
     "pagerank_event_graph",
     "anomaly_daily_zscore",
     "text_bigram_logprob",
+    "pg_ilike_route",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -397,3 +397,14 @@ _register_pg(
     ORDER BY doc_id LIMIT 40
     """,
 )
+
+# ILIKE / NOT ILIKE (pg case-insensitive LIKE; native in Spark >= 3.3 and
+# DuckDB — the route must pass it through unmangled, incl. _ wildcards).
+_ILIKE_SQL = """
+    SELECT n_name, count(*) AS n
+    FROM nation
+    WHERE n_name ILIKE 'nation=_1%' ESCAPE '='
+       OR (n_name NOT ILIKE '%1' AND n_name ILIKE 'nation=_2' ESCAPE '=')
+    GROUP BY n_name ORDER BY n_name
+"""
+_register_pg("pg_ilike_route", _ILIKE_SQL, _ILIKE_SQL)
