@@ -47,6 +47,11 @@ OPS = [
     # RISE with input if the per-row path is linear
     ("streaming_minhash_dedup", "documents"),
     ("streaming_embedding_dedup", "embeddings"),
+    # r6 wave 2: bounded-state sketch (space-saving), bigram LM (two count
+    # shuffles + model join), iterated-join fixpoint (PageRank)
+    ("streaming_heavy_hitters", "events"),
+    ("text_bigram_logprob", "documents"),
+    ("pagerank_event_graph", "events"),
 ]
 
 
