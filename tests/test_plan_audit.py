@@ -50,6 +50,12 @@ SCAN_BOUNDS = {
     # token explode feeds train counts + scoring; exchange reuse folds the
     # counts/stats/odds subtree, leaving the two token scans (r6)
     "text_nb_quality_classifier": 3,
+    # r6 wave 2: sketch/hash subtrees fold under exchange reuse
+    "sketch_set_overlap": 3,        # distinct-hash scan + pair spine
+    "text_bigram_logprob": 5,       # toks x2 + bigram model sides
+    "pagerank_event_graph": 3,      # edges + nodes (iterations reuse edges)
+    "timeseries_interpolate": 3,    # daily + bounds-spine sides
+    "anomaly_daily_zscore": 2,      # daily subtree reused via exchange
 }
 
 
