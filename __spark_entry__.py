@@ -54,6 +54,7 @@ _PRIORITY = [
     "anomaly_daily_zscore",
     "text_bigram_logprob",
     "pg_ilike_route",
+    "dedup_ssjoin_prefix",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

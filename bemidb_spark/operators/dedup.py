@@ -889,3 +889,83 @@ def _embedding_quality_sql(spark: bool) -> str:
 
 
 _register("dedup_embedding_quality", _embedding_quality_sql(True), _embedding_quality_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity join via prefix filtering (ppjoin-style, r6)
+# ---------------------------------------------------------------------------
+# The LOSSLESS counterpart of MinHash-LSH, and the complete upgrade of
+# dedup_ngram_jaccard's first-4-words blocking (which can miss pairs whose
+# openings differ): ALL document pairs with 3-shingle-set Jaccard >=
+# threshold, found without the all-pairs product. Prefix filtering
+# (Chaudhuri et al. ICDE'06; Xiao et al. WWW'08): order every document's
+# distinct shingles by ascending corpus frequency (rarest first, string
+# tie-break); two sets with |A∩B|/|A∪B| >= t MUST share an element inside
+# each one's first n - ceil(t·n) + 1 — so candidates come from an
+# equi-join on PREFIX shingles only, and rare-shingle prefixes keep the
+# join small exactly where naive token joins explode. Candidates are then
+# verified with the exact intersection. Unlike LSH there are no false
+# negatives — recall is definitionally 1 (pinned vs brute force in tests).
+#
+# Determinism: prefix length n - ceil(t·n) + 1 is computed in integer
+# arithmetic (ceil(7n/10) = (7n+9) DIV 10); jaccard_ppm is an exact
+# integer-derived FLOOR. Scale shape: token frequencies = one
+# map-side-combinable shuffle; per-doc ordering = one window over doc_id;
+# the candidate join runs on prefix tokens only; verification joins two
+# sorted-array columns (array_intersect) on the bounded candidate set.
+SSJOIN_T_PCT = 70  # Jaccard threshold as integer percent
+
+
+def _ssjoin_sql(spark: bool) -> str:
+    w = words("text", spark=spark)
+    sh = shingles("w", 3, spark=spark)
+    distinct = "array_distinct" if spark else "list_distinct"
+    t = SSJOIN_T_PCT
+    if spark:
+        tok = (f"SELECT doc_id, w FROM (SELECT doc_id, {distinct}({sh}) AS shs "
+               f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
+               f"LATERAL VIEW explode(shs) t AS w")
+        inter = "size(array_intersect(sa.ws, sb.ws))"
+        collect = "sort_array(collect_list(w))"
+    else:
+        tok = (f"SELECT doc_id, unnest({distinct}({sh})) AS w "
+               f"FROM (SELECT doc_id, {w} AS w FROM documents)")
+        inter = ("len(list_filter(sa.ws, x -> list_contains(sb.ws, x)))")
+        collect = "list_sort(list(w))"
+    return f"""
+    WITH toks AS ({tok}),
+    freq AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY w
+    ),
+    ordered AS (
+      SELECT t.doc_id, t.w,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.w) AS rk,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN freq f ON f.w = t.w
+    ),
+    prefix AS (
+      SELECT doc_id, w FROM ordered
+      WHERE rk <= n - (({t} * n + 99) {"DIV" if spark else "//"} 100) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM prefix a JOIN prefix b
+        ON b.w = a.w AND b.doc_id > a.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, {collect} AS ws, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks GROUP BY doc_id
+    )
+    SELECT c.da, c.db,
+           CAST(FLOOR(CAST({inter} AS DOUBLE) * 1000000
+                      / (sa.n + sb.n - {inter})) AS BIGINT) AS jaccard_ppm
+    FROM cand c
+    JOIN sets sa ON sa.doc_id = c.da
+    JOIN sets sb ON sb.doc_id = c.db
+    WHERE CAST({inter} AS DOUBLE) / (sa.n + sb.n - {inter}) >= {t} / 100.0
+    ORDER BY c.da, c.db
+    """
+
+
+_register("dedup_ssjoin_prefix", _ssjoin_sql(True), _ssjoin_sql(False))

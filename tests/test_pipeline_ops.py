@@ -456,3 +456,37 @@ def test_bigram_logprob_scores_every_multiword_doc(spark, sf_dir):
     for r in rows:
         assert r.logprob_unats < 0 and r.n_bigrams >= 1
         assert r.mean_unats <= 0
+
+
+def test_ssjoin_prefix_is_lossless_vs_brute_force(spark, sf_dir):
+    """Prefix filtering must be complete: the operator's pairs equal the
+    brute-force all-pairs shingle-Jaccard >= t result exactly (no LSH-style
+    misses), including the ppm values."""
+    import __spark_entry__ as entry_mod
+
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    got = {(r.da, r.db, r.jaccard_ppm) for r in entry_mod.queries()[
+        "dedup_ssjoin_prefix"](spark, sf_dir).collect()}
+    brute = {(r.da, r.db, r.jaccard_ppm) for r in spark.sql("""
+        WITH sets AS (
+          SELECT doc_id,
+                 array_distinct(CASE WHEN size(w) < 3
+                   THEN array(array_join(w, ' '))
+                   ELSE transform(sequence(1, size(w) - 2),
+                                  i -> array_join(slice(w, i, 3), ' ')) END) AS sh
+          FROM (SELECT doc_id, split(text, ' ') AS w FROM documents)
+        )
+        SELECT a.doc_id AS da, b.doc_id AS db,
+               CAST(FLOOR(CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+                    * 1000000 / (size(a.sh) + size(b.sh)
+                                 - size(array_intersect(a.sh, b.sh))))
+                    AS BIGINT) AS jaccard_ppm
+        FROM sets a JOIN sets b ON b.doc_id > a.doc_id
+        WHERE CAST(size(array_intersect(a.sh, b.sh)) AS DOUBLE)
+              / (size(a.sh) + size(b.sh) - size(array_intersect(a.sh, b.sh)))
+              >= 0.7
+    """).collect()}
+    assert got == brute
+    assert got, "corpus has no near-dup pairs at t=0.7 — test is vacuous"

@@ -56,6 +56,7 @@ SCAN_BOUNDS = {
     "pagerank_event_graph": 3,      # edges + nodes (iterations reuse edges)
     "timeseries_interpolate": 3,    # daily + bounds-spine sides
     "anomaly_daily_zscore": 2,      # daily subtree reused via exchange
+    "dedup_ssjoin_prefix": 4,       # shingle explode + prefix/verify sides
 }
 
 
