@@ -1310,10 +1310,19 @@ def _rewrite_tablesample(sql: str) -> str:
 def _primary_before(sql: str, end: int) -> int:
     """Start index of the primary expression ending just before ``end``:
     an identifier chain, or a balanced ``(...)`` optionally preceded by a
-    function-name identifier chain (``split(x, '_')``)."""
+    function-name identifier chain (``split(x, '_')``), either optionally
+    followed by already-present subscript groups (``x[1][2:3]`` chains —
+    the earlier group is part of the primary the later one applies to)."""
     i = end - 1
     while i >= 0 and sql[i].isspace():
         i -= 1
+    while i >= 0 and sql[i] == "]":  # walk over trailing subscript groups
+        depth = 0
+        while i >= 0:
+            depth += {"[": -1, "]": 1}.get(sql[i], 0)
+            i -= 1
+            if depth == 0:
+                break
     if i >= 0 and sql[i] == ")":
         depth = 0
         while i >= 0:
@@ -1340,11 +1349,13 @@ def _rewrite_array_slice(sql: str) -> str:
         if not m:
             return sql
         lo, hi = int(m.group(1)), int(m.group(2))
+        lo = max(lo, 1)  # pg clamps a 0/low start to the first element;
+        # Spark's slice() rejects start 0 outright
         start = _primary_before(sql, m.start())
         expr = sql[start:m.start()].rstrip()
         if not expr:  # stray bracket (shouldn't happen): leave untouched
             return sql
-        sql = (sql[:start] + f"slice({expr}, {lo}, {hi - lo + 1})"
+        sql = (sql[:start] + f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
                + sql[m.end():])
 
 

@@ -706,3 +706,52 @@ def test_sub_ident_keys_null_unit():
     assert f("k /* k */ + 2", keys) == "NULL /* k */ + 2"
     # aggregate-name prefix must not trigger the agg skip (xsum is a column)
     assert f("xsum(k)", ["xsum"]) == "NULL(k)"
+
+
+# ---------------------------------------------------------------- arrays
+
+@st.composite
+def array_expr(draw):
+    """Random pg array construction + 1-based subscript/slice chains.
+    Negative indexes excluded (DuckDB counts from the back, pg returns
+    NULL — we implement pg; pinned by a unit test instead)."""
+    kind = draw(st.integers(min_value=0, max_value=2))
+    if kind == 0:
+        elems = draw(st.lists(
+            st.integers(min_value=-99, max_value=99), min_size=1, max_size=5))
+        base = "(ARRAY[" + ", ".join(map(str, elems)) + "])"
+    elif kind == 1:
+        delim = draw(st.sampled_from([",", " ", ":"]))
+        parts = draw(st.lists(
+            st.text(alphabet="abz09", max_size=3), min_size=1, max_size=4))
+        base = f"(string_to_array('{delim.join(parts)}', '{delim}'))"
+    else:
+        inner = ", ".join(
+            "ARRAY[" + ", ".join(map(str, draw(st.lists(
+                st.integers(min_value=0, max_value=9),
+                min_size=2, max_size=2)))) + "]"
+            for _ in range(2))
+        base = f"(ARRAY[{inner}])[{draw(st.integers(1, 3))}]"
+    op = draw(st.integers(min_value=0, max_value=2))
+    if op == 0:
+        return f"{base}[{draw(st.integers(0, 6))}]"
+    if op == 1:
+        lo = draw(st.integers(min_value=0, max_value=4))
+        hi = draw(st.integers(min_value=0, max_value=6))
+        return f"{base}[{lo}:{hi}]"
+    return base
+
+
+@_SETTINGS
+@given(expr=array_expr())
+def test_array_subscript_matches_duckdb(pg, duck, expr):
+    """pg 1-based subscripts/slices (incl. 0-start clamp, out-of-range NULL,
+    empty hi<lo slices, nested arrays) through the route vs DuckDB on the
+    identical text."""
+    sql = f"SELECT {expr} AS v"
+    spark_rows = pg.execute(sql).collect()
+    duck_val = duck.execute(sql).fetchone()[0]
+    got = spark_rows[0][0]
+    got = list(got) if isinstance(got, (list, tuple)) else got
+    want = list(duck_val) if isinstance(duck_val, (list, tuple)) else duck_val
+    assert got == want, sql
