@@ -681,6 +681,14 @@ def test_tablesample_and_array_slice(pg):
     row = pg.execute(
         "SELECT (string_to_array('a b c d', ' '))[2:3] AS s").collect()[0]
     assert row.s == ["b", "c"]
+    # pg subscript semantics: negative/zero -> NULL (DuckDB counts negatives
+    # from the back — deliberate pg-faithful divergence, excluded from the
+    # differential fuzz), 0-start slices clamp, hi < lo is empty
+    row = pg.execute(
+        "SELECT (ARRAY[1,2,3])[-1] AS neg, (ARRAY[1,2,3])[0] AS zero, "
+        "(ARRAY[1,2,3])[0:2] AS clamp, (ARRAY[1,2,3])[3:2] AS empty").collect()[0]
+    assert row.neg is None and row.zero is None
+    assert row.clamp == [1, 2] and row.empty == []
 
 
 def test_tsvector_tsquery_emulation(pg):
