@@ -55,6 +55,7 @@ _PRIORITY = [
     "text_bigram_logprob",
     "pg_ilike_route",
     "dedup_ssjoin_prefix",
+    "skewed_join_salted",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

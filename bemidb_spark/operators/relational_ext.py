@@ -1004,3 +1004,48 @@ def _anomaly_sql(spark: bool) -> str:
 
 
 _register_sql("anomaly_daily_zscore", _anomaly_sql(True), _anomaly_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# salted skew join as a driver-oracled entry (r6)
+# ---------------------------------------------------------------------------
+# plans/skew.salted_join was pytest-only; this pins it against DuckDB
+# computing the PLAIN join — salting must change only the physical plan
+# (hot event_type keys spread over 8 sub-keys), never the result. The
+# probe joins the heavily-skewed events.event_type (5 hot keys over the
+# whole table) to a derived per-type dimension and aggregates.
+def _skew_salted_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.plans.skew import salted_join
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    dim = (events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("type_total")))
+    joined = salted_join(
+        events.select("event_type", "user_id", "event_id"),
+        dim, key="event_type", salt=8, salt_source="event_id")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("type_total").alias("type_total"),
+                 F.countDistinct("user_id").alias("n_users"))
+            .selectExpr("event_type", "n", "type_total",
+                        "CAST(n_users AS BIGINT) AS n_users")
+            .orderBy("event_type"))
+
+
+QUERIES["skewed_join_salted"] = _skew_salted_entry
+ORACLES["skewed_join_salted"] = """
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(d.type_total) AS BIGINT) AS type_total,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e
+    JOIN (SELECT event_type, COUNT(*) AS type_total
+          FROM events GROUP BY event_type) d
+      ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+"""
