@@ -192,6 +192,10 @@ def main() -> None:
             reexecute(prepared[i]).collect()
         reexec_samples.append(round(time.perf_counter() - t0, 4))
         reexec_steal.append(steal_pct(c0, _cpu_stat()))
+    # closing bracket: each sample's start canary doubles as the previous
+    # one's end; the final sample needs its own (mid-pass-burst blind spot,
+    # see tools/probe_sf1_r6wave2.json pass 5)
+    reexec_bw.append(bw_canary_sec())
     # min hides worst-case behavior a real client would eat (VERDICT r3):
     # report the full min/median/max spread, keep `reexec_sequential_sec` =
     # median as the honest headline for this mode.

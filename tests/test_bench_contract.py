@@ -54,9 +54,12 @@ def test_bench_stdout_is_one_json_line_with_contract_fields():
         "prepare_sec", "ingest_sec", "pipeline_sec", "small_input_profile",
     ):
         assert field in d, f"missing contract field {field}"
-    # every timed phase carries one host-condition reading per sample
+    # every timed phase carries one host-condition reading per sample; the
+    # reexec canaries BRACKET the samples (n+1 readings: one before each
+    # sample plus a closing one — mid-pass-burst coverage, r6)
     assert len(d["reexec_steal_pct"]) == len(d["reexec_sequential_samples"])
-    assert len(d["reexec_bw_canary_sec"]) == len(d["reexec_sequential_samples"])
+    assert (len(d["reexec_bw_canary_sec"])
+            == len(d["reexec_sequential_samples"]) + 1)
     # the multi-client soak must have completed cleanly
     assert d["wire_concurrent_errors"] == 0
     assert d["wire_concurrent_sec"] is not None and d["wire_concurrent_sec"] > 0

@@ -208,6 +208,11 @@ def main() -> None:
         total = round(time.perf_counter() - t0, 3)
         gc1 = gc_stats(spark)
         cpu1 = cpu_stat()
+        # end-of-pass canary: the start-of-pass sample misses contention
+        # bursts that begin mid-pass (seen in probe_sf1_r6wave2 pass 5 —
+        # 124 s wall, normal start canary); bracketing the pass catches
+        # bursts still active at pass end
+        bw_canary_end = bw_canary_sec()
         steal_pct = round(
             100.0 * (cpu1[1] - cpu0[1]) / max(1, cpu1[0] - cpu0[0]), 2)
         gc_delta = {
@@ -216,10 +221,11 @@ def main() -> None:
         }
         worst = sorted(per_q.items(), key=lambda kv: -kv[1])[:4]
         passes.append({"pass": p, "total": total, "per_q": per_q,
-                       "steal_pct": steal_pct, "bw_canary_sec": bw_canary})
+                       "steal_pct": steal_pct, "bw_canary_sec": bw_canary,
+                       "bw_canary_end_sec": bw_canary_end})
         print(json.dumps({
             "pass": p, "total": total, "steal_pct": steal_pct,
-            "bw_canary_sec": bw_canary,
+            "bw_canary_sec": bw_canary, "bw_canary_end_sec": bw_canary_end,
             "gc_count_ms": gc_delta, "worst4": worst,
         }), flush=True)
 
