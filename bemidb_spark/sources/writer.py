@@ -274,7 +274,9 @@ def delete_by_key(
         return replace_table(catalog, schema, table, remaining)
     loc = catalog.location(schema, table)
     buckets = _affected_buckets(keys, key_cols, n_buckets)
-    current = spark.read.parquet(loc).filter(F.col(BUCKET_COL).isin(buckets))
+    all_rows = spark.read.parquet(loc)
+    row_schema = all_rows.drop(BUCKET_COL).schema
+    current = all_rows.filter(F.col(BUCKET_COL).isin(buckets))
     remaining = _with_field_ids(
         current.drop(BUCKET_COL).join(
             keys.select(*key_cols), on=key_cols, how="left_anti"
@@ -289,6 +291,22 @@ def delete_by_key(
     for b in buckets:
         if b not in remaining_buckets:
             fs.remove_tree(fs.join(loc, f"{BUCKET_COL}={b}"))
+    # a delete that empties EVERY bucket leaves a file-less location that
+    # Spark can't infer a schema from — pg keeps an empty table readable, so
+    # re-point the catalog at a schema-bearing empty table. The bucket
+    # layout is dropped with the data (an empty partitioned write emits no
+    # files at all); the next write re-establishes whatever layout it wants.
+    # Found by the DML sequence fuzzer: delete-evens / delete-odds to empty.
+    if not any(f.endswith(".parquet") for f in fs.walk_files(loc)):
+        empty = _with_field_ids(spark.createDataFrame([], row_schema))
+        new_loc = catalog.new_location(schema, table)
+        empty.write.mode("overwrite").parquet(new_loc)
+        old = catalog.commit_table(
+            schema, table, new_loc, catalog.columns(schema, table), props={},
+        )
+        if old:
+            fs.remove_tree(old)
+        return new_loc
     catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
     return loc
 

@@ -392,3 +392,29 @@ def test_incremental_matview_delta_merge(spark, catalog, sf_dir):
     assert matview.refresh_incremental_matview(
         spark, catalog, "mv_inc", snapshot(1000)) == 200
     assert got() == expect(1000)
+
+
+def test_delete_emptying_all_buckets_keeps_table_readable(spark, catalog):
+    """A delete that empties EVERY bucket must leave a schema-bearing empty
+    table (pg semantics), not a file-less location that breaks the next read
+    — the exact sequence the DML fuzzer found."""
+    from bemidb_spark.sources.writer import write_bucketed_table
+
+    df = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(6)], "k bigint, v string")
+    write_bucketed_table(spark, catalog, "s", "edel", df, ["k"], n_buckets=4)
+    keys_even = spark.createDataFrame([(k,) for k in (0, 2, 4)], "k bigint")
+    keys_odd = spark.createDataFrame([(k,) for k in (1, 3, 5)], "k bigint")
+    delete_by_key(spark, catalog, "s", "edel", keys_even, ["k"])
+    delete_by_key(spark, catalog, "s", "edel", keys_odd, ["k"])
+    out = read_table(spark, catalog, "s", "edel")
+    assert out.count() == 0
+    assert set(out.columns) == {"k", "v"}
+    # a second delete against the empty table is a no-op, not an error
+    delete_by_key(spark, catalog, "s", "edel", keys_even, ["k"])
+    assert read_table(spark, catalog, "s", "edel").count() == 0
+    # and the table accepts new rows again
+    upsert_by_key(spark, catalog, "s", "edel",
+                  spark.createDataFrame([(9, "z")], "k bigint, v string"), ["k"])
+    assert [tuple(r) for r in read_table(
+        spark, catalog, "s", "edel").collect()] == [(9, "z")]
