@@ -56,6 +56,8 @@ _PRIORITY = [
     "pg_ilike_route",
     "dedup_ssjoin_prefix",
     "skewed_join_salted",
+    "pg_width_bucket_route",
+    "pg_lateral_route",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

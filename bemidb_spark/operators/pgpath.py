@@ -408,3 +408,42 @@ _ILIKE_SQL = """
     GROUP BY n_name ORDER BY n_name
 """
 _register_pg("pg_ilike_route", _ILIKE_SQL, _ILIKE_SQL)
+
+# width_bucket (pg numeric bucketing; native in Spark, absent in DuckDB —
+# the oracle spells the same CASE/FLOOR arithmetic).
+_register_pg(
+    "pg_width_bucket_route",
+    """
+    SELECT width_bucket(o_totalprice, CAST(0 AS DOUBLE),
+                        CAST(200000 AS DOUBLE), 8) AS bucket,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY width_bucket(o_totalprice, CAST(0 AS DOUBLE),
+                          CAST(200000 AS DOUBLE), 8)
+    ORDER BY bucket
+    """,
+    """
+    SELECT CASE WHEN o_totalprice < 0 THEN 0
+                WHEN o_totalprice >= 200000 THEN 9
+                ELSE 1 + CAST(FLOOR(o_totalprice * 8 / 200000) AS BIGINT)
+           END AS bucket,
+           count(*) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS first_key
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+
+# Correlated LATERAL subquery with per-outer-row ORDER BY/LIMIT (top-n per
+# group through the route; native in Spark 4 and DuckDB).
+_LATERAL_SQL = """
+    SELECT r.r_name, t.n_name
+    FROM region r,
+    LATERAL (SELECT n_name FROM nation
+             WHERE n_regionkey = r.r_regionkey
+             ORDER BY n_name LIMIT 2) t
+    ORDER BY r.r_name, t.n_name
+"""
+_register_pg("pg_lateral_route", _LATERAL_SQL, _LATERAL_SQL)
