@@ -58,6 +58,7 @@ _PRIORITY = [
     "skewed_join_salted",
     "pg_width_bucket_route",
     "pg_lateral_route",
+    "histogram_equidepth",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -637,3 +637,28 @@ def _pivot_sql(spark: bool) -> str:
 
 
 _register_sql("pivot_event_type_daily", _pivot_sql(True), _pivot_sql(False))
+
+
+# ---------------------------------------------------------------------------
+# equi-depth histogram (r6): NTILE quartiles per key with exact bucket
+# boundaries — the complement of histogram_fixed_width (equal-width) and
+# approx_quantiles (sketched). The ORDER BY carries a full tie-break
+# (value, event_id) so bucket assignment is deterministic in both engines;
+# MIN/MAX of stored doubles are order-independent exact. One window
+# shuffle on the key + one aggregate.
+# ---------------------------------------------------------------------------
+_EQUIDEPTH = """
+    SELECT event_type, q,
+           COUNT(*) AS n,
+           MIN(value) AS lo,
+           MAX(value) AS hi
+    FROM (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS q
+      FROM events
+    )
+    GROUP BY event_type, q
+    ORDER BY event_type, q
+"""
+_register_sql("histogram_equidepth", _EQUIDEPTH)
