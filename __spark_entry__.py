@@ -59,6 +59,7 @@ _PRIORITY = [
     "pg_width_bucket_route",
     "pg_lateral_route",
     "histogram_equidepth",
+    "pg_bool_agg_route",
     "dml_incremental_matview_route",
     "text_nb_quality_classifier",
     "pg_array_slice_route",

@@ -447,3 +447,16 @@ _LATERAL_SQL = """
     ORDER BY r.r_name, t.n_name
 """
 _register_pg("pg_lateral_route", _LATERAL_SQL, _LATERAL_SQL)
+
+# Boolean aggregates bool_and / bool_or with FILTER (native in Spark and
+# DuckDB; pg clients use them for invariants-over-groups queries).
+_BOOLAGG_SQL = """
+    SELECT n_regionkey,
+           bool_and(n_nationkey >= 0) AS all_nonneg,
+           bool_or(n_nationkey % 7 = 0) AS any_div7,
+           bool_and(n_nationkey % 2 = 0) FILTER (WHERE n_nationkey < 10) AS low_all_even,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+_register_pg("pg_bool_agg_route", _BOOLAGG_SQL, _BOOLAGG_SQL)
