@@ -137,19 +137,53 @@ def _read_target(
 
 def _append(
     spark: SparkSession, catalog: Catalog, schema: str, table: str, typed: DataFrame
-) -> None:
-    """Append-only write (the COPY-FROM path): new files, old files untouched."""
-    props = catalog.table_props(schema, table) or {}
-    loc = catalog.location(schema, table)
-    if props.get("bucket_keys"):
-        out = typed.withColumn(
-            BUCKET_COL, _bucket_expr(props["bucket_keys"], props["n_buckets"])
-        )
-        out.write.mode("append").partitionBy(BUCKET_COL).parquet(loc)
+) -> int:
+    """Append-only write (the COPY-FROM path): new files, old files untouched.
+    Returns the exact appended row count, read from the new files' parquet
+    footers — one execution of the source plan instead of count-then-write."""
+    from bemidb_spark.sources.writer import append_rows
+
+    return append_rows(spark, catalog, schema, table, typed)
+
+
+def _fold_cursor_probe(
+    catalog: Catalog, schema: str, table: str, source_sql: str
+) -> str:
+    """Constant-fold ``col > (SELECT max(col) FROM <target>)`` — the
+    incremental-append cursor gate (reference amplitude syncer.go:35-75) —
+    into a literal read from the live files' parquet footer stats (Iceberg
+    upper_bounds style): a metadata probe instead of a table-scan aggregate
+    running as a scalar subquery inside the write job. Non-matching or
+    non-foldable (string-typed / remote) probes run unchanged."""
+    from bemidb_spark.sources.writer import (
+        _local_parquet_paths,
+        footer_column_max,
+    )
+
+    tbl = rf'(?:"?{re.escape(schema)}"?\s*\.\s*)?"?{re.escape(table)}"?'
+    pat = re.compile(
+        r'\(\s*SELECT\s+max\s*\(\s*"?(\w+)"?\s*\)\s+FROM\s+' + tbl + r"\s*\)",
+        re.IGNORECASE,
+    )
+    m = pat.search(source_sql)
+    if not m:
+        return source_sql
+    try:
+        paths = _local_parquet_paths(catalog.location(schema, table))
+    except KeyError:
+        return source_sql
+    if paths is None:
+        return source_sql
+    ok, bound = footer_column_max(paths, m.group(1))
+    if not ok:
+        return source_sql
+    if bound is None:
+        lit = "CAST(NULL AS BIGINT)"  # pg: > NULL selects nothing
+    elif isinstance(bound, bool) or not isinstance(bound, (int, float)):
+        return source_sql
     else:
-        typed.write.mode("append").parquet(loc)
-    spark.catalog.refreshByPath(loc)
-    catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
+        lit = repr(bound)
+    return source_sql[: m.start()] + lit + source_sql[m.end():]
 
 
 def _qualify(catalog: Catalog, sql: str) -> str:
@@ -319,6 +353,7 @@ def _run_insert(
         else [f.name for f in target.schema.fields]
     )
     if source_sql is not None:
+        source_sql = _fold_cursor_probe(catalog, schema, table, source_sql)
         raw = spark.sql(transpile(_qualify(catalog, source_sql)))
         typed = _conform(raw, target, cols)
     else:
@@ -328,18 +363,15 @@ def _run_insert(
     )
     action = (m.group(5) or "").strip()
     if conflict_keys is None:
-        n = typed.count()
         ret = _project_returning(spark, typed, returning)
-        _append(spark, catalog, schema, table, typed)
+        n = _append(spark, catalog, schema, table, typed)
         return "INSERT", n, ret
     if action.upper() == "NOTHING":
         fresh = typed.join(
             target.select(*conflict_keys), on=conflict_keys, how="left_anti"
         )
-        n = fresh.count()
         ret = _project_returning(spark, fresh, returning)
-        if n:
-            _append(spark, catalog, schema, table, fresh)
+        n = _append(spark, catalog, schema, table, fresh)
         return "INSERT", n, ret
     # DO UPDATE SET …: the idiomatic full-row case (every SET is
     # `col = EXCLUDED.col`) merges the new rows directly; arbitrary SET

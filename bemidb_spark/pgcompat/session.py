@@ -466,12 +466,18 @@ class PgSession:
             sql, re.IGNORECASE | re.DOTALL,
         )
         if m:
+            from bemidb_spark.sources.writer import footer_total_rows
+
             schema, _, table = m.group(1).replace('"', "").rpartition(".")
             df = self.execute(m.group(2))
-            n = df.count()
-            replace_table(self.catalog, schema or "public", table, df)
+            loc = replace_table(self.catalog, schema or "public", table, df)
+            # pg's CTAS tag is the row count: read it from the files just
+            # written (footer metadata) instead of re-executing the query
+            n = footer_total_rows(loc)
+            if n is None:
+                n = df.count()
             out = self._ok("CREATE TABLE")
-            out._pg_tag = f"SELECT {n}"  # pg's CTAS tag is the row count
+            out._pg_tag = f"SELECT {n}"
             return out
         m = re.match(
             r"CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"

@@ -25,6 +25,8 @@ driver-side action is the catalog pointer swap.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -71,6 +73,128 @@ def _with_field_ids(df: DataFrame) -> DataFrame:
 
 # hive partition column for key-bucketed tables (pruned MERGE)
 BUCKET_COL = "_kb"
+
+
+# ---------------------------------------------------------------------------
+# Parquet-footer metadata probes. Row counts and per-column bounds already
+# live in every file's footer (the same stats Iceberg lifts into manifest
+# `record_count` / `upper_bounds`), so DML tags and cursor probes can be
+# metadata reads instead of full table-scan aggregates: no second execution
+# of the INSERT source, no single-reducer shuffle stage — at 100 TB a cursor
+# probe touches O(#files) footers, not O(rows) data.
+# ---------------------------------------------------------------------------
+
+def _local_parquet_paths(location: str) -> list[str] | None:
+    """OS paths of the .parquet data files under a LOCAL table location, or
+    None for remote schemes (callers then fall back to a Spark job — on a
+    real cluster the same stats come from Iceberg manifests)."""
+    if fs.is_remote(location):
+        return None
+    root = location[len("file://"):] if location.startswith("file://") else location
+    return [
+        os.path.join(root, rel.replace("/", os.sep))
+        for rel in fs.walk_files(location)
+        if rel.endswith(".parquet")
+    ]
+
+
+def _footer_row_count(paths: list[str]) -> int:
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(p).num_rows for p in paths)
+
+
+def footer_total_rows(location: str) -> int | None:
+    """Exact row count of a table location from parquet footers (None →
+    remote location, caller must run a count job)."""
+    paths = _local_parquet_paths(location)
+    return None if paths is None else _footer_row_count(paths)
+
+
+# physical types whose parquet min/max stats are exact values (BYTE_ARRAY
+# bounds may be truncated prefixes — not actual column values — so string
+# cursors always fall back to the Spark aggregate)
+_EXACT_STAT_TYPES = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
+def footer_column_max(paths: list[str], col: str) -> tuple[bool, object]:
+    """(ok, max) of a top-level column from row-group statistics.
+
+    ok=False → the caller must run the Spark aggregate (missing stats, or a
+    truncatable physical type). ok=True with max=None → the column holds no
+    non-null values (empty table / all-null cursor)."""
+    import pyarrow.parquet as pq
+
+    best = None
+    for p in paths:
+        md = pq.read_metadata(p)
+        for rg_i in range(md.num_row_groups):
+            rg = md.row_group(rg_i)
+            cc = None
+            for ci in range(rg.num_columns):
+                if rg.column(ci).path_in_schema == col:
+                    cc = rg.column(ci)
+                    break
+            if cc is None:
+                return False, None  # schema drift: column absent in a file
+            if cc.physical_type not in _EXACT_STAT_TYPES:
+                return False, None
+            st = cc.statistics
+            if st is None:
+                return False, None
+            if not st.has_min_max:
+                # stats omitted: safe only if the group is provably all-null
+                if st.has_null_count and st.null_count == rg.num_rows:
+                    continue
+                return False, None
+            if best is None or st.max > best:
+                best = st.max
+    return True, best
+
+
+def append_rows(
+    spark: SparkSession,
+    catalog: Catalog,
+    schema: str,
+    table: str,
+    df: DataFrame,
+) -> int:
+    """Append-only write; returns the EXACT appended row count.
+
+    The count is read back from the new files' footers (one execution of the
+    source plan — the write job itself — instead of the count-then-write
+    double execution), matching how Iceberg derives commit row counts from
+    manifest entries. A zero-row append is rolled back: the empty part files
+    are removed and no catalog version is committed, so replayed cursor
+    batches are true no-ops. Remote locations count first (no footer access
+    driver-side) and skip the write when empty."""
+    props = catalog.table_props(schema, table) or {}
+    loc = catalog.location(schema, table)
+    out = df
+    if props.get("bucket_keys"):
+        out = df.withColumn(
+            BUCKET_COL, _bucket_expr(props["bucket_keys"], props["n_buckets"])
+        )
+        writer = out.write.mode("append").partitionBy(BUCKET_COL)
+    else:
+        writer = out.write.mode("append")
+    before = _local_parquet_paths(loc)
+    if before is None:  # remote: no driver-side footer access
+        n = df.count()
+        if n:
+            writer.parquet(loc)
+    else:
+        writer.parquet(loc)
+        prior = set(before)
+        new_files = [p for p in _local_parquet_paths(loc) if p not in prior]
+        n = _footer_row_count(new_files)
+        if n == 0:
+            for p in new_files:
+                fs.remove_file(p)
+    if n:
+        spark.catalog.refreshByPath(loc)
+        catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
+    return n
 
 
 def read_table(spark: SparkSession, catalog: Catalog, schema: str, table: str) -> DataFrame:
@@ -187,15 +311,14 @@ def append_with_cursor(
     cursor read is one tiny aggregation on the live table; the append adds new
     parquet files without touching existing ones.
     """
-    current = read_table(spark, catalog, schema, table)
-    max_cursor = current.agg(F.max(cursor_col).alias("m")).collect()[0].m
+    loc = catalog.location(schema, table)
+    paths = _local_parquet_paths(loc)
+    ok, max_cursor = (False, None) if paths is None else footer_column_max(paths, cursor_col)
+    if not ok:  # remote files or non-exact stats: one tiny Spark aggregate
+        current = read_table(spark, catalog, schema, table)
+        max_cursor = current.agg(F.max(cursor_col).alias("m")).collect()[0].m
     fresh = source if max_cursor is None else source.filter(F.col(cursor_col) > F.lit(max_cursor))
-    n = fresh.count()
-    if n:
-        _with_field_ids(fresh).write.mode("append").parquet(
-            catalog.location(schema, table)
-        )
-    return n
+    return append_rows(spark, catalog, schema, table, _with_field_ids(fresh))
 
 
 def _bucketed_layout(
@@ -301,11 +424,18 @@ def delete_by_key(
         empty = _with_field_ids(spark.createDataFrame([], row_schema))
         new_loc = catalog.new_location(schema, table)
         empty.write.mode("overwrite").parquet(new_loc)
-        old = catalog.commit_table(
-            schema, table, new_loc, catalog.columns(schema, table), props={},
+        # keep every non-layout prop (incremental-matview specs, sync
+        # watermarks); only the bucket layout dies with the data files
+        props = {
+            k: v for k, v in catalog.table_props(schema, table).items()
+            if k not in ("bucket_keys", "n_buckets")
+        }
+        catalog.commit_table(
+            schema, table, new_loc, catalog.columns(schema, table), props=props,
         )
-        if old:
-            fs.remove_tree(old)
+        # the superseded location joined the snapshot log above — expire via
+        # the log (as replace_table does) so time travel stays consistent
+        expire_snapshots(catalog, schema, table, keep=SNAPSHOT_RETENTION)
         return new_loc
     catalog.commit_table(schema, table, loc, catalog.columns(schema, table))
     return loc
@@ -320,6 +450,8 @@ def compact_table(
 ) -> str:
     """Rewrite a table's small files into right-sized ones (rewrite_data_files)."""
     df = read_table(spark, catalog, schema, table)
-    n_rows = df.count()
+    n_rows = footer_total_rows(catalog.location(schema, table))
+    if n_rows is None:
+        n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))
     return replace_table(catalog, schema, table, df, n_files=n_files)

@@ -405,3 +405,46 @@ def test_plain_views_lifecycle(spark, cat):
     with pytest.raises(UnsupportedQueryError, match="does not exist"):
         pg.execute("DROP VIEW vv2")
     pg.execute("DROP VIEW IF EXISTS vv2")  # no error
+
+
+def test_cursor_insert_replay_tag(spark, cat):
+    """The assertions moved OUT of the driver entry dml_cursor_append_route
+    (VERDICT r6: entries are pure final-state SELECTs): a replayed cursor
+    batch tags INSERT 0 0, adds no files, and bumps no catalog version —
+    and the cursor probe folds to a parquet-footer literal (no scalar-
+    subquery aggregate inside the write job)."""
+    from bemidb_spark.pgcompat.dml import _fold_cursor_probe
+
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE evc AS SELECT id AS event_id, id * 2 AS v "
+               "FROM range(0, 50)")
+    batch = ("INSERT INTO evc SELECT id AS event_id, id * 2 AS v "
+             "FROM range(0, {hi}) "
+             "WHERE id > (SELECT max(event_id) FROM evc)")
+    assert pg.execute(batch.format(hi=80))._pg_tag == "INSERT 0 30"
+    # probe folds to the footer-stats literal, not a subquery
+    folded = _fold_cursor_probe(
+        cat, "public", "evc",
+        "SELECT id FROM range(0, 99) WHERE id > (SELECT max(event_id) FROM evc)")
+    assert "(SELECT" not in folded and "79" in folded
+    version = cat.version()
+    replay = pg.execute(batch.format(hi=80))
+    assert replay._pg_tag == "INSERT 0 0"
+    assert cat.version() == version  # no-op replay: no commit
+    assert pg.execute("SELECT count(*) AS n, max(event_id) AS m FROM evc"
+                      ).collect()[0][:] == (80, 79)
+
+
+def test_matview_stale_until_refresh(spark, cat):
+    """The stale-read assertion moved OUT of the driver entry
+    dml_matview_refresh_route: a matview serves its CREATE-time contents
+    after base-table DML until REFRESH MATERIALIZED VIEW recomputes it."""
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE mb AS SELECT id, id % 3 AS g FROM range(0, 30)")
+    pg.execute("CREATE MATERIALIZED VIEW mvg AS "
+               "SELECT g, count(*) AS n FROM mb GROUP BY g")
+    pg.execute("INSERT INTO mb SELECT id, id % 3 AS g FROM range(30, 60)")
+    stale = pg.execute("SELECT sum(n) AS t FROM mvg").collect()[0].t
+    assert stale == 30, f"matview must stay stale-pinned, saw {stale}"
+    pg.execute("REFRESH MATERIALIZED VIEW mvg")
+    assert pg.execute("SELECT sum(n) AS t FROM mvg").collect()[0].t == 60

@@ -7,7 +7,10 @@ complex Spark types (array/map/struct) — the driver's pandas canonicalizer
 cannot hash those, so they must be serialized (``to_json``) at the contract
 boundary.
 
-Usage: python tools/run_gate.py [name-substring ...]
+Usage: python tools/run_gate.py [--no-snapshot] [name-substring ...]
+
+``--no-snapshot`` skips writing gate_last.json — for judge/CI spot checks of
+a few entries that shouldn't dirty the working tree with a partial merge.
 """
 
 from __future__ import annotations
@@ -45,7 +48,9 @@ def main() -> int:
     from bemidb_spark.oracle import compare
     from bemidb_spark.session import build_session
 
-    filters = sys.argv[1:]
+    args = sys.argv[1:]
+    snapshot = "--no-snapshot" not in args
+    filters = [a for a in args if not a.startswith("--")]
     spark = build_session()
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
@@ -98,6 +103,8 @@ def main() -> int:
     print(f"\n{n_ok}/{n} ok, {len(failed)} failed, {n_complex} with complex output cols")
     if failed:
         print("FAILED:", ", ".join(failed))
+    if not snapshot:
+        return 1 if failed else 0
     out_path = os.path.join(os.path.dirname(__file__), "gate_last.json")
     if filters and os.path.exists(out_path):
         # Filtered run: merge into the last snapshot instead of clobbering, but
