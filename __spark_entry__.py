@@ -37,125 +37,22 @@ _MODULES = [
 
 # Driver-verification rotation: the driver checks the registry front-to-back
 # within a bounded (~50-entry) window, so ordering here IS the verification
-# schedule. Round-4 window: every never-driver-checked entry, then the six
-# r3 hash-mismatch fixes, then entries whose code was rewritten after their
-# last driver row, then the stalest green rows. After this window every
-# registry entry has a driver CORRECTNESS row (cumulative 134/134).
+# schedule. Round-7 window (VERDICT r6 #1/#3): the two r6 driver-red DML
+# re-lands first (now assert-free, footer-counted), then the NEW r7 entries
+# (MERGE, schema evolution, time travel), then every dml_* entry whose
+# write path changed this round, then oldest-driver-row-first (the r2-
+# checked cohort fills the rest of the window; r3+ document the ongoing
+# rotation for r8).
 _PRIORITY = [
-    # r6 second wave: streaming heavy hitters (space-saving sketch in
-    # GroupState, streaming/stateful.py) + seven more transpiler rewrite
-    # families pinned through the pg route, incl. the 1-based
-    # array-subscript fix (pgpath.py)
-    "streaming_heavy_hitters",
-    "streaming_kmv_distinct",
-    "sketch_set_overlap",
-    "timeseries_interpolate",
-    "pagerank_event_graph",
-    "anomaly_daily_zscore",
-    "text_bigram_logprob",
-    "pg_ilike_route",
-    "dedup_ssjoin_prefix",
-    "skewed_join_salted",
-    "pg_width_bucket_route",
-    "pg_lateral_route",
-    "histogram_equidepth",
-    "pg_bool_agg_route",
-    "dml_incremental_matview_route",
-    "text_nb_quality_classifier",
-    "pg_array_slice_route",
-    "pg_regex_ops_route",
-    "pg_epoch_extract_route",
-    "pg_to_char_route",
-    "pg_fetch_first_route",
-    "pg_substring_pos_route",
-    "pg_tsearch_route",
-    # round-6 window head: DML/write-path entries NEW this round (VERDICT r5
-    # #4 — C3/C4/C5 were pytest-only; operators/dmlpath.py applies the
-    # change-set via the pg route and SELECTs the resulting table state)
-    "dml_upsert_route",
-    "dml_update_delete_route",
     "dml_cursor_append_route",
     "dml_matview_refresh_route",
+    "pg_merge_route",
+    "pg_alter_column_route",
+    "dml_time_travel_route",
+    "dml_upsert_route",
+    "dml_update_delete_route",
     "dml_vacuum_compact_route",
-    # r6 new capability: at-ingest near-dup tagging (streaming/stateful.py)
-    # + stream-static decontamination lookup (streaming/windows.py)
-    "streaming_minhash_dedup",
-    "streaming_decontaminate",
-    "streaming_embedding_dedup",
-    # r6: four more transpiler rewrite families pinned through the route
-    "pg_distinct_on_route",
-    "pg_similar_to_route",
-    "pg_array_ops_route",
-    "pg_series_join_route",
-    # round-5 window head: entries NEW this round ship with their driver
-    # slot in the same round (VERDICT r4 #8) — the pgcompat-route entries
-    # (operators/pgpath.py)
-    "pg_estring_roundtrip",
-    "pg_recursive_cte_route",
-    "pg_grouping_sets_empty",
-    "pg_json_arrow_route",
-    "pg_any_array_route",
-    "pg_interval_cast_route",
-    "pg_format_route",
-    "pg_window_route",
-    # then entries whose code was touched this round (stateful JSON
-    # vectorization; profile-conf unification affects every wire-bound run)
-    "streaming_stateful_user_profiles",
-    "dedup_cluster_survivors",
-    "mixture_temperature_weights",
-    "seq_len_buckets",
-    "dedup_dup_spectrum",
-    "text_token_entropy",
-    "sample_domain_cap",
-    "ann_recall_at_k",
-    "dedup_lsh_quality",
-    "mixture_domain_cap_shift",
-    "dedup_simhash_quality",
-    "event_path_trigrams",
-    "mixture_source_gini",
-    "text_novelty_ratio",
-    "skew_key_report",
-    "ann_probe_sweep",
-    "dedup_embedding_quality",
-    "event_gap_histogram",
-    "contamination_span_max",
-    "embedding_dim_stats",
-    "user_recency_weighted_value",
-    "streaming_late_data_drop",
-    "mm_frame_dedup",
-    "embedding_top_component",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "sample_hash_bernoulli",
-    # the six r3 hash-mismatch entries (HUGEINT oracle sums, cast to
-    # BIGINT this round) — need green r4 rows to close the class
-    "exact_substring_dedup",
-    "cdc_apply_changes",
-    "pack_sequences_budget",
-    "quality_budget_threshold",
-    "export_shard_manifest",
-    "pipeline_training_subset",
-    # r3 CTE-audit rewrites whose driver rows predate the rewrite
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    # last driver-checked in r1 only
-    "interval_bucketing",
-    "json_extract_bucket",
-    "recursive_month_series",
-    "setops_cohorts",
-    "string_funcs_battery",
-    "values_join",
-    # window filler: stalest r2-only rows (dedup family re-verify)
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_edit_distance",
-    "ann_cosine_topk",
-    # r2-only tail, oldest stale rows first
+    "dml_incremental_matview_route",
     "dedup_incremental_batch",
     "embedding_quantize_int8",
     "ann_hard_negatives",
@@ -196,8 +93,138 @@ _PRIORITY = [
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    "embedding_norm_filter",
+    "semdedup_clusters",
+    "text_bm25_topk",
+    "array_agg_types",
+    "string_agg_ordered",
+    "array_sublink_regions",
+    "date_funcs_battery",
+    "lateral_topn_per_customer",
+    "percentile_event_values",
+    "regex_funcs_battery",
+    "series_calendar_fill",
+    "stats_corr_regression",
+    "win_range_interval_frame",
+    "histogram_fixed_width",
+    "pivot_event_type_daily",
+    "decontaminate_eval_overlap",
+    "repetition_filter",
+    "bigram_familiarity",
+    "dedup_dup_clusters",
+    "doc_chunk_overlap",
+    "split_train_valid_test",
+    "mixture_resample_weights",
+    "unigram_logprob_score",
+    "boilerplate_line_strip",
+    "bpe_merge_candidates",
+    "embedding_centroid_outliers",
+    "shuffle_shard_assign",
+    "source_overlap_matrix",
+    "vocab_coverage_score",
+    "mm_resize",
+    "asof_join_purchase_view",
+    "sample_stratified_per_lang",
+    "sample_weighted_reservoir",
+    "ngram_top_bigrams",
+    "sketch_event_profile",
+    "range_join_close_events",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
+    "sessionize_events_30m",
+    "streaming_tumbling_daily",
+    "streaming_sliding_activity",
+    "streaming_session_windows",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "string_funcs_battery",
+    "values_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_edit_distance",
+    "ann_cosine_topk",
+    "ann_recall_at_k",
+    "dedup_lsh_quality",
+    "mixture_domain_cap_shift",
+    "dedup_simhash_quality",
+    "event_path_trigrams",
+    "mixture_source_gini",
+    "text_novelty_ratio",
+    "skew_key_report",
+    "ann_probe_sweep",
+    "dedup_embedding_quality",
+    "event_gap_histogram",
+    "contamination_span_max",
+    "embedding_dim_stats",
+    "user_recency_weighted_value",
+    "streaming_late_data_drop",
+    "mm_frame_dedup",
+    "embedding_top_component",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "sample_hash_bernoulli",
+    "exact_substring_dedup",
+    "cdc_apply_changes",
+    "pack_sequences_budget",
+    "quality_budget_threshold",
+    "export_shard_manifest",
+    "pipeline_training_subset",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "interval_bucketing",
+    "json_extract_bucket",
+    "recursive_month_series",
+    "setops_cohorts",
+    "streaming_heavy_hitters",
+    "streaming_kmv_distinct",
+    "sketch_set_overlap",
+    "timeseries_interpolate",
+    "pagerank_event_graph",
+    "anomaly_daily_zscore",
+    "text_bigram_logprob",
+    "pg_ilike_route",
+    "dedup_ssjoin_prefix",
+    "skewed_join_salted",
+    "pg_width_bucket_route",
+    "pg_lateral_route",
+    "histogram_equidepth",
+    "pg_bool_agg_route",
+    "text_nb_quality_classifier",
+    "pg_array_slice_route",
+    "pg_regex_ops_route",
+    "pg_epoch_extract_route",
+    "pg_to_char_route",
+    "pg_fetch_first_route",
+    "pg_substring_pos_route",
+    "pg_tsearch_route",
+    "streaming_minhash_dedup",
+    "streaming_decontaminate",
+    "streaming_embedding_dedup",
+    "pg_distinct_on_route",
+    "pg_similar_to_route",
+    "pg_array_ops_route",
+    "pg_series_join_route",
+    "pg_estring_roundtrip",
+    "pg_recursive_cte_route",
+    "pg_grouping_sets_empty",
+    "pg_json_arrow_route",
+    "pg_any_array_route",
+    "pg_interval_cast_route",
+    "pg_format_route",
+    "pg_window_route",
+    "streaming_stateful_user_profiles",
+    "dedup_cluster_survivors",
+    "mixture_temperature_weights",
+    "seq_len_buckets",
+    "dedup_dup_spectrum",
+    "text_token_entropy",
+    "sample_domain_cap",
 ]
-
 
 def _registries() -> tuple[dict, dict]:
     import importlib

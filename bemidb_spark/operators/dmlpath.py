@@ -282,6 +282,136 @@ def _dml_incremental_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderpriority")
 
 
+# ---------------------------------------------------------------------------
+# Schema evolution through the route (r7, VERDICT #6): ALTER TABLE
+# ADD COLUMN (constant DEFAULT backfills existing rows, pg11+ semantics),
+# RENAME COLUMN, DROP COLUMN, ALTER TYPE USING — then DML against the
+# evolved shape. The reference routes ALTER ... RENAME
+# (query_remapper.go:146-179) and re-infers schemas on change in its syncer;
+# here evolution lands on the catalog/writer path (Iceberg semantics: adds
+# and renames are metadata+one-rewrite in this catalog, id-stable on a real
+# Iceberg table). The oracle reshapes the untouched base table with the
+# same projection algebra.
+# ---------------------------------------------------------------------------
+def _pg_alter_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE alt_t AS "
+               "SELECT c_custkey, c_name, c_acctbal, c_mktsegment "
+               "FROM customer WHERE c_custkey < 400")
+    pg.execute("ALTER TABLE alt_t ADD COLUMN tier text DEFAULT 'standard'")
+    pg.execute("ALTER TABLE alt_t RENAME COLUMN c_mktsegment TO segment")
+    pg.execute("ALTER TABLE alt_t DROP COLUMN c_name")
+    pg.execute("ALTER TABLE alt_t ALTER COLUMN c_acctbal TYPE bigint "
+               "USING CAST(round(c_acctbal * 100) AS bigint)")
+    pg.execute("UPDATE alt_t SET tier = 'prime' WHERE c_custkey % 5 = 0")
+    return pg.execute(
+        "SELECT c_custkey, c_acctbal AS acct_cents, segment, tier "
+        "FROM alt_t ORDER BY c_custkey")
+
+
+QUERIES["pg_alter_column_route"] = _pg_alter_column
+ORACLES["pg_alter_column_route"] = """
+    SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+           c_mktsegment AS segment,
+           CASE WHEN c_custkey % 5 = 0 THEN 'prime' ELSE 'standard' END AS tier
+    FROM customer WHERE c_custkey < 400
+    ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time travel over the snapshot log (r7): an UPDATE swaps the live location;
+# the superseded one stays readable via read_table_at(age=1) — the
+# in-flight-reader / time-travel guarantee the writer documents (Iceberg
+# snapshot semantics; reference keeps the same snapshot history,
+# storage_utils.go:371-496). Both arms aggregate with a literal GROUP BY key
+# (keyed hashAgg — no no-key aggregate stage). Money in integral cents so
+# the sums are byte-exact.
+# ---------------------------------------------------------------------------
+def _dml_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.sources.writer import read_table, read_table_at
+
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE tt AS SELECT o_orderkey, o_totalprice "
+               "FROM orders WHERE o_orderkey < 600")
+    pg.execute("UPDATE tt SET o_totalprice = 0 WHERE o_orderkey % 2 = 0")
+
+    def state(df: DataFrame, label: str) -> DataFrame:
+        return df.groupBy(F.lit(label).alias("version")).agg(
+            F.count("*").alias("n"),
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)")).alias("cents"),
+        )
+
+    live = state(read_table(spark, cat, "public", "tt"), "live")
+    prev = state(read_table_at(spark, cat, "public", "tt", age=1), "prev")
+    return live.unionByName(prev).orderBy("version")
+
+
+QUERIES["dml_time_travel_route"] = _dml_time_travel
+ORACLES["dml_time_travel_route"] = """
+    SELECT 'live' AS version, count(*) AS n,
+           CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 0
+                         ELSE CAST(round(o_totalprice * 100) AS BIGINT) END)
+                AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 600
+    UNION ALL
+    SELECT 'prev' AS version, count(*) AS n,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 600
+    ORDER BY version
+"""
+
+
+# ---------------------------------------------------------------------------
+# pg15 MERGE statement through the route (r7): one full-outer join, first
+# applicable WHEN clause per row (conditional DELETE, UPDATE, gated INSERT).
+# The oracle reproduces the final state as pure SELECT algebra over the
+# untouched base table. The matched rows double their o_totalprice (t + d of
+# the same source row — exact in FP), money compared as integral cents.
+# ---------------------------------------------------------------------------
+def _pg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE m_acct AS "
+               "SELECT o_orderkey, o_orderstatus, o_totalprice "
+               "FROM orders WHERE o_orderkey < 1000")
+    pg.execute("""
+        MERGE INTO m_acct t
+        USING (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+               WHERE o_orderkey >= 500 AND o_orderkey < 1500) d
+        ON t.o_orderkey = d.o_orderkey
+        WHEN MATCHED AND d.o_orderkey % 10 = 1 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = t.o_totalprice + d.o_totalprice
+        WHEN NOT MATCHED AND d.o_orderkey % 10 <> 2 THEN
+          INSERT (o_orderkey, o_orderstatus, o_totalprice)
+          VALUES (d.o_orderkey, d.o_orderstatus, d.o_totalprice)
+    """)
+    return pg.execute(
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM m_acct ORDER BY o_orderkey")
+
+
+QUERIES["pg_merge_route"] = _pg_merge
+ORACLES["pg_merge_route"] = """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(CASE WHEN o_orderkey >= 500 THEN o_totalprice * 2
+                           ELSE o_totalprice END * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey < 1000
+      AND NOT (o_orderkey >= 500 AND o_orderkey % 10 = 1)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1500 AND o_orderkey % 10 <> 2
+    ORDER BY o_orderkey
+"""
+
+
 QUERIES["dml_incremental_matview_route"] = _dml_incremental_matview
 ORACLES["dml_incremental_matview_route"] = """
     SELECT o_orderpriority,

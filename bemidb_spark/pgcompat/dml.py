@@ -530,13 +530,259 @@ def _delete_using(
     return "DELETE", n, ret
 
 
+_MERGE_CLAUSE_RE = re.compile(
+    r"^WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_INSERT_RE = re.compile(
+    r"^INSERT\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _top_level_merge_whens(shielded: str) -> list[int]:
+    """Offsets of paren-depth-0 ``WHEN [NOT] MATCHED`` keywords (``CASE WHEN``
+    never precedes MATCHED, so the lookahead disambiguates)."""
+    out = []
+    depth = 0
+    for m in re.finditer(r"[()]|\bWHEN\s+(?:NOT\s+)?MATCHED\b", shielded,
+                         re.IGNORECASE):
+        tok = m.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0:
+            out.append(m.start())
+    return out
+
+
+def _run_merge(
+    spark: SparkSession, catalog: Catalog, sql: str
+) -> tuple[str, int, DataFrame | None]:
+    """pg15 ``MERGE INTO target USING source ON cond WHEN …`` executed as ONE
+    full-outer join (pg evaluates the join once, then applies the first
+    applicable WHEN clause per row — exactly a CASE cascade over the joined
+    row). The merged state is computed in a single execution
+    (localCheckpoint pins it executor-side), the affected-row tag is a keyed
+    1-group aggregate over the pinned blocks, and pg's "cannot affect row a
+    second time" error is raised when two source rows hit one target row.
+
+    Scale: on Iceberg this statement delegates to the engine's MERGE (file-
+    pruned row-level ops); this catalog re-buckets through
+    ``write_bucketed_table`` when the target is key-bucketed, so follow-up
+    pruned upserts keep working. The reference has no MERGE (its server is
+    read-only) — this extends the same writer machinery its syncers use."""
+    from bemidb_spark.pgcompat.transpiler import _shield_strings, _unshield
+    from bemidb_spark.sources.writer import write_bucketed_table
+
+    shielded, lits = _shield_strings(sql)
+    m = re.match(
+        r"^\s*MERGE\s+INTO\s+(?:ONLY\s+)?([A-Za-z_][\w.\"]*)"
+        r"(?:\s+(?:AS\s+)?(?!USING\b)([A-Za-z_]\w*))?\s+USING\s+",
+        shielded, re.IGNORECASE,
+    )
+    if not m:
+        raise DmlError("unsupported MERGE form")
+    target_name, t_alias = m.group(1), m.group(2)
+    rest = shielded[m.end():]
+    if rest.lstrip().startswith("("):
+        rest = rest.lstrip()
+        depth = 0
+        for i, ch in enumerate(rest):
+            depth += ch == "("
+            depth -= ch == ")"
+            if depth == 0:
+                break
+        source_text, rest = rest[: i + 1], rest[i + 1:]
+    else:
+        sm = re.match(r'\s*([A-Za-z_][\w."]*)', rest)
+        if not sm:
+            raise DmlError("unsupported MERGE source")
+        source_text, rest = sm.group(1), rest[sm.end():]
+    am = re.match(r"\s*(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)", rest, re.IGNORECASE)
+    s_alias = am.group(1) if am else None
+    if am:
+        rest = rest[am.end():]
+    om = re.match(r"\s*ON\s+", rest, re.IGNORECASE)
+    if not om:
+        raise DmlError("MERGE requires an ON condition")
+    rest = rest[om.end():]
+    whens = _top_level_merge_whens(rest)
+    if not whens:
+        raise DmlError("MERGE requires at least one WHEN clause")
+    on_text = rest[: whens[0]]
+    clause_texts = [
+        rest[a:b] for a, b in zip(whens, whens[1:] + [len(rest)])
+    ]
+
+    schema, table = _split_name(target_name)
+    target = _read_target(spark, catalog, schema, table)
+    src = spark.sql(transpile(_qualify(
+        catalog, f"SELECT * FROM {_unshield(source_text, lits)} AS __merge_src"
+    )))
+    tcols = target.columns
+    scols = src.columns
+    fields = {f.name: f for f in target.schema.fields}
+    t_names = [n for n in (t_alias, table) if n]
+    s_names = [n for n in (s_alias,) if n]
+    if source_text and not source_text.startswith("("):
+        s_names.append(source_text.replace('"', "").rpartition(".")[2])
+
+    def _retarget(frag: str) -> str:
+        """Bind alias-qualified and bare column refs to the prefixed join
+        columns (pg scoping: bare names resolve target-first)."""
+        for name in t_names:
+            frag = re.sub(rf'\b{re.escape(name)}\s*\.\s*"?(\w+)"?',
+                          r"__t_\1", frag, flags=re.IGNORECASE)
+        for name in s_names:
+            frag = re.sub(rf'\b{re.escape(name)}\s*\.\s*"?(\w+)"?',
+                          r"__s_\1", frag, flags=re.IGNORECASE)
+        for c in tcols:
+            frag = re.sub(rf'(?<![\w."]){re.escape(c)}\b(?!\s*[(.])',
+                          f"__t_{c}", frag, flags=re.IGNORECASE)
+        for c in scols:
+            if c in fields:
+                continue
+            frag = re.sub(rf'(?<![\w."]){re.escape(c)}\b(?!\s*[(.])',
+                          f"__s_{c}", frag, flags=re.IGNORECASE)
+        return frag
+
+    def _expr(frag: str) -> str:
+        return transpile(_unshield(_retarget(frag), lits))
+
+    clauses = []
+    for text in clause_texts:
+        cm = _MERGE_CLAUSE_RE.match(text.strip())
+        if not cm:
+            raise DmlError(f"unsupported MERGE clause: {text.strip()[:80]}")
+        not_matched = bool(cm.group(1))
+        cond = cm.group(2)
+        action = cm.group(3).strip().rstrip(";").strip()
+        up = action.upper()
+        if up.startswith("UPDATE"):
+            if not_matched:
+                raise DmlError("WHEN NOT MATCHED cannot UPDATE")
+            sets = {}
+            for item in _split_top_level(action[len("UPDATE"):].strip()[len("SET"):]):
+                sm = re.match(r'^\s*"?([\w]+)"?\s*=\s*(.+)$', item, re.DOTALL)
+                if not sm or sm.group(1) not in fields:
+                    raise DmlError(f"unsupported MERGE SET clause: {item}")
+                sets[sm.group(1)] = _expr(sm.group(2).strip())
+            kind, payload = "update", sets
+        elif up == "DELETE":
+            if not_matched:
+                raise DmlError("WHEN NOT MATCHED cannot DELETE")
+            kind, payload = "delete", None
+        elif re.match(r"^DO\s+NOTHING$", up):
+            kind, payload = "nothing", None
+        elif up.startswith("INSERT"):
+            if not not_matched:
+                raise DmlError("WHEN MATCHED cannot INSERT")
+            im = _MERGE_INSERT_RE.match(action)
+            if not im:
+                raise DmlError(f"unsupported MERGE INSERT: {action[:80]}")
+            ins_cols = (
+                [c.strip().strip('"') for c in im.group(1).split(",")]
+                if im.group(1) else list(tcols)
+            )
+            vals = _split_top_level(im.group(2))
+            if len(ins_cols) != len(vals):
+                raise DmlError("MERGE INSERT column/value count mismatch")
+            payload = {c: _expr(v.strip()) for c, v in zip(ins_cols, vals)}
+            kind = "insert"
+        else:
+            raise DmlError(f"unsupported MERGE action: {action[:80]}")
+        clauses.append({
+            "matched": not not_matched,
+            "cond": _expr(cond) if cond else None,
+            "kind": kind,
+            "payload": payload,
+        })
+
+    T = target.select(
+        *[F.col(c).alias(f"__t_{c}") for c in tcols],
+        F.lit(True).alias("__t_present"),
+        F.monotonically_increasing_id().alias("__tid"),
+    )
+    S = src.select(
+        *[F.col(c).alias(f"__s_{c}") for c in scols],
+        F.lit(True).alias("__s_present"),
+    )
+    joined = T.join(S, F.expr(_expr(on_text)), "full_outer")
+    is_m = F.col("__t_present").isNotNull() & F.col("__s_present").isNotNull()
+    is_s_only = F.col("__t_present").isNull()
+
+    conds = []
+    for cl in clauses:
+        base = is_m if cl["matched"] else is_s_only
+        conds.append(base & F.expr(cl["cond"]) if cl["cond"] else base)
+
+    def _cascade(value_of, fallback):
+        chain = None
+        for cond, cl in zip(conds, clauses):
+            v = value_of(cl)
+            chain = F.when(cond, v) if chain is None else chain.when(cond, v)
+        return chain.otherwise(fallback)
+
+    def _value(c):
+        fld = fields[c]
+
+        def value_of(cl):
+            if cl["kind"] == "update" and c in cl["payload"]:
+                return F.expr(cl["payload"][c]).cast(fld.dataType)
+            if cl["kind"] == "insert":
+                v = cl["payload"].get(c)
+                return (F.expr(v) if v is not None else F.lit(None)).cast(fld.dataType)
+            return F.col(f"__t_{c}")
+
+        return _cascade(value_of, F.col(f"__t_{c}")).alias(c)
+
+    keep = _cascade(
+        lambda cl: F.lit(cl["kind"] != "delete" if cl["matched"]
+                         else cl["kind"] == "insert"),
+        F.col("__t_present").isNotNull(),
+    )
+    aff = _cascade(
+        lambda cl: F.lit(0 if cl["kind"] == "nothing" else 1), F.lit(0)
+    )
+    flags = joined.select(
+        *[_value(c) for c in tcols],
+        keep.alias("__keep"), aff.alias("__aff"),
+        is_m.alias("__is_m"), F.col("__tid"),
+    )
+    pinned = flags.localCheckpoint(eager=True)  # one execution of the join
+    dup = (
+        pinned.filter("__is_m").groupBy("__tid").count()
+        .filter("count > 1").limit(1).collect()
+    )
+    if dup:
+        err = DmlError("MERGE command cannot affect row a second time")
+        err.sqlstate = "21000"
+        raise err
+    n = pinned.groupBy(F.lit(1).alias("__g")).agg(
+        F.sum("__aff").alias("s")).collect()
+    n = int(n[0].s or 0)
+    result = pinned.filter("__keep").select(*tcols)
+    keys = _bucket_keys(catalog, schema, table)
+    if keys:
+        props = catalog.table_props(schema, table)
+        write_bucketed_table(
+            spark, catalog, schema, table, result, keys,
+            n_buckets=int(props["n_buckets"]),
+        )
+    else:
+        replace_table(catalog, schema, table, result)
+    return "MERGE", n, None
+
+
 def handle_dml(
     spark: SparkSession, catalog: Catalog | None, sql: str
 ) -> tuple[str, int, DataFrame | None] | None:
     """Execute one DML statement; returns (tag_head, n_affected,
     returning_df | None) or None if the statement is not DML."""
     head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
-    if head not in ("INSERT", "UPDATE", "DELETE", "WITH"):
+    if head not in ("INSERT", "UPDATE", "DELETE", "WITH", "MERGE"):
         return None
     if catalog is None:
         raise DmlError("DML requires a table catalog")
@@ -545,6 +791,11 @@ def handle_dml(
     returning = rm.group(1) if rm else None
     if rm:
         sql = sql[:rm.start()]
+
+    if head == "MERGE":
+        if returning is not None:
+            raise DmlError("MERGE ... RETURNING is not supported")
+        return _run_merge(spark, catalog, sql)
 
     if head == "WITH":
         # CTE-prefixed INSERT: `WITH ctes INSERT INTO t SELECT …` — pg scopes

@@ -1138,7 +1138,7 @@ class PgSession:
             # (Spark plans from parquet footer stats, not btree indexes — the
             # reference's DuckDB engine likewise ignores them).
             return self._ok(stripped.split()[0])
-        is_dml = upper.startswith(("INSERT", "UPDATE", "DELETE"))
+        is_dml = upper.startswith(("INSERT", "UPDATE", "DELETE", "MERGE"))
         if not is_dml and upper.startswith("WITH"):
             from bemidb_spark.pgcompat.dml import has_toplevel_insert
 

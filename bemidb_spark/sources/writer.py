@@ -228,12 +228,13 @@ def write_bucketed_table(
     loc = catalog.new_location(schema, table)
     out = _with_field_ids(df).withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
     out.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(loc)
-    old = catalog.commit_table(
+    catalog.commit_table(
         schema, table, loc, _columns_meta(df),
         props={"bucket_keys": key_cols, "n_buckets": n_buckets},
     )
-    if old:
-        fs.remove_tree(old)
+    # superseded location joined the snapshot log in commit_table — expire
+    # through the log (not remove_tree) so time travel stays consistent
+    expire_snapshots(catalog, schema, table, keep=SNAPSHOT_RETENTION)
     return loc
 
 
@@ -261,7 +262,15 @@ def replace_table(
     loc = catalog.new_location(schema, table)
     out = df.repartition(n_files) if n_files else df
     _with_field_ids(out).write.mode("overwrite").parquet(loc)
-    old = catalog.commit_table(schema, table, loc, _columns_meta(df))
+    # the files written here are NOT bucket-partitioned, so a stale
+    # bucket-layout prop must not survive the swap (a later "pruned" MERGE
+    # would look for a _kb partition column that no longer exists); every
+    # other prop (incremental-matview specs, sync watermarks) is kept
+    props = {
+        k: v for k, v in catalog.table_props(schema, table).items()
+        if k not in ("bucket_keys", "n_buckets")
+    }
+    old = catalog.commit_table(schema, table, loc, _columns_meta(df), props=props)
     if old and drop_old:
         for expired in catalog.prune_snapshots(schema, table, keep=0):
             fs.remove_tree(expired)

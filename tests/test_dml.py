@@ -448,3 +448,75 @@ def test_matview_stale_until_refresh(spark, cat):
     assert stale == 30, f"matview must stay stale-pinned, saw {stale}"
     pg.execute("REFRESH MATERIALIZED VIEW mvg")
     assert pg.execute("SELECT sum(n) AS t FROM mvg").collect()[0].t == 60
+
+
+def test_merge_full_surface(spark, cat):
+    """pg15 MERGE: UPDATE / DELETE / conditional clauses / INSERT, first
+    applicable clause wins, tag counts every affected row."""
+    replace_table(cat, "public", "acct", spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)],
+        "k bigint, v string, bal bigint"))
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE delta AS SELECT * FROM (VALUES "
+               "(2, 'B', 5), (3, 'C', -1), (5, 'E', 50), (6, 'F', -9)"
+               ") AS t(k, v, bal)")
+    df = pg.execute("""
+        MERGE INTO acct a USING delta d ON a.k = d.k
+        WHEN MATCHED AND d.bal < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = d.v, bal = a.bal + d.bal
+        WHEN NOT MATCHED AND d.bal > 0 THEN INSERT (k, v, bal) VALUES (d.k, d.v, d.bal)
+    """)
+    # affected: k=2 update, k=3 delete, k=5 insert (k=6 fails the AND) = 3
+    assert df._pg_tag == "MERGE 3"
+    got = {r.k: (r.v, r.bal) for r in
+           pg.execute("SELECT * FROM acct").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 25), 4: ("d", 40), 5: ("E", 50)}
+
+
+def test_merge_bucketed_target_keeps_layout(spark, cat):
+    """MERGE on a key-bucketed target re-buckets the result so later pruned
+    upserts still work."""
+    write_bucketed_table(spark, cat, "public", "bt", spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, n bigint"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE src AS SELECT * FROM (VALUES (2, 1), (9, 90)) "
+               "AS t(k, n)")
+    assert pg.execute(
+        "MERGE INTO bt USING src ON bt.k = src.k "
+        "WHEN MATCHED THEN UPDATE SET n = bt.n + src.n "
+        "WHEN NOT MATCHED THEN INSERT VALUES (src.k, src.n)"
+    )._pg_tag == "MERGE 2"
+    assert cat.table_props("public", "bt").get("bucket_keys") == ["k"]
+    # pruned path still works after the merge
+    pg.execute("INSERT INTO bt VALUES (9, 0) "
+               "ON CONFLICT (k) DO UPDATE SET n = EXCLUDED.n")
+    got = {r.k: r.n for r in read_table(spark, cat, "public", "bt").collect()}
+    assert got == {1: 10, 2: 21, 9: 0}
+
+
+def test_merge_duplicate_source_match_errors(spark, cat):
+    replace_table(cat, "public", "one", spark.createDataFrame(
+        [(1, "x")], "k bigint, v string"))
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE dup AS SELECT * FROM (VALUES (1, 'p'), (1, 'q')) "
+               "AS t(k, v)")
+    with pytest.raises(UnsupportedQueryError,
+                       match="cannot affect row a second time"):
+        pg.execute("MERGE INTO one USING dup ON one.k = dup.k "
+                   "WHEN MATCHED THEN UPDATE SET v = dup.v")
+
+
+def test_update_key_column_on_bucketed_table_drops_stale_layout(spark, cat):
+    """An UPDATE that rewrites a bucketed table's key column falls back to an
+    unbucketed swap — the stale bucket-layout prop must not survive (a later
+    'pruned' MERGE would look for a partition column that no longer exists)."""
+    write_bucketed_table(spark, cat, "public", "kb", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k bigint, v string"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    pg.execute("UPDATE kb SET k = k + 100 WHERE k = 1")
+    assert "bucket_keys" not in cat.table_props("public", "kb")
+    # the formerly-pruned path now takes the unbucketed fallback, correctly
+    pg.execute("INSERT INTO kb VALUES (2, 'B') "
+               "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
+    got = {r.k: r.v for r in read_table(spark, cat, "public", "kb").collect()}
+    assert got == {101: "a", 2: "B"}

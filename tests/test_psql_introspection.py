@@ -239,3 +239,23 @@ WHERE pg_catalog.pg_function_is_visible(p.oid)
       AND n.nspname <> 'information_schema'
 ORDER BY 1, 2, 4""").collect()
     assert rows == []
+
+
+def test_psql_d_reflects_schema_evolution(pg):
+    """After ALTER TABLE ADD/RENAME/DROP COLUMN, psql's \\d attribute query
+    (the literal pg_attribute SQL above) reports the EVOLVED shape —
+    VERDICT r6 #6's done-criterion for the schema-evolution route."""
+    pg.execute("CREATE TABLE evo (id bigint, old_name text, gone int)")
+    pg.execute("ALTER TABLE evo ADD COLUMN score double precision DEFAULT 1.5")
+    pg.execute("ALTER TABLE evo RENAME COLUMN old_name TO label")
+    pg.execute("ALTER TABLE evo DROP COLUMN gone")
+    oid = pg.execute(
+        "SELECT c.oid FROM pg_catalog.pg_class c WHERE c.relname = 'evo'"
+    ).collect()[0].oid
+    q = f"""SELECT a.attname, pg_catalog.format_type(a.atttypid, a.atttypmod)
+FROM pg_catalog.pg_attribute a
+WHERE a.attrelid = '{oid}' AND a.attnum > 0 AND NOT a.attisdropped
+ORDER BY a.attnum"""
+    rows = [tuple(r) for r in pg.execute(q).collect()]
+    assert [r[0] for r in rows] == ["id", "label", "score"]
+    assert rows[0][1] == "bigint" and rows[2][1] == "double precision"
