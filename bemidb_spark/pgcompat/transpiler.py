@@ -1307,31 +1307,60 @@ def _rewrite_tablesample(sql: str) -> str:
     )
 
 
-def _primary_before(sql: str, end: int) -> int:
+def _quote_mask(sql: str) -> list[bool]:
+    """mask[i] = True when sql[i] sits inside (or delimits) a single-quoted
+    literal. Doubled '' escapes toggle twice and stay masked."""
+    mask = [False] * len(sql)
+    in_q = False
+    for i, c in enumerate(sql):
+        if c == "'":
+            mask[i] = True
+            in_q = not in_q
+        elif in_q:
+            mask[i] = True
+    return mask
+
+
+def _primary_before(sql: str, end: int, mask: list[bool] | None = None) -> int:
     """Start index of the primary expression ending just before ``end``:
-    an identifier chain, or a balanced ``(...)`` optionally preceded by a
-    function-name identifier chain (``split(x, '_')``), either optionally
-    followed by already-present subscript groups (``x[1][2:3]`` chains —
-    the earlier group is part of the primary the later one applies to)."""
+    an identifier chain, a string literal, or a balanced ``(...)``
+    optionally preceded by a function-name identifier chain
+    (``split(x, '_')``), either optionally followed by already-present
+    subscript groups (``x[1][2:3]`` chains — the earlier group is part of
+    the primary the later one applies to). ``mask`` (from ``_quote_mask``)
+    makes the backward paren/bracket walk quote-aware, so rule-generated
+    raw literals containing '(' / ')' / ']' (e.g. concat('[', …, ']'))
+    don't miscount depth."""
+
+    def masked(i: int) -> bool:
+        return mask is not None and mask[i]
+
     i = end - 1
     while i >= 0 and sql[i].isspace():
         i -= 1
-    while i >= 0 and sql[i] == "]":  # walk over trailing subscript groups
+    while i >= 0 and sql[i] == "]" and not masked(i):
         depth = 0
         while i >= 0:
-            depth += {"[": -1, "]": 1}.get(sql[i], 0)
+            if not masked(i):
+                depth += {"[": -1, "]": 1}.get(sql[i], 0)
             i -= 1
             if depth == 0:
                 break
-    if i >= 0 and sql[i] == ")":
+    if i >= 0 and sql[i] == ")" and not masked(i):
         depth = 0
         while i >= 0:
-            depth += {"(": -1, ")": 1}.get(sql[i], 0)
+            if not masked(i):
+                depth += {"(": -1, ")": 1}.get(sql[i], 0)
             i -= 1
             if depth == 0:
                 break
         # include a function name directly before the parens
         while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
+            i -= 1
+        return i + 1
+    if i >= 0 and masked(i) and sql[i] == "'":
+        # a string-literal primary ('…')[n]-less form: include the literal
+        while i >= 0 and masked(i):
             i -= 1
         return i + 1
     while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
@@ -1344,17 +1373,24 @@ def _rewrite_array_slice(sql: str) -> str:
     ``slice(expr, lo, hi-lo+1)`` (literal bounds — the form clients write).
     The sliced primary expression is an identifier chain or a balanced
     ``(...)``, found by scanning backward from the bracket."""
+    search_from = 0
     while True:
-        m = re.search(r"\[\s*(\d+)\s*:\s*(\d+)\s*\]", sql)
+        mask = _quote_mask(sql)
+        m = next(
+            (mm for mm in re.finditer(r"\[\s*(\d+)\s*:\s*(\d+)\s*\]", sql)
+             if mm.start() >= search_from and not mask[mm.start()]),
+            None,
+        )
         if not m:
             return sql
         lo, hi = int(m.group(1)), int(m.group(2))
         lo = max(lo, 1)  # pg clamps a 0/low start to the first element;
         # Spark's slice() rejects start 0 outright
-        start = _primary_before(sql, m.start())
+        start = _primary_before(sql, m.start(), mask)
         expr = sql[start:m.start()].rstrip()
-        if not expr:  # stray bracket (shouldn't happen): leave untouched
-            return sql
+        if not expr:  # stray bracket: skip it, keep scanning the rest
+            search_from = m.end()
+            continue
         sql = (sql[:start] + f"slice({expr}, {lo}, {max(hi - lo + 1, 0)})"
                + sql[m.end():])
 
@@ -1386,18 +1422,22 @@ def _rewrite_array_index(sql: str) -> str:
                     return opens.pop(), i
         return None
 
+    # Non-rewritable brackets (empty index, non-literal slice left by
+    # _rewrite_array_slice, ARRAY[...] prefix) are masked to sentinels and
+    # restored at the end, so ONE unhandled pair no longer aborts the pass
+    # and leaves later plain subscripts silently 0-based.
+    OPEN, CLOSE = "\x01", "\x02"
     while True:
         pos = _find_subscript(sql)
         if not pos:
-            return sql
+            return sql.replace(OPEN, "[").replace(CLOSE, "]")
         b, e = pos
         idx = sql[b + 1:e].strip()
-        if not idx or ":" in idx:
-            return sql
-        start = _primary_before(sql, b)
+        start = _primary_before(sql, b, _quote_mask(sql))
         expr = sql[start:b].rstrip()
-        if not expr or expr.upper() == "ARRAY":
-            return sql
+        if (not idx or ":" in idx or not expr or expr.upper() == "ARRAY"):
+            sql = sql[:b] + OPEN + sql[b + 1:e] + CLOSE + sql[e + 1:]
+            continue
         if re.fullmatch(r"\d+", idx) and int(idx) >= 1:
             at = idx
         else:

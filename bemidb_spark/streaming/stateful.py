@@ -554,8 +554,27 @@ _HH_STATE_SCHEMA = T.StructType([
 ])
 
 
+def _make_space_saving(capacity: int = _HH_CAPACITY):
+    """Space-saving transition fn with a pinned per-group counter capacity.
+
+    A factory (capacity captured in the closure, so it ships with the
+    pickled function to the workers) because the driver entry sizes capacity
+    from the corpus: the ORACLE asserts exact counts, which hold only while
+    every group's distinct-key count stays <= capacity — the binding bound
+    is PER-GROUP capacity, not the G*C total (a skewed pmod split at a
+    larger gate SF would otherwise evict and silently overestimate)."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        return _update_space_saving(key, pdfs, state, capacity)
+
+    return update
+
+
 def _update_space_saving(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    capacity: int = _HH_CAPACITY,
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         keys, counts, errs, n_seen = state.get
@@ -572,7 +591,7 @@ def _update_space_saving(
             uid, c = int(uid), int(c)
             if uid in summary:
                 summary[uid][0] += c
-            elif len(summary) < _HH_CAPACITY:
+            elif len(summary) < capacity:
                 summary[uid] = [c, 0]
             else:
                 # evict the min counter (tie: largest key, so the survivor
@@ -599,12 +618,25 @@ def _update_space_saving(
 
 
 def _streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Size capacity from the corpus (ADVICE r6): the oracle asserts EXACT
+    # counts, which the summary guarantees only while each group's distinct
+    # users <= capacity. One keyed batch aggregate over the gate parquet
+    # pins that by construction at any SF — a skewed pmod split can no
+    # longer evict. The eviction/approximation path stays pytest-covered
+    # (tests drive _update_space_saving with capacity 32 directly).
+    worst = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy(F.pmod(F.col("user_id"), F.lit(_HH_GROUPS)).alias("g"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.max("d").alias("m")).collect()[0].m
+    ) or 0
+    capacity = max(_HH_CAPACITY, int(worst))
     ev = _events_stream(spark, sf_dir).select(
         F.pmod(F.col("user_id"), F.lit(_HH_GROUPS)).cast("int").alias("grp"),
         "user_id",
     )
     summaries = ev.groupBy("grp").applyInPandasWithState(
-        _update_space_saving,
+        _make_space_saving(capacity),
         outputStructType=_HH_OUT_SCHEMA,
         stateStructType=_HH_STATE_SCHEMA,
         outputMode="update",

@@ -464,8 +464,9 @@ def test_space_saving_update_fn_unit():
     merge order (count DESC, key ASC) is arrival-order independent."""
     import pandas as pd
 
-    import bemidb_spark.streaming.stateful as st_mod
-    from bemidb_spark.streaming.stateful import _update_space_saving
+    from bemidb_spark.streaming.stateful import _make_space_saving
+
+    _update_space_saving = _make_space_saving(2)  # tiny capacity: eviction path
 
     class FakeState:
         def __init__(self):
@@ -482,10 +483,7 @@ def test_space_saving_update_fn_unit():
         def update(self, v):
             self._v = v
 
-    # force tiny capacity for the eviction path
-    orig = st_mod._HH_CAPACITY
-    st_mod._HH_CAPACITY = 2
-    try:
+    if True:
         st = FakeState()
         # batch 1: two keys fit exactly; counts exact, err 0
         [out] = _update_space_saving(
@@ -511,8 +509,6 @@ def test_space_saving_update_fn_unit():
             (0,), iter([pd.DataFrame({"user_id": [3, 2, 1, 2]})]), b)
         assert a.get == b.get
         assert oa.to_dict("records") == ob.to_dict("records")
-    finally:
-        st_mod._HH_CAPACITY = orig
 
 
 def test_streaming_heavy_hitters_matches_batch(spark):
