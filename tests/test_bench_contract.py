@@ -52,6 +52,10 @@ def test_bench_stdout_is_one_json_line_with_contract_fields():
         "wire_concurrent_steal_pct", "wire_concurrent_bw_canary_sec",
         "cold_sequential_sec", "cold_steal_pct", "cold_bw_canary_sec",
         "prepare_sec", "ingest_sec", "pipeline_sec", "small_input_profile",
+        # r7 additions: multi-thread bandwidth canary + per-pass GC time
+        # (sf1 tail attribution), dual-profile marker, wire value check
+        "reexec_bw_canary_mt_sec", "reexec_gc_ms", "wire_reexec_gc_ms",
+        "wire_value_check", "dual_profile",
     ):
         assert field in d, f"missing contract field {field}"
     # every timed phase carries one host-condition reading per sample; the
@@ -63,3 +67,8 @@ def test_bench_stdout_is_one_json_line_with_contract_fields():
     # the multi-client soak must have completed cleanly
     assert d["wire_concurrent_errors"] == 0
     assert d["wire_concurrent_sec"] is not None and d["wire_concurrent_sec"] > 0
+    # the wire value spot-check ran and byte-matched the resident arm
+    assert d["wire_value_check"] and d["wire_value_check"]["match"] is True
+    assert len(d["reexec_gc_ms"]) == len(d["reexec_sequential_samples"])
+    # deliberate soak errors are labeled on stderr, not anonymous
+    assert "# soak-expected-error: BEGIN" in proc.stderr
