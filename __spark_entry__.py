@@ -49,6 +49,9 @@ _PRIORITY = [
     "pg_merge_route",
     "pg_alter_column_route",
     "dml_time_travel_route",
+    "pg_on_conflict_where_route",
+    "pg_cursor_fetch_route",
+    "pg_prepare_execute_route",
     "dml_upsert_route",
     "dml_update_delete_route",
     "dml_vacuum_compact_route",

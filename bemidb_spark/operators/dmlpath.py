@@ -412,6 +412,44 @@ ORACLES["pg_merge_route"] = """
 """
 
 
+# ---------------------------------------------------------------------------
+# ON CONFLICT DO UPDATE ... WHERE (r7): the update gate pg clients use for
+# monotonic upserts ("only overwrite if newer"). Bare columns in the WHERE
+# bind to the TARGET row (pg scoping) — here only even-keyed conflicts take
+# the proposed row; odd conflicts keep their old values; fresh keys insert.
+# ---------------------------------------------------------------------------
+def _pg_on_conflict_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE oc_gate AS "
+               "SELECT o_orderkey, o_orderstatus, o_totalprice "
+               "FROM orders WHERE o_orderkey < 800")
+    pg.execute("""
+        INSERT INTO oc_gate (o_orderkey, o_orderstatus, o_totalprice)
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 10
+        FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 1200
+        ON CONFLICT (o_orderkey) DO UPDATE SET
+          o_totalprice = EXCLUDED.o_totalprice
+        WHERE o_orderkey % 2 = 0
+    """)
+    return pg.execute(
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+        "FROM oc_gate ORDER BY o_orderkey")
+
+
+QUERIES["pg_on_conflict_where_route"] = _pg_on_conflict_where
+ORACLES["pg_on_conflict_where_route"] = """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round((CASE
+                WHEN o_orderkey >= 800 THEN o_totalprice + 10
+                WHEN o_orderkey >= 400 AND o_orderkey % 2 = 0
+                     THEN o_totalprice + 10
+                ELSE o_totalprice END) * 100) AS BIGINT) AS cents
+    FROM orders WHERE o_orderkey < 1200
+    ORDER BY o_orderkey
+"""
+
+
 QUERIES["dml_incremental_matview_route"] = _dml_incremental_matview
 ORACLES["dml_incremental_matview_route"] = """
     SELECT o_orderpriority,

@@ -460,3 +460,67 @@ _BOOLAGG_SQL = """
     GROUP BY n_regionkey ORDER BY n_regionkey
 """
 _register_pg("pg_bool_agg_route", _BOOLAGG_SQL, _BOOLAGG_SQL)
+
+# ---------------------------------------------------------------------------
+# Server-side cursors through the route (r7): DECLARE … CURSOR FOR /
+# FETCH n / MOVE n / CLOSE — the paging surface psycopg2 named cursors and
+# JDBC setFetchSize speak. The entry pages two windows out of an ordered
+# scan (FETCH 15, skip 10 with MOVE, FETCH 15) and unions them; the oracle
+# reproduces the same windows with LIMIT/OFFSET.
+# ---------------------------------------------------------------------------
+def _pg_cursor_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from bemidb_spark.pgcompat.session import PgSession
+
+    pg = PgSession(spark)
+    pg.execute("BEGIN")
+    pg.execute("DECLARE ord_cur CURSOR FOR "
+               "SELECT o_orderkey, o_orderpriority FROM orders "
+               "ORDER BY o_orderkey")
+    first = pg.execute("FETCH 15 FROM ord_cur")
+    pg.execute("MOVE 10 IN ord_cur")
+    second = pg.execute("FETCH 15 FROM ord_cur")
+    pg.execute("CLOSE ord_cur")
+    pg.execute("COMMIT")
+    return first.unionByName(second)
+
+
+QUERIES["pg_cursor_fetch_route"] = _pg_cursor_fetch
+ORACLES["pg_cursor_fetch_route"] = """
+    (SELECT o_orderkey, o_orderpriority FROM orders
+     ORDER BY o_orderkey LIMIT 15)
+    UNION ALL
+    (SELECT o_orderkey, o_orderpriority FROM orders
+     ORDER BY o_orderkey LIMIT 15 OFFSET 25)
+"""
+
+
+# ---------------------------------------------------------------------------
+# SQL-level PREPARE / EXECUTE through the route (r7): psql scripts and
+# pgbench speak this (the wire Parse/Bind path is separate and
+# pytest-covered); $n substitution happens server-side before planning.
+# ---------------------------------------------------------------------------
+def _pg_prepare_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from bemidb_spark.pgcompat.session import PgSession
+
+    pg = PgSession(spark)
+    pg.execute("PREPARE custbal (int, text) AS "
+               "SELECT c_custkey, c_mktsegment, "
+               "CAST(round(c_acctbal * 100) AS BIGINT) AS cents "
+               "FROM customer "
+               "WHERE c_custkey < $1 AND c_mktsegment <> $2 "
+               "ORDER BY c_custkey")
+    out = pg.execute("EXECUTE custbal(120, 'MACHINERY')")
+    pg.execute("DEALLOCATE custbal")
+    return out
+
+
+QUERIES["pg_prepare_execute_route"] = _pg_prepare_execute
+ORACLES["pg_prepare_execute_route"] = """
+    SELECT c_custkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+    FROM customer
+    WHERE c_custkey < 120 AND c_mktsegment <> 'MACHINERY'
+    ORDER BY c_custkey
+"""

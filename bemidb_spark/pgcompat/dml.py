@@ -290,21 +290,25 @@ def _merge_conflict_updates(
     typed: DataFrame,
     keys: list[str],
     sets: list[str],
-) -> DataFrame:
+    where: str | None = None,
+) -> tuple[DataFrame, int | None]:
     """Evaluate ON CONFLICT SET expressions with pg scoping: for rows whose
     key already exists, bare columns bind to the OLD row and ``EXCLUDED.col``
     to the proposed row; unmatched rows insert as proposed. One join on the
     conflict key (the proposed side is client-literal-sized, so Catalyst
-    broadcasts it); the result feeds the partition-pruned upsert."""
+    broadcasts it); the result feeds the partition-pruned upsert.
+
+    ``where`` (``DO UPDATE SET … WHERE cond``, same scoping) gates which
+    conflicting rows update: failing rows keep the OLD row and — pg
+    semantics — do NOT count toward the INSERT tag, so the second return
+    value is the affected-row count when a WHERE was given (None
+    otherwise; the caller then uses the plain proposed-row count)."""
     from bemidb_spark.pgcompat.transpiler import _shield_strings, _unshield
 
     fields = {f.name: f for f in target.schema.fields}
-    set_map: dict[str, str] = {}
-    for item in sets:
-        sm = re.match(r'^\s*"?([\w]+)"?\s*=\s*(.+)$', item, re.DOTALL)
-        if not sm or sm.group(1) not in fields:
-            raise DmlError(f"unsupported SET clause: {item}")
-        shielded, lits = _shield_strings(transpile(sm.group(2).strip()))
+
+    def _scope(expr_sql: str) -> str:
+        shielded, lits = _shield_strings(transpile(expr_sql.strip()))
         shielded = re.sub(
             r"\bEXCLUDED\s*\.\s*\"?(\w+)\"?", r"__new_\1", shielded,
             flags=re.IGNORECASE,
@@ -314,7 +318,14 @@ def _merge_conflict_updates(
                 rf'(?<![\w."])({re.escape(c)})\b(?!\s*\()', f"__old_{c}",
                 shielded, flags=re.IGNORECASE,
             )
-        set_map[sm.group(1)] = _unshield(shielded, lits)
+        return _unshield(shielded, lits)
+
+    set_map: dict[str, str] = {}
+    for item in sets:
+        sm = re.match(r'^\s*"?([\w]+)"?\s*=\s*(.+)$', item, re.DOTALL)
+        if not sm or sm.group(1) not in fields:
+            raise DmlError(f"unsupported SET clause: {item}")
+        set_map[sm.group(1)] = _scope(sm.group(2))
     old = target.select(*[F.col(c).alias(f"__old_{c}") for c in fields])
     new = typed.select(*[F.col(c).alias(f"__new_{c}") for c in fields])
     cond = None
@@ -323,13 +334,21 @@ def _merge_conflict_updates(
         cond = eq if cond is None else (cond & eq)
     joined = new.join(old, on=cond, how="left")
     matched = F.col(f"__old_{keys[0]}").isNotNull()
-    return joined.select(*[
+    apply_upd = matched
+    n_effective = None
+    if where is not None:
+        gate = F.expr(_scope(where))
+        apply_upd = matched & F.coalesce(gate, F.lit(False))
+        n_effective = joined.filter(~matched | F.coalesce(gate, F.lit(False))).count()
+    result = joined.select(*[
         F.when(
-            matched,
+            apply_upd,
             F.expr(set_map[c]) if c in set_map else F.col(f"__old_{c}"),
-        ).otherwise(F.col(f"__new_{c}")).cast(fields[c].dataType).alias(c)
+        ).when(matched, F.col(f"__old_{c}"))
+        .otherwise(F.col(f"__new_{c}")).cast(fields[c].dataType).alias(c)
         for c in fields
     ])
+    return result, n_effective
 
 
 def _run_insert(
@@ -377,17 +396,29 @@ def _run_insert(
     # `col = EXCLUDED.col`) merges the new rows directly; arbitrary SET
     # expressions get a real old-row merge — bare column refs mean the
     # TARGET row, EXCLUDED.col the proposed row, exactly pg's scoping.
-    if re.search(r"\bWHERE\b", action, re.IGNORECASE):
-        raise DmlError("ON CONFLICT DO UPDATE ... WHERE is not supported")
-    sets = _split_top_level(action[len("UPDATE"):].strip()[len("SET"):].strip())
-    full_row = all(
+    # A trailing WHERE (same scoping) gates which conflicting rows update;
+    # rows it rejects keep the old values and don't count in the tag.
+    from bemidb_spark.pgcompat.transpiler import _find_top_level, _shield_strings
+
+    body = action[len("UPDATE"):].strip()[len("SET"):].strip()
+    where = None
+    shielded_body, _lits = _shield_strings(body)
+    wpos = _find_top_level(shielded_body, "WHERE")
+    if wpos >= 0:
+        where = body[wpos + len("WHERE"):].strip()
+        body = body[:wpos].strip()
+    sets = _split_top_level(body)
+    full_row = where is None and all(
         (sm := _EXCLUDED_SET_RE.match(item)) and sm.group(1) == sm.group(2)
         for item in sets
     )
-    n = typed.count()
-    effective = typed if full_row else _merge_conflict_updates(
-        spark, target, typed, conflict_keys, sets
-    )
+    if full_row:
+        effective, n_eff = typed, None
+    else:
+        effective, n_eff = _merge_conflict_updates(
+            spark, target, typed, conflict_keys, sets, where
+        )
+    n = n_eff if n_eff is not None else typed.count()
     ret = _project_returning(spark, effective, returning)
     upsert_by_key(spark, catalog, schema, table, effective, conflict_keys)
     return "INSERT", n, ret

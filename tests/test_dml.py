@@ -520,3 +520,20 @@ def test_update_key_column_on_bucketed_table_drops_stale_layout(spark, cat):
                "ON CONFLICT (k) DO UPDATE SET v = EXCLUDED.v")
     got = {r.k: r.v for r in read_table(spark, cat, "public", "kb").collect()}
     assert got == {101: "a", 2: "B"}
+
+
+def test_on_conflict_do_update_where_gates_rows(spark, cat):
+    """pg: DO UPDATE ... WHERE cond updates only the conflicting rows the
+    condition accepts (bare cols = target row, EXCLUDED.* = proposed row);
+    gated-out rows keep old values and do NOT count in the tag."""
+    write_bucketed_table(spark, cat, "public", "g", spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, n bigint"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute(
+        "INSERT INTO g (k, n) VALUES (1, 11), (2, 5), (3, 99), (4, 40) "
+        "ON CONFLICT (k) DO UPDATE SET n = EXCLUDED.n "
+        "WHERE EXCLUDED.n > n")
+    # k=1: 11>10 update; k=2: 5>20 no; k=3: 99>30 update; k=4 insert -> 3
+    assert df._pg_tag == "INSERT 0 3"
+    got = {r.k: r.n for r in read_table(spark, cat, "public", "g").collect()}
+    assert got == {1: 11, 2: 20, 3: 99, 4: 40}

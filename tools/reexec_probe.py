@@ -73,7 +73,11 @@ def gc_stats(spark) -> dict[str, tuple[int, int]]:
 # a CPU-stealing co-tenant; bw_canary_sec catches neighbor memory-bandwidth
 # pressure steal% is blind to (r5 judge's 18.9 s idle-host window vs the
 # builder's 14.9 s, both ~0% steal). Shared with bench.py (telemetry.py).
-from bemidb_spark.telemetry import bw_canary_sec, cpu_stat  # noqa: E402
+from bemidb_spark.telemetry import (  # noqa: E402
+    bw_canary_mt_sec,
+    bw_canary_sec,
+    cpu_stat,
+)
 
 
 def parse_event_log(path: str) -> dict[str, dict]:
@@ -188,11 +192,17 @@ def main() -> None:
     query_wall: dict[str, float] = {}  # group -> wall sec
     query_start: dict[str, float] = {}  # group -> epoch ms at python call
     bw_canary_sec()  # untimed: first call pays buffer allocation
+    bw_canary_mt_sec()
     for p in range(PASSES):
         if DRAIN:
             spark._jvm.System.gc()
             time.sleep(1.0)
         bw_canary = bw_canary_sec()
+        # N-thread canary (VERDICT r6 #2): the 1-thread triad provably
+        # under-measures the contention a 32-thread suite feels (a 151 s
+        # degraded pass read 0.37 s ≈ 1.5× baseline on 1 thread); 8
+        # GIL-released triads contend for the controller like a stage does
+        bw_canary_mt = bw_canary_mt_sec()
         gc0, t0 = gc_stats(spark), time.perf_counter()
         cpu0 = cpu_stat()
         per_q = {}
@@ -213,19 +223,26 @@ def main() -> None:
         # 124 s wall, normal start canary); bracketing the pass catches
         # bursts still active at pass end
         bw_canary_end = bw_canary_sec()
+        bw_canary_mt_end = bw_canary_mt_sec()
         steal_pct = round(
             100.0 * (cpu1[1] - cpu0[1]) / max(1, cpu1[0] - cpu0[0]), 2)
         gc_delta = {
             n: (gc1[n][0] - gc0.get(n, (0, 0))[0], gc1[n][1] - gc0.get(n, (0, 0))[1])
             for n in gc1
         }
+        gc_ms_total = sum(v[1] for v in gc_delta.values())
         worst = sorted(per_q.items(), key=lambda kv: -kv[1])[:4]
         passes.append({"pass": p, "total": total, "per_q": per_q,
                        "steal_pct": steal_pct, "bw_canary_sec": bw_canary,
-                       "bw_canary_end_sec": bw_canary_end})
+                       "bw_canary_end_sec": bw_canary_end,
+                       "bw_canary_mt_sec": bw_canary_mt,
+                       "bw_canary_mt_end_sec": bw_canary_mt_end,
+                       "gc_ms": gc_ms_total})
         print(json.dumps({
             "pass": p, "total": total, "steal_pct": steal_pct,
             "bw_canary_sec": bw_canary, "bw_canary_end_sec": bw_canary_end,
+            "bw_canary_mt_sec": bw_canary_mt,
+            "bw_canary_mt_end_sec": bw_canary_mt_end,
             "gc_count_ms": gc_delta, "worst4": worst,
         }), flush=True)
 
@@ -238,6 +255,39 @@ def main() -> None:
             log_path = cand
             break
     report = {"sf_dir": SF_DIR, "small_profile": small, "passes": passes}
+    # Tail attribution (VERDICT r6 #2): bucket every >1.5x-median pass by
+    # cause. A pass can carry several attributions; "unattributed" survivors
+    # are the engine-bug candidates the round must chase.
+    totals = sorted(p["total"] for p in passes)
+    median = totals[len(totals) // 2]
+    bw_all = [p["bw_canary_sec"] for p in passes] + [p["bw_canary_end_sec"] for p in passes]
+    mt_all = [p["bw_canary_mt_sec"] for p in passes] + [p["bw_canary_mt_end_sec"] for p in passes]
+    bw_med = sorted(bw_all)[len(bw_all) // 2]
+    mt_med = sorted(mt_all)[len(mt_all) // 2]
+    tail = []
+    for p in passes:
+        if p["total"] <= 1.5 * median:
+            continue
+        causes = []
+        if p["steal_pct"] > 3.0:
+            causes.append("cpu-steal")
+        if max(p["bw_canary_sec"], p["bw_canary_end_sec"]) > 1.4 * bw_med:
+            causes.append("bandwidth-1t")
+        if max(p["bw_canary_mt_sec"], p["bw_canary_mt_end_sec"]) > 1.4 * mt_med:
+            causes.append("bandwidth-mt")
+        if p["gc_ms"] > 0.2 * p["total"] * 1000:
+            causes.append("gc")
+        tail.append({"pass": p["pass"], "total": p["total"],
+                     "vs_median": round(p["total"] / median, 2),
+                     "causes": causes or ["UNATTRIBUTED"]})
+    report["tail_attribution"] = {
+        "median_total": median, "bw_canary_median": bw_med,
+        "bw_canary_mt_median": mt_med, "slow_passes": tail,
+        "unattributed": sum(1 for t in tail if t["causes"] == ["UNATTRIBUTED"]),
+    }
+    if tail:
+        print(json.dumps({"tail_attribution": report["tail_attribution"]},
+                         ), flush=True)
     if log_path:
         groups = parse_event_log(log_path)
         detail = {}
