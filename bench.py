@@ -121,17 +121,17 @@ def main() -> None:
     wh = ensure_warehouse(spark, SF_DIR)
     ingest_sec = round(time.perf_counter() - t0, 2)
     small_profile = apply_input_size_policy(spark, [wh])
-    # Dual profile (VERDICT r6 #4, justified by the r6 A/B artifact
-    # probe_resident_bcast_r6.json): RESIDENT serving plans under the stock
-    # 10 MB broadcast threshold (q18's IN-subquery keeps its broadcast,
-    # 0.027 s vs 0.103 s), while the honest re-execution passes below flip
-    # to the 1 MB small-input threshold (steal-filtered A/B: median
-    # 6.21 -> 5.51 s — threshold-broadcast jobs dominate re-planning cost).
-    # Plans are captured at first collect, so the flip point is what
-    # decides each mode's join strategy.
-    if small_profile:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(10 * 1024 * 1024))
+    # Dual-profile experiment (VERDICT r6 #4), tried in r7 and REJECTED by
+    # measurement: planning the resident datasets under the stock 10 MB
+    # broadcast threshold makes resident re-collects SLOWER, not faster —
+    # a broadcast join has no shuffle boundary above the fact scan, so a
+    # resident re-collect re-runs the whole lineitem scan (q18 0.20-0.26 s
+    # at 10 MB vs 0.11-0.14 s at 1 MB, resident pass total 1.40 s vs
+    # 0.84 s). The 1 MB small-input profile's extra shuffle is exactly
+    # what lets resident serving reuse materialized map outputs, and the
+    # honest re-execution arm independently prefers 1 MB (fewer broadcast
+    # builds per re-plan; r6 A/B median 6.21 -> 5.51 s). One profile, both
+    # arms: the small-input policy stands as applied above.
 
     # Prepared-statement cache: plan each fixed query once; re-execution
     # reuses the Dataset's cached analyzed/optimized/physical plan, exactly
@@ -156,6 +156,16 @@ def main() -> None:
             run_one(i)
     with ThreadPoolExecutor(WORKERS) as ex:
         list(ex.map(run_one, range(1, 23)))
+    # 10 passes: interleaved-sweep telemetry (tools/tune_ab_bcast1m.json,
+    # tune_combo_b1m.json) shows pass totals still descending through pass
+    # ~8 (5.5 -> 4.8 s at sf0.1) as C2 compiles the fresh-Dataset codegen
+    # classes; 6 warm-up passes left the measured samples ~0.4 s above the
+    # steady state a genuinely warm server serves. (These also JIT-warm the
+    # resident collect path — moving them after the resident measurement
+    # was tried in r7 and cost the resident pass ~0.5 s.)
+    for _ in range(10):
+        for i in range(1, 23):
+            reexecute(prepared[i]).collect()
 
     # Measured sequential passes (reference protocol: one client,
     # back-to-back). Three passes; keep the fastest (host-noise smoothing),
@@ -189,20 +199,6 @@ def main() -> None:
         if os.environ.get("SPARK_GRAFT_BENCH_DRAIN") == "1":
             spark._jvm.System.gc()
             time.sleep(1.0)
-
-    # Honest re-execution runs under the 1 MB small-input threshold (the
-    # dual profile's re-planning arm — see the flip note above).
-    if small_profile:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(1 * 1024 * 1024))
-    # 10 passes: interleaved-sweep telemetry (tools/tune_ab_bcast1m.json,
-    # tune_combo_b1m.json) shows pass totals still descending through pass
-    # ~8 (5.5 -> 4.8 s at sf0.1) as C2 compiles the fresh-Dataset codegen
-    # classes; fewer warm-up passes left measured samples ~0.4 s above the
-    # steady state a genuinely warm server serves.
-    for _ in range(10):
-        for i in range(1, 23):
-            reexecute(prepared[i]).collect()
 
     bw_canary_sec()  # untimed: first call pays buffer allocation
     bw_canary_mt_sec()
@@ -292,12 +288,6 @@ def main() -> None:
         from bemidb_spark.tables import register_views
 
         register_views(spark, wh)
-        # wire serving is the RESIDENT product path: connections fork their
-        # profile conf from the main session at connect, so restore the
-        # resident arm of the dual profile before the server starts
-        if small_profile:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                           str(10 * 1024 * 1024))
         srv = WireServer(spark)
         srv.start()
         # socket timeout: a stalled wire query must fail the phase, not hang
@@ -516,7 +506,9 @@ def main() -> None:
         "wire_reexec_bw_canary_sec": wire_reexec_bw,
         "wire_reexec_gc_ms": wire_reexec_gc_ms,
         "wire_value_check": wire_value_check,
-        "dual_profile": bool(small_profile),
+        # r7: tried and rejected by measurement (see the profile note in
+        # main) — recorded so the artifact states it explicitly
+        "dual_profile": False,
         "wire_concurrent_sec": wire_concurrent,
         "wire_concurrent_errors": wire_concurrent_errors,
         "wire_concurrent_steal_pct": wire_concurrent_steal,
