@@ -52,6 +52,7 @@ _PRIORITY = [
     "pg_on_conflict_where_route",
     "pg_cursor_fetch_route",
     "pg_prepare_execute_route",
+    "pg_vector_ops_route",
     "dml_upsert_route",
     "dml_update_delete_route",
     "dml_vacuum_compact_route",

@@ -524,3 +524,61 @@ ORACLES["pg_prepare_execute_route"] = """
     WHERE c_custkey < 120 AND c_mktsegment <> 'MACHINERY'
     ORDER BY c_custkey
 """
+
+# ---------------------------------------------------------------------------
+# pgvector operator surface through the route (r7): `<->` euclidean,
+# `<=>` cosine distance, `<#>` negative inner product — the operators
+# pgvector clients ORDER BY for nearest-neighbor ranking, rewritten to
+# JVM-side zip_with/aggregate algebra (transpiler._rewrite_vector_ops; the
+# ANN operators in operators/similarity.py are the scale path this exact
+# arm verifies). Embeddings are quantized to integer-valued doubles, so
+# every product/sum is exact and sqrt/division are correctly rounded IEEE
+# ops — bit-identical in Spark and DuckDB, hashable by the driver.
+# ---------------------------------------------------------------------------
+_VECTOR_SQL = """
+    WITH iv AS (
+      SELECT vec_id,
+             transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT i.vec_id,
+           CAST(-(i.q <#> qv.qq) AS BIGINT) AS dot,
+           CAST(floor((i.q <-> qv.qq) * 1000000) AS BIGINT) AS eud_u,
+           CAST(floor((i.q <=> qv.qq) * 1000000000) AS BIGINT) AS cos_u
+    FROM iv i
+    CROSS JOIN (SELECT q AS qq FROM iv WHERE vec_id = 0) qv
+    ORDER BY dot DESC, i.vec_id
+    LIMIT 100
+"""
+_register_pg(
+    "pg_vector_ops_route",
+    _VECTOR_SQL,
+    """
+    WITH iv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.vec_id, unnest(i.q) AS a, unnest(qv.qq) AS b
+      FROM iv i
+      CROSS JOIN (SELECT q AS qq FROM iv WHERE vec_id = 0) qv
+    ),
+    agg AS (
+      SELECT vec_id,
+             CAST(sum(a * b) AS BIGINT) AS dot,
+             CAST(sum((a - b) * (a - b)) AS BIGINT) AS ssq,
+             CAST(sum(a * a) AS BIGINT) AS na,
+             CAST(sum(b * b) AS BIGINT) AS nb
+      FROM pairs GROUP BY vec_id
+    )
+    SELECT vec_id, dot,
+           CAST(floor(sqrt(CAST(ssq AS DOUBLE)) * 1000000) AS BIGINT) AS eud_u,
+           CAST(floor((1 - CAST(dot AS DOUBLE) /
+                       (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))))
+                      * 1000000000) AS BIGINT) AS cos_u
+    FROM agg
+    ORDER BY dot DESC, vec_id
+    LIMIT 100
+    """,
+)

@@ -1368,6 +1368,88 @@ def _primary_before(sql: str, end: int, mask: list[bool] | None = None) -> int:
     return i + 1
 
 
+def _primary_after(sql: str, start: int, mask: list[bool] | None = None) -> int:
+    """End index (exclusive) of the primary expression starting at ``start``:
+    an identifier chain optionally followed by a balanced call/paren group
+    and trailing subscript groups (the forward mirror of _primary_before)."""
+
+    def masked(i: int) -> bool:
+        return mask is not None and mask[i]
+
+    n = len(sql)
+    i = start
+    while i < n and sql[i].isspace():
+        i += 1
+    begin = i
+    while i < n and (sql[i].isalnum() or sql[i] in "_."):
+        i += 1
+    if i < n and sql[i] == "(":
+        depth = 0
+        while i < n:
+            if not masked(i):
+                depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+            if depth == 0:
+                break
+    if i == begin:
+        return start
+    while i < n and sql[i] == "[":
+        depth = 0
+        while i < n:
+            if not masked(i):
+                depth += {"[": 1, "]": -1}.get(sql[i], 0)
+            i += 1
+            if depth == 0:
+                break
+    return i
+
+
+def _rewrite_vector_ops(sql: str) -> str:
+    """pgvector distance operators → Spark higher-order-function algebra:
+
+    - ``a <-> b``  euclidean distance  → sqrt(Σ (x-y)²)
+    - ``a <=> b``  cosine DISTANCE     → 1 − Σxy / (‖a‖·‖b‖)
+    - ``a <#> b``  NEGATIVE inner product → −Σxy (pgvector returns the
+      negation so ascending ORDER BY ranks nearest-first)
+
+    Element math runs JVM-side in zip_with/aggregate — no UDF, stays inside
+    whole-stage codegen; at scale this is the brute-force rank arm the ANN
+    operators (operators/similarity.py IVF/LSH) accelerate. Operands are
+    primary expressions (column chains, function calls, array(...) literals,
+    parenthesized exprs). All three ops are IEEE-deterministic given
+    identical inputs (mul/add/div/sqrt are correctly rounded), so integer-
+    valued inputs give bit-identical results in any engine — the driver
+    entry pg_vector_ops_route pins that against DuckDB."""
+    while True:
+        mask = _quote_mask(sql)
+        m = next((mm for mm in re.finditer(r"<->|<=>|<#>", sql)
+                  if not mask[mm.start()]), None)
+        if m is None:
+            return sql
+        op = m.group(0)
+        start = _primary_before(sql, m.start(), mask)
+        lhs = sql[start:m.start()].strip()
+        rend = _primary_after(sql, m.end(), mask)
+        rhs = sql[m.end():rend].strip()
+        if not lhs or not rhs:
+            return sql  # malformed operand: leave the statement untouched
+
+        def dot(a: str, b: str) -> str:
+            return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v)")
+
+        if op == "<#>":
+            repl = f"(-{dot(lhs, rhs)})"
+        elif op == "<->":
+            repl = (f"sqrt(aggregate(zip_with({lhs}, {rhs}, "
+                    f"(x, y) -> (x - y) * (x - y)), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v))")
+        else:  # <=>
+            repl = (f"(1 - {dot(lhs, rhs)} / "
+                    f"(sqrt({dot(lhs, lhs)}) * sqrt({dot(rhs, rhs)})))")
+        sql = sql[:start] + repl + sql[rend:]
+
+
 def _rewrite_array_slice(sql: str) -> str:
     """pg 1-based inclusive array slices ``expr[lo:hi]`` → Spark
     ``slice(expr, lo, hi-lo+1)`` (literal bounds — the form clients write).
@@ -1733,6 +1815,8 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_any_string_array(shielded, literals)
     shielded = _rewrite_any_all(shielded)
     shielded = _rewrite_array_ops(shielded)
+    # before _rewrite_json_ops: `<#>` contains the `#>` json-path token
+    shielded = _rewrite_vector_ops(shielded)
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)

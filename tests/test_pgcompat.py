@@ -959,3 +959,39 @@ def test_pg_catalog_fast_registration_matches_slow(spark, tmp_path_factory):
     names = {r.relname for r in c.execute(
         "SELECT relname FROM pg_class WHERE relname = 'fastreg_t'").collect()}
     assert names == {"fastreg_t"}
+
+
+def test_pgvector_operators_match_numpy(pg, spark):
+    """`<->` / `<=>` / `<#>` (pgvector operator surface) over the real float
+    embeddings must match numpy's euclidean / cosine-distance / -dot within
+    float tolerance, and ascending `<#>` ordering ranks nearest-first."""
+    import numpy as np
+
+    rows = pg.execute(
+        "SELECT i.vec_id, "
+        "  i.embedding <-> qv.qq AS eud, "
+        "  i.embedding <=> qv.qq AS cosd, "
+        "  i.embedding <#> qv.qq AS ndot "
+        "FROM embeddings i "
+        "CROSS JOIN (SELECT embedding AS qq FROM embeddings WHERE vec_id = 3) qv "
+        "ORDER BY i.vec_id LIMIT 40").collect()
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in
+           spark.sql("SELECT vec_id, embedding FROM embeddings "
+                     "WHERE vec_id < 40 OR vec_id = 3").collect()}
+    q = emb[3]
+    for r in rows:
+        v = emb[r.vec_id]
+        assert abs(r.eud - np.linalg.norm(v - q)) < 1e-6
+        assert abs(r.ndot - (-float(v @ q))) < 1e-6
+        want_cos = 1 - float(v @ q) / (np.linalg.norm(v) * np.linalg.norm(q))
+        assert abs(r.cosd - want_cos) < 1e-6
+    # nearest-first under ascending negative-inner-product ordering
+    # (Spark disallows subqueries inside higher-order functions, so the
+    # query vector binds via a join, not a scalar subquery operand —
+    # documented operand limitation of the rewrite)
+    top = pg.execute(
+        "SELECT i.vec_id FROM embeddings i "
+        "CROSS JOIN (SELECT embedding AS qq FROM embeddings "
+        "WHERE vec_id = 3) qv "
+        "ORDER BY i.embedding <#> qv.qq ASC LIMIT 1").collect()
+    assert top[0].vec_id == 3  # the query vector is its own best match
