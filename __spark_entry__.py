@@ -53,6 +53,9 @@ _PRIORITY = [
     "pg_cursor_fetch_route",
     "pg_prepare_execute_route",
     "pg_vector_ops_route",
+    "win_dist_functions",
+    "asof_forward_next_view",
+    "streaming_windowed_heavy_hitters",
     "dml_upsert_route",
     "dml_update_delete_route",
     "dml_vacuum_compact_route",

@@ -70,6 +70,38 @@ _register_sql("asof_join_purchase_view", _asof(True), _asof(False))
 
 
 # ---------------------------------------------------------------------------
+# FORWARD as-of join (r7): for each purchase, the NEXT 'view' event of the
+# same user strictly after it — the mirror of the backward as-of above
+# (reaction-time / attribution pipelines need both directions). Same
+# windowed composition (Spark has no native as-of; a MIN over a FOLLOWING
+# row frame expresses it with one sort, no join), same exact-µs gap.
+# ---------------------------------------------------------------------------
+def _asof_fwd(spark: bool) -> str:
+    gap = (
+        "unix_micros(CAST(next_view_ts AS TIMESTAMP)) - unix_micros(CAST(ts AS TIMESTAMP))"
+        if spark
+        else "epoch_us(next_view_ts) - epoch_us(ts)"
+    )
+    return f"""
+    SELECT event_id, user_id, ts AS purchase_ts, next_view_ts,
+           CAST({gap} AS BIGINT) AS gap_micros
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_view_ts
+      FROM events
+    ) marked
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_ts, event_id
+    """
+
+
+_register_sql("asof_forward_next_view", _asof_fwd(True), _asof_fwd(False))
+
+
+# ---------------------------------------------------------------------------
 # deterministic bernoulli sample of documents (hash-based, salt 's1')
 # ---------------------------------------------------------------------------
 _SAMPLE_SPARK = f"""

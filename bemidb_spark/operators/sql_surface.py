@@ -101,6 +101,30 @@ _WIN_MOVING = """
 _register_sql("win_moving_avg", _WIN_MOVING)
 
 # ---------------------------------------------------------------------------
+# window: distribution functions percent_rank / cume_dist / nth_value /
+# last_value (r7). percent_rank = (rank-1)/(N-1) and cume_dist = peers/N are
+# single IEEE divisions of small integers — identical bits in both engines —
+# scaled+floored to integers for the driver hash. nth_value runs under the
+# pg DEFAULT frame (RANGE UNBOUNDED PRECEDING .. CURRENT ROW: NULL until the
+# 3rd peer-ordered row arrives — both engines agree); last_value under an
+# explicit full frame via a named WINDOW clause (pg syntax Spark shares).
+# ---------------------------------------------------------------------------
+_WIN_DIST = """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_u,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_u,
+           nth_value(o_orderkey, 3) OVER w AS third_key,
+           last_value(o_orderkey) OVER wfull AS last_key
+    FROM orders WHERE o_orderkey < 500
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey),
+           wfull AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+"""
+_register_sql("win_dist_functions", _WIN_DIST)
+
+# ---------------------------------------------------------------------------
 # DISTINCT ON: latest event per user
 # ---------------------------------------------------------------------------
 _DISTINCT_ON = """

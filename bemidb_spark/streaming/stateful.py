@@ -777,12 +777,105 @@ ORACLES["streaming_kmv_distinct"] = _kmv_oracle()
 
 
 QUERIES["streaming_heavy_hitters"] = _streaming_heavy_hitters
-# Gate-scale exactness: G*C = 256 counters >= distinct users, so the sketch
-# IS the exact count and every err is 0 — the oracle pins both.
+# Exactness: capacity is sized from the corpus's per-group distinct-user
+# bound (the binding constraint — ADVICE r6), so the sketch IS the exact
+# count and every err is 0 — the oracle pins both.
 ORACLES["streaming_heavy_hitters"] = """
     SELECT user_id, COUNT(*) AS n_events, CAST(0 AS BIGINT) AS err
     FROM events
     GROUP BY user_id
     ORDER BY n_events DESC, user_id
     LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# WINDOWED streaming heavy hitters (r7): per-DAY top-5 users with bounded
+# state — the same space-saving summary keyed by (hash-group, day) instead
+# of hash-group alone. At 100 TB this is the "trending now" operator: state
+# is G*C counters per ACTIVE day (old days stop receiving updates and can
+# be evicted by a timeout in production); the final merge is a union of
+# bounded summaries, never a global shuffle of raw events. Capacity is
+# sized from the corpus's per-(group, day) distinct-user bound, so the gate
+# arm is exact and the DuckDB oracle reproduces it as plain per-day counts.
+# ---------------------------------------------------------------------------
+_HHW_OUT_SCHEMA = T.StructType([
+    T.StructField("grp", T.IntegerType()),
+    T.StructField("day", T.DateType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("cnt", T.LongType()),
+    T.StructField("err", T.LongType()),
+    T.StructField("n_seen", T.LongType()),
+])
+
+
+def _make_space_saving_windowed(capacity: int):
+    """(grp, day)-keyed wrapper over the space-saving transition fn: same
+    bounded summary per group-day, with the window key surfaced as an
+    output column."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        [out] = _update_space_saving((key[0],), pdfs, state, capacity)
+        out.insert(1, "day", [key[1]] * len(out))
+        yield out
+
+    return update
+
+
+def _streaming_windowed_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(batch.dtypes).get("ts") == "bigint":
+        batch = batch.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    worst = (
+        batch.groupBy(
+            F.pmod(F.col("user_id"), F.lit(_HH_GROUPS)).alias("g"),
+            F.to_date("ts").alias("d"),
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .agg(F.max("n").alias("m")).collect()[0].m
+    ) or 0
+    capacity = max(_HH_CAPACITY, int(worst))
+    ev = _events_stream(spark, sf_dir).select(
+        F.pmod(F.col("user_id"), F.lit(_HH_GROUPS)).cast("int").alias("grp"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    summaries = ev.groupBy("grp", "day").applyInPandasWithState(
+        _make_space_saving_windowed(capacity),
+        outputStructType=_HHW_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    table = _run_to_memory(summaries, "stream_hh_window", output_mode="update")
+    # live snapshot per (grp, day), then global per-day top-5
+    return spark.sql(f"""
+        SELECT day, user_id, n_events FROM (
+          SELECT day, user_id, n_events,
+                 ROW_NUMBER() OVER (PARTITION BY day
+                                    ORDER BY n_events DESC, user_id) AS rn
+          FROM (
+            SELECT DISTINCT day, user_id, cnt AS n_events
+            FROM (
+              SELECT grp, day, user_id, cnt, n_seen,
+                     MAX(n_seen) OVER (PARTITION BY grp, day) AS live_seen
+              FROM {table}
+            ) s WHERE n_seen = live_seen
+          ) live
+        ) ranked WHERE rn <= 5
+        ORDER BY day, n_events DESC, user_id
+    """)
+
+
+QUERIES["streaming_windowed_heavy_hitters"] = _streaming_windowed_heavy_hitters
+ORACLES["streaming_windowed_heavy_hitters"] = """
+    SELECT day, user_id, n_events FROM (
+      SELECT CAST(ts AS DATE) AS day, user_id, count(*) AS n_events,
+             ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                                ORDER BY count(*) DESC, user_id) AS rn
+      FROM events GROUP BY CAST(ts AS DATE), user_id
+    ) t WHERE rn <= 5
+    ORDER BY day, n_events DESC, user_id
 """
