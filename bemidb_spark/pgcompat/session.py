@@ -77,6 +77,11 @@ def _normalize_pg_type(pg_type: str) -> str:
                      "text", pg_type)
     pg_type = re.sub(r"^decimal", "numeric", pg_type)
     pg_type = re.sub(r"^double\s+precision$", "float8", pg_type)
+    # pgvector column type: stored as a double array (dims not enforced,
+    # like our other typmods); the vector operators consume it directly
+    pg_type = re.sub(r"^vector(\(\d+\))?$", "_float8", pg_type)
+    # pg `elem[]` array spelling -> internal `_elem`
+    pg_type = re.sub(r"^(\w+)\[\]$", r"_\1", pg_type)
     return {
         "bigint": "int8", "integer": "int4", "int": "int4",
         "smallint": "int2", "real": "float4", "serial": "int4",

@@ -145,6 +145,10 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
         if pgtype.startswith("regproc"):
             # ::regproc on a constant → the function name itself
             return expr
+        if pgtype == "vector":
+            # pgvector literal casts: '[0.1,0.2]'::vector → a double array
+            # the <-> / <=> / <#> operator rewrites consume
+            return f"from_json({expr}, 'array<double>')"
         spark_type = TYPE_MAP.get(pgtype)
         if spark_type is None:
             return f"CAST({expr} AS {m.group(2)})"
@@ -191,6 +195,8 @@ def _rewrite_paren_casts(sql: str) -> str:
     spark_type = TYPE_MAP.get(pgtype)
     if pgtype.startswith(("regclass", "regproc")):
         replacement = expr
+    elif pgtype == "vector":
+        replacement = f"from_json({expr}, 'array<double>')"
     elif pgtype == "interval":
         replacement = f"INTERVAL {expr}"
     elif spark_type is None:
@@ -1420,6 +1426,41 @@ def _rewrite_vector_ops(sql: str) -> str:
     identical inputs (mul/add/div/sqrt are correctly rounded), so integer-
     valued inputs give bit-identical results in any engine — the driver
     entry pg_vector_ops_route pins that against DuckDB."""
+    def _operand_before(s: str, end: int, mask) -> int:
+        """_primary_before extended over `::type` cast suffixes and shielded
+        string-literal placeholders (`'[1,2]'::vector <-> v`)."""
+        start = _primary_before(s, end, mask)
+        while True:
+            j = start - 1
+            while j >= 0 and s[j].isspace():
+                j -= 1
+            if j >= 1 and s[j] == ":" and s[j - 1] == ":":
+                k = j - 2
+                while k >= 0 and s[k].isspace():
+                    k -= 1
+                if k >= 0 and s[k] == "\x00":  # shielded literal ::type
+                    k2 = k - 1
+                    while k2 >= 0 and s[k2].isdigit():
+                        k2 -= 1
+                    if k2 >= 0 and s[k2] == "\x00":
+                        start = k2
+                        continue
+                start = _primary_before(s, j - 1, mask)
+                continue
+            return start
+
+    def _operand_after(s: str, begin: int, mask) -> int:
+        m0 = re.match(r"\s*\x00\d+\x00", s[begin:])
+        if m0:
+            end = begin + m0.end()
+        else:
+            end = _primary_after(s, begin, mask)
+            if end == begin:
+                return begin
+        m1 = re.match(r"\s*::\s*[A-Za-z_]\w*(?:\(\d+(?:,\s*\d+)?\))?(?:\[\])?",
+                      s[end:])
+        return end + m1.end() if m1 else end
+
     while True:
         mask = _quote_mask(sql)
         m = next((mm for mm in re.finditer(r"<->|<=>|<#>", sql)
@@ -1427,9 +1468,9 @@ def _rewrite_vector_ops(sql: str) -> str:
         if m is None:
             return sql
         op = m.group(0)
-        start = _primary_before(sql, m.start(), mask)
+        start = _operand_before(sql, m.start(), mask)
         lhs = sql[start:m.start()].strip()
-        rend = _primary_after(sql, m.end(), mask)
+        rend = _operand_after(sql, m.end(), mask)
         rhs = sql[m.end():rend].strip()
         if not lhs or not rhs:
             return sql  # malformed operand: leave the statement untouched

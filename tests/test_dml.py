@@ -537,3 +537,17 @@ def test_on_conflict_do_update_where_gates_rows(spark, cat):
     assert df._pg_tag == "INSERT 0 3"
     got = {r.k: r.n for r in read_table(spark, cat, "public", "g").collect()}
     assert got == {1: 11, 2: 20, 3: 99, 4: 40}
+
+
+def test_pgvector_literal_and_column_type(spark, cat):
+    """pgvector ecosystem surface: `vector(n)` column type (stored as a
+    double array) and `'[...]'::vector` literal casts feeding the
+    <#> distance operator."""
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE vecs (id bigint, v vector(3))")
+    pg.execute("INSERT INTO vecs VALUES (1, '[1,0,0]'::vector), "
+               "(2, '[0,1,0]'::vector), (3, '[0.5,0.5,0]'::vector)")
+    rows = pg.execute("SELECT id, v <#> '[1,0,0]'::vector AS nd "
+                      "FROM vecs ORDER BY nd, id").collect()
+    assert [r.id for r in rows] == [1, 3, 2]
+    assert abs(rows[0].nd + 1.0) < 1e-9
