@@ -631,8 +631,12 @@ def _run_merge(
         if not sm:
             raise DmlError("unsupported MERGE source")
         source_text, rest = sm.group(1), rest[sm.end():]
-    am = re.match(r"\s*(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)", rest, re.IGNORECASE)
+    am = re.match(
+        r"\s*(?:AS\s+)?(?!ON\b)([A-Za-z_]\w*)(\s*\(\s*[\w\s,\"]+\))?",
+        rest, re.IGNORECASE,
+    )
     s_alias = am.group(1) if am else None
+    s_collist = am.group(2) if am else None
     if am:
         rest = rest[am.end():]
     om = re.match(r"\s*ON\s+", rest, re.IGNORECASE)
@@ -649,8 +653,10 @@ def _run_merge(
 
     schema, table = _split_name(target_name)
     target = _read_target(spark, catalog, schema, table)
+    src_alias = f"{s_alias or '__merge_src'}{_unshield(s_collist, lits) if s_collist else ''}"
     src = spark.sql(transpile(_qualify(
-        catalog, f"SELECT * FROM {_unshield(source_text, lits)} AS __merge_src"
+        catalog,
+        f"SELECT * FROM {_unshield(source_text, lits)} AS {src_alias}",
     )))
     tcols = target.columns
     scols = src.columns

@@ -51,7 +51,8 @@ def dml_ops(draw):
     fresh_pool = iter(range(100, 200))
     ops = []
     for _ in range(draw(st.integers(min_value=3, max_value=6))):
-        kind = draw(st.sampled_from(["insert_new", "upsert", "update", "delete"]))
+        kind = draw(st.sampled_from(
+            ["insert_new", "upsert", "update", "delete", "merge"]))
         if kind == "insert_new":
             rows = [
                 (next(fresh_pool), draw(st.integers(0, 99)))
@@ -81,11 +82,54 @@ def dml_ops(draw):
             r = draw(st.integers(min_value=0, max_value=m - 1))
             d = draw(st.integers(min_value=-9, max_value=9))
             ops.append(f"UPDATE t SET x = x + {d}, v = v || '!' WHERE k % {m} = {r}")
-        else:
+        elif kind == "delete":
             m = draw(st.integers(min_value=2, max_value=7))
             r = draw(st.integers(min_value=0, max_value=m - 1))
             ops.append(f"DELETE FROM t WHERE k % {m} = {r}")
+        else:  # merge: conditional DELETE / UPDATE / gated INSERT
+            rows = [
+                (draw(st.integers(0, 29)), draw(st.integers(0, 99)))
+                for _ in range(draw(st.integers(min_value=1, max_value=3)))
+            ]
+            seen, uniq = set(), []
+            for k, t in rows:  # duplicate source keys are a pg 21000 error
+                if k not in seen:
+                    seen.add(k)
+                    uniq.append((k, t))
+            del_t = draw(st.integers(min_value=0, max_value=40))
+            ins_t = draw(st.integers(min_value=0, max_value=60))
+            ops.append(("merge", uniq, del_t, ins_t))
     return ops
+
+
+def _merge_sql(uniq, del_t, ins_t) -> str:
+    vals = ", ".join(f"({k}, 'm{t}', {t})" for k, t in uniq)
+    return (
+        f"MERGE INTO t USING (VALUES {vals}) s(k, v, x) ON t.k = s.k "
+        f"WHEN MATCHED AND s.x < {del_t} THEN DELETE "
+        f"WHEN MATCHED THEN UPDATE SET v = s.v, x = t.x + s.x "
+        f"WHEN NOT MATCHED AND s.x >= {ins_t} THEN INSERT VALUES (s.k, s.v, s.x)"
+    )
+
+
+def _duck_apply_merge(duck, uniq, del_t, ins_t) -> None:
+    """DuckDB 1.0 has no MERGE: apply the identical first-matching-clause
+    semantics as an explicit sequence (matched set computed BEFORE any
+    mutation, like MERGE's single-join evaluation)."""
+    duck.execute("DROP TABLE IF EXISTS _src")
+    duck.execute("CREATE TEMP TABLE _src (k BIGINT, v VARCHAR, x BIGINT)")
+    duck.executemany(
+        "INSERT INTO _src VALUES (?, ?, ?)",
+        [(k, f"m{t}", t) for k, t in uniq],
+    )
+    duck.execute("DROP TABLE IF EXISTS _matched")
+    duck.execute("CREATE TEMP TABLE _matched AS "
+                 "SELECT s.k, s.v, s.x FROM _src s JOIN t ON t.k = s.k")
+    duck.execute(f"DELETE FROM t WHERE k IN (SELECT k FROM _matched WHERE x < {del_t})")
+    duck.execute(f"UPDATE t SET v = m.v, x = t.x + m.x "
+                 f"FROM _matched m WHERE t.k = m.k AND m.x >= {del_t}")
+    duck.execute(f"INSERT INTO t SELECT k, v, x FROM _src "
+                 f"WHERE x >= {ins_t} AND k NOT IN (SELECT k FROM _matched)")
 
 
 @pytest.fixture()
@@ -109,8 +153,13 @@ def test_dml_sequences_match_duckdb(spark, tmp_path_factory, duck, ops):
     duck.execute("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR, x BIGINT)")
     duck.executemany("INSERT INTO t VALUES (?, ?, ?)", _INITIAL)
     for op in ops:
-        pg.execute(op)
-        duck.execute(op)
+        if isinstance(op, tuple):  # ("merge", src_rows, del_t, ins_t)
+            _, uniq, del_t, ins_t = op
+            pg.execute(_merge_sql(uniq, del_t, ins_t))
+            _duck_apply_merge(duck, uniq, del_t, ins_t)
+        else:
+            pg.execute(op)
+            duck.execute(op)
     got = [tuple(r) for r in pg.execute(
         "SELECT k, v, x FROM t ORDER BY k").collect()]
     want = duck.execute("SELECT k, v, x FROM t ORDER BY k").fetchall()
