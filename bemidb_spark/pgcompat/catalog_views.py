@@ -92,6 +92,11 @@ _PG_TYPE_INFO = {
     "_float8": (1022, "double precision[]"), "_numeric": (1231, "numeric[]"),
     "_timestamp": (1115, "timestamp without time zone[]"),
     "_date": (1182, "date[]"), "_timestamptz": (1185, "timestamp with time zone[]"),
+    # pgvector's type (extension oids are installation-assigned; a fixed
+    # >16384 oid here, like our table oids). pgvector client libraries
+    # probe `SELECT oid FROM pg_type WHERE typname = 'vector'` to register
+    # their codec — serving the row makes them bind; storage is _float8.
+    "vector": (16700, "vector"),
 }
 
 
@@ -448,12 +453,17 @@ def _register_emulation_views(
          ("default_null_order", "nulls_last")],
         "name string, setting string",
     ).createOrReplaceTempView("pg_settings")
-    spark.sql(
-        "SELECT CAST(13823 AS BIGINT) AS oid, 'plpgsql' AS extname, "
-        "CAST(10 AS BIGINT) AS extowner, CAST(11 AS BIGINT) AS extnamespace, "
-        "false AS extrelocatable, '1.0' AS extversion, "
-        "CAST(NULL AS ARRAY<STRING>) AS extconfig, "
-        "CAST(NULL AS ARRAY<STRING>) AS extcondition"
+    spark.createDataFrame(
+        [(13823, "plpgsql", 10, 11, False, "1.0"),
+         # the vector operator surface (<->, <=>, <#>, vector type/casts)
+         # is served natively, so the extension row reports as installed —
+         # ORMs and pgvector client libs gate on its presence
+         (16699, "vector", 10, 2200, True, "0.7.0")],
+        "oid bigint, extname string, extowner bigint, extnamespace bigint, "
+        "extrelocatable boolean, extversion string",
+    ).selectExpr(
+        "*", "CAST(NULL AS ARRAY<STRING>) AS extconfig",
+        "CAST(NULL AS ARRAY<STRING>) AS extcondition",
     ).createOrReplaceTempView("pg_extension")
     # `SELECT * FROM user` (reference: CREATE VIEW user AS SELECT config.User)
     spark.sql(f"SELECT '{PG_USER}' AS user").createOrReplaceTempView("user")

@@ -1137,6 +1137,16 @@ class PgSession:
                 register_pg_catalog(self.spark, self.catalog)
                 self.invalidate_plans()
                 return out
+        if upper.startswith(("CREATE EXTENSION", "DROP EXTENSION")):
+            # served-natively extensions: pgvector's operator/type surface is
+            # built into the engine (transpiler vector ops + pg_type/
+            # pg_extension rows), plpgsql is pg-bundled — CREATE/DROP are
+            # accepted as no-ops like pg's IF NOT EXISTS on an installed one
+            tag = ("CREATE EXTENSION" if upper.startswith("CREATE")
+                   else "DROP EXTENSION")
+            out = self._ok(tag)
+            out._pg_tag = tag
+            return out
         if upper.startswith(("COMMENT ON ", "CREATE INDEX", "CREATE UNIQUE INDEX",
                              "DROP INDEX", "REINDEX")):
             # Comments and indexes: pg metadata with no analytical effect here

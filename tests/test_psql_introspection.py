@@ -259,3 +259,19 @@ ORDER BY a.attnum"""
     rows = [tuple(r) for r in pg.execute(q).collect()]
     assert [r[0] for r in rows] == ["id", "label", "score"]
     assert rows[0][1] == "bigint" and rows[2][1] == "double precision"
+
+
+def test_pgvector_client_bootstrap(pg):
+    """The probes pgvector client libraries run at connect: the type oid
+    lookup (codec registration) and the extension presence check — plus
+    CREATE EXTENSION as an accepted no-op (the operator surface is built
+    in)."""
+    oid = pg.execute(
+        "SELECT oid FROM pg_type WHERE typname = 'vector'").collect()
+    assert len(oid) == 1 and oid[0].oid == 16700
+    ext = pg.execute(
+        "SELECT extversion FROM pg_extension WHERE extname = 'vector'"
+    ).collect()
+    assert len(ext) == 1
+    assert pg.execute("CREATE EXTENSION IF NOT EXISTS vector"
+                      )._pg_tag == "CREATE EXTENSION"
