@@ -53,6 +53,7 @@ _PRIORITY = [
     "pg_cursor_fetch_route",
     "pg_prepare_execute_route",
     "pg_vector_ops_route",
+    "pg_json_table_route",
     "win_dist_functions",
     "asof_forward_next_view",
     "streaming_windowed_heavy_hitters",

@@ -582,3 +582,36 @@ _register_pg(
     LIMIT 100
     """,
 )
+
+# ---------------------------------------------------------------------------
+# pg17 JSON_TABLE through the route (r7): literal multi-row expansion with
+# FOR ORDINALITY + a correlated (auto-LATERAL) arm over a real JSON column.
+# transpiler._rewrite_json_table lowers both to posexplode over variant
+# rows with typed variant_get columns — one JVM-side generator, no UDF.
+# DuckDB 1.0 has no JSON_TABLE; the oracle reproduces the rows with VALUES
+# and json_extract.
+# ---------------------------------------------------------------------------
+_register_pg(
+    "pg_json_table_route",
+    """
+    SELECT 'lit' AS src, CAST(ord AS BIGINT) AS k1, qty AS k2
+    FROM JSON_TABLE('[{"n":"a","q":2},{"n":"b","q":5},{"n":"c"}]', '$[*]'
+                    COLUMNS (name TEXT PATH '$.n',
+                             qty INT PATH '$.q',
+                             ord FOR ORDINALITY)) AS jt
+    UNION ALL
+    SELECT 'ev' AS src, e.event_id AS k1, jt.k2
+    FROM events e, JSON_TABLE(e.props, '$' COLUMNS (k2 INT PATH '$.k')) jt
+    WHERE e.event_id < 50
+    ORDER BY src, k1
+    """,
+    """
+    SELECT 'lit' AS src, CAST(o AS BIGINT) AS k1, CAST(q AS INT) AS k2
+    FROM (VALUES (1, 2), (2, 5), (3, NULL)) t(o, q)
+    UNION ALL
+    SELECT 'ev' AS src, event_id AS k1,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k2
+    FROM events WHERE event_id < 50
+    ORDER BY src, k1
+    """,
+)

@@ -891,6 +891,94 @@ def _rewrite_array_literal(sql: str) -> str:
 _SRF_ARGS = r"((?:[^()\x00]|\x00\d+\x00|\((?:[^()]|\([^()]*\))*\))*)"
 
 
+_JSON_TABLE_COL_RE = re.compile(
+    r'^\s*"?(\w+)"?\s+(?:FOR\s+ORDINALITY|([\w\s()\[\]]+?)\s+'
+    r"PATH\s+(\x00\d+\x00|'[^']*'))\s*$",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_json_table(sql: str, literals: list[str]) -> str:
+    """pg17 ``JSON_TABLE(expr, 'rowpath' COLUMNS (...)) [AS] alias`` → an
+    exploded variant derived table.
+
+    Supported grammar (the shape clients actually write): a row path of
+    ``$`` / ``$[*]`` / ``$.path[*]``, and COLUMNS entries of
+    ``name type PATH '$.field'`` or ``name FOR ORDINALITY``. The row set
+    becomes ``posexplode(from_json(.... 'array<variant>'))`` — one JVM-side
+    generator, each column a typed ``variant_get`` — and the derived table
+    is LATERAL so the expr may reference tables to its left (pg auto-
+    LATERALs JSON_TABLE). NESTED PATH / EXISTS / DEFAULT clauses are out of
+    scope and left untouched (Spark then reports the unsupported syntax)."""
+    def lit_text(tok: str) -> str:
+        ph = re.fullmatch(r"\x00(\d+)\x00", tok)
+        raw = literals[int(ph.group(1))] if ph else tok
+        return raw[1:-1].replace("''", "'")
+
+    while True:
+        m = re.search(r"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?JSON_TABLE\s*\(",
+                      sql, re.IGNORECASE)
+        if not m:
+            return sql
+        open_p = sql.index("(", m.end() - 1)
+        depth, i = 0, open_p
+        while i < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+            if depth == 0:
+                break
+        inner = sql[open_p + 1:i - 1]
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)?", sql[i:], re.IGNORECASE)
+        alias = am.group(1) or "json_table"
+        tail_at = i + (am.end() if am.group(1) else 0)
+        # inner = <expr> , <'rowpath'> COLUMNS ( <col list> )
+        cm = re.match(
+            r"^(.*?),\s*(\x00\d+\x00|'[^']*')\s+COLUMNS\s*\((.*)\)\s*$",
+            inner, re.IGNORECASE | re.DOTALL,
+        )
+        if not cm:
+            return sql  # unsupported shape: leave for Spark to report
+        expr, rowpath = cm.group(1).strip(), lit_text(cm.group(2))
+        if rowpath in ("$", "$[*]"):
+            base = expr
+        elif rowpath.endswith("[*]"):
+            base = f"get_json_object({expr}, '{rowpath[:-3]}')"
+        else:
+            base = f"get_json_object({expr}, '{rowpath}')"
+        rows = (f"from_json({base}, 'array<variant>')" if rowpath.endswith("[*]")
+                else f"array(from_json({base}, 'variant'))")
+        cols = []
+        for item in cm.group(3).split(","):
+            im = _JSON_TABLE_COL_RE.match(item)
+            if not im:
+                return sql
+            name = im.group(1)
+            if im.group(2) is None:  # FOR ORDINALITY
+                cols.append(f"CAST(_jt_pos + 1 AS BIGINT) AS {name}")
+            else:
+                pg_t = re.sub(r"\(.*", "", im.group(2).strip().lower()).strip()
+                stype = {
+                    "int": "int", "integer": "int", "int4": "int",
+                    "smallint": "smallint", "int2": "smallint",
+                    "bigint": "bigint", "int8": "bigint",
+                    "real": "float", "float4": "float",
+                    "double": "double", "float8": "double",
+                    "numeric": "decimal(38,6)", "decimal": "decimal(38,6)",
+                    "boolean": "boolean", "bool": "boolean",
+                    "date": "date", "timestamp": "timestamp_ntz",
+                    "timestamptz": "timestamp",
+                }.get(pg_t, "string")
+                path = lit_text(im.group(3))
+                cols.append(
+                    f"variant_get(_jt_row, '{path}', '{stype}') AS {name}")
+        lat = " LATERAL" if m.group(1).strip() in (",", "JOIN", "join") else ""
+        derived = (
+            f"{m.group(1)}{lat} (SELECT {', '.join(cols)} FROM "
+            f"(SELECT posexplode({rows}) AS (_jt_pos, _jt_row))) AS {alias}"
+        )
+        sql = sql[:m.start()] + derived + sql[tail_at:]
+
+
 def _rewrite_srf(sql: str) -> str:
     """Set-returning functions (pg's generate_series / unnest) → Spark
     generators. FROM-clause forms become inline derived tables over
@@ -1847,6 +1935,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_distinct_on(shielded)
     shielded = _rewrite_array_sublink(shielded)
     shielded = _rewrite_array_literal(shielded)
+    shielded = _rewrite_json_table(shielded, literals)
     shielded = _rewrite_srf(shielded)
     shielded = _rewrite_pg_macros(shielded)
     shielded = _rewrite_ref_funcs(shielded, literals)
