@@ -21,6 +21,15 @@ _UDT_PRESERVED = (
 )
 
 DEVIATIONS: dict[str, str] = {
+    "SELECT oid FROM pg_catalog.pg_extension": (
+        "pg_extension lists 'vector' in addition to plpgsql because the "
+        "pgvector surface (vector type, '[...]'::vector casts, <->/<=>/<#> "
+        "operators) is genuinely served by this engine (r7); the reference "
+        "serves no vector operators and lists only plpgsql"
+    ),
+    "SELECT pg_extension.extname FROM pg_extension": (
+        "same vector-extension row as the pg_extension oid deviation"
+    ),
     "LEFT JOIN pg_extension ON rel.oid": (
         "relation oids are engine-assigned (ours 16384+, the reference "
         "leaks DuckDB's internal 1978); no client semantics attach to the "
