@@ -979,6 +979,82 @@ def _rewrite_json_table(sql: str, literals: list[str]) -> str:
         sql = sql[:m.start()] + derived + sql[tail_at:]
 
 
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+_ORDER_STOP_RE = re.compile(
+    r"\b(LIMIT|OFFSET|FETCH|FOR|WINDOW|ROWS|RANGE|GROUPS|UNION|EXCEPT|"
+    r"INTERSECT)\b",
+    re.IGNORECASE,
+)
+_NULLS_EXPL_RE = re.compile(r"\bNULLS\s+(FIRST|LAST)\s*$", re.IGNORECASE)
+_DESC_RE = re.compile(r"\b(DESC)\s*$", re.IGNORECASE)
+_ASC_RE = re.compile(r"\b(ASC)\s*$", re.IGNORECASE)
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """pg default null ordering: NULLS LAST for ASC, NULLS FIRST for DESC —
+    Spark's defaults are the OPPOSITE (nulls first on ASC), so every ORDER
+    BY item without an explicit NULLS clause gets pg's default appended.
+    Applies at every nesting level, including window OVER(ORDER BY …)
+    clauses, where the peer order feeds rank/frame results. Runs on
+    shielded text (no string-literal false positives)."""
+    out = sql
+    while True:  # re-scan after each edit: explicit-NULLS items are
+        changed = False  # skipped, so the loop terminates (idempotent)
+        for m in reversed(list(_ORDER_BY_RE.finditer(out))):
+            start = m.end()
+            depth = 0
+            end = len(out)
+            i = start
+            while i < len(out):
+                c = out[i]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    if depth == 0:
+                        end = i
+                        break
+                    depth -= 1
+                elif depth == 0 and c.isalpha():
+                    if _ORDER_STOP_RE.match(out, i):
+                        end = i
+                        break
+                    while i < len(out) and (out[i].isalnum() or out[i] == "_"):
+                        i += 1
+                    continue
+                i += 1
+            segment = out[start:end]
+            items, buf, d = [], [], 0
+            for ch in segment:  # split top-level commas
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                if ch == "," and d == 0:
+                    items.append("".join(buf))
+                    buf = []
+                else:
+                    buf.append(ch)
+            items.append("".join(buf))
+            fixed = []
+            for item in items:
+                body = item.rstrip()
+                pad = item[len(body):]
+                if (not body.strip() or _NULLS_EXPL_RE.search(body)
+                        or re.search(r"\bUSING\b", body, re.IGNORECASE)):
+                    fixed.append(item)
+                elif _DESC_RE.search(body):
+                    fixed.append(f"{body} NULLS FIRST{pad}")
+                else:
+                    fixed.append(f"{body} NULLS LAST{pad}")
+            rebuilt = ",".join(fixed)
+            if rebuilt != segment:
+                out = out[:start] + rebuilt + out[end:]
+                changed = True
+                break
+        if not changed:
+            return out
+
+
 def _rewrite_srf(sql: str) -> str:
     """Set-returning functions (pg's generate_series / unnest) → Spark
     generators. FROM-clause forms become inline derived tables over
@@ -1960,6 +2036,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_epoch_extract(shielded, literals)
     shielded = _rewrite_at_time_zone(shielded)
     shielded = _inject_scalar_limit(shielded)
+    shielded = _rewrite_order_by_nulls(shielded)
     # Row-locking clauses from ORMs (SELECT … FOR UPDATE / FOR SHARE …):
     # this engine is a read-only analytics replica — pg itself allows these
     # on read-only standbys as no-ops, so stripping preserves semantics.

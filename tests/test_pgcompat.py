@@ -77,7 +77,9 @@ def one(pg, sql):
     ("SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY k) FROM t",
      "SELECT count(CASE WHEN x > 0 THEN 1 END) OVER (PARTITION BY k) FROM t"),
     ("SELECT sum(v) FILTER (WHERE x > 0) OVER (ORDER BY ts) FROM t",
-     "SELECT sum(CASE WHEN x > 0 THEN v END) OVER (ORDER BY ts) FROM t"),
+     # NULLS LAST: pg's ASC default, injected because Spark defaults to
+     # nulls-first (transpiler._rewrite_order_by_nulls)
+     "SELECT sum(CASE WHEN x > 0 THEN v END) OVER (ORDER BY ts NULLS LAST) FROM t"),
     # E-string doubled quote '' is ONE quote char in pg; Spark would parse
     # '…''…' as adjacent-literal concatenation (dropping it), so the
     # transpiler rewrites to \' (ADVICE r3)
@@ -995,3 +997,27 @@ def test_pgvector_operators_match_numpy(pg, spark):
         "WHERE vec_id = 3) qv "
         "ORDER BY i.embedding <#> qv.qq ASC LIMIT 1").collect()
     assert top[0].vec_id == 3  # the query vector is its own best match
+
+
+def test_pg_default_null_ordering(pg):
+    """pg sorts NULLs LAST on ASC and FIRST on DESC — Spark's defaults are
+    the opposite; the transpiler injects pg's default on every ORDER BY
+    item (including window peer order) without an explicit NULLS clause.
+    The driver's value-hash gate is order-insensitive, so this is pinned
+    here by row order."""
+    asc = [r.x for r in pg.execute(
+        "SELECT x FROM (VALUES (1), (NULL), (3)) t(x) ORDER BY x").collect()]
+    assert asc == [1, 3, None]
+    desc = [r.x for r in pg.execute(
+        "SELECT x FROM (VALUES (1), (NULL), (3)) t(x) ORDER BY x DESC"
+    ).collect()]
+    assert desc == [None, 3, 1]
+    rk = [tuple(r) for r in pg.execute(
+        "SELECT x, rank() OVER (ORDER BY x) AS rk "
+        "FROM (VALUES (1), (NULL), (3)) t(x) ORDER BY rk").collect()]
+    assert rk == [(1, 1), (3, 2), (None, 3)]
+    # explicit NULLS clauses are honored unchanged
+    expl = [r.x for r in pg.execute(
+        "SELECT x FROM (VALUES (1), (NULL), (3)) t(x) "
+        "ORDER BY x NULLS FIRST").collect()]
+    assert expl == [None, 1, 3]
