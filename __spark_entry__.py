@@ -54,6 +54,7 @@ _PRIORITY = [
     "pg_prepare_execute_route",
     "pg_vector_ops_route",
     "pg_json_table_route",
+    "pg_dow_fields_route",
     "win_dist_functions",
     "asof_forward_next_view",
     "streaming_windowed_heavy_hitters",

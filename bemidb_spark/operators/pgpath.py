@@ -615,3 +615,19 @@ _register_pg(
     ORDER BY src, k1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# pg day-numbering fields (r7): extract(dow) is Sunday=0 in pg but Sunday=1
+# in Spark (a silent off-by-one for every weekday rollup), and isodow
+# doesn't exist in Spark at all — both rewritten by _rewrite_epoch_extract.
+# Same SQL runs natively in DuckDB, which follows pg's numbering.
+# ---------------------------------------------------------------------------
+_DOW_SQL = """
+    SELECT CAST(extract(dow FROM o_orderdate) AS BIGINT) AS dow,
+           CAST(extract(isodow FROM o_orderdate) AS BIGINT) AS isodow,
+           count(*) AS n
+    FROM orders
+    GROUP BY extract(dow FROM o_orderdate), extract(isodow FROM o_orderdate)
+    ORDER BY dow
+"""
+_register_pg("pg_dow_fields_route", _DOW_SQL, _DOW_SQL)

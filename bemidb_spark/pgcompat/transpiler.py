@@ -1308,33 +1308,47 @@ def _alias_bare_literals(sql: str) -> str:
 
 
 def _rewrite_epoch_extract(sql: str, literals: list[str]) -> str:
-    """``EXTRACT(EPOCH FROM x)`` / ``date_part('epoch', x)`` → ``CAST(x AS
-    DOUBLE)`` (Spark's timestamp→double cast IS epoch seconds with fraction;
-    Spark's EXTRACT has no EPOCH field). Other date_part fields are native
-    Spark and left alone."""
+    """pg-specific EXTRACT / date_part fields Spark lacks or numbers
+    differently:
+
+    - ``epoch`` → ``CAST(x AS DOUBLE)`` (Spark's timestamp→double cast IS
+      epoch seconds with fraction; Spark's EXTRACT has no EPOCH field)
+    - ``dow``  → ``dayofweek(x) - 1`` (pg: Sunday=0..Saturday=6; Spark's
+      DOW/dayofweek is Sunday=1..7 — a silent off-by-one otherwise)
+    - ``isodow`` → Monday=1..Sunday=7 (Spark has no such field at all)
+
+    Other fields are native Spark and left alone."""
     out = []
     i = 0
     pat = re.compile(
-        r"\b(?:EXTRACT\s*\(\s*EPOCH\s+FROM|date_part\s*\(\s*\x00(\d+)\x00\s*,)\s*",
+        r"\b(?:EXTRACT\s*\(\s*(EPOCH|DOW|ISODOW)\s+FROM"
+        r"|date_part\s*\(\s*\x00(\d+)\x00\s*,)\s*",
         re.IGNORECASE,
     )
+    templates = {
+        "epoch": "(CAST(CAST({x} AS TIMESTAMP) AS DOUBLE))",
+        "dow": "(dayofweek({x}) - 1)",
+        "isodow": "((pmod(dayofweek({x}) + 5, 7)) + 1)",
+    }
     while True:
         m = pat.search(sql, i)
         if not m:
             out.append(sql[i:])
             return "".join(out)
-        if m.group(1) is not None and (
-            literals[int(m.group(1))].strip("'").lower() != "epoch"
-        ):
-            out.append(sql[i:m.end()])
-            i = m.end()
-            continue
+        if m.group(1) is not None:
+            field = m.group(1).lower()
+        else:
+            field = literals[int(m.group(2))].strip("'").lower()
+            if field not in templates:
+                out.append(sql[i:m.end()])
+                i = m.end()
+                continue
         depth, j = 1, m.end()
         while j < len(sql) and depth:
             depth += {"(": 1, ")": -1}.get(sql[j], 0)
             j += 1
-        out.append(sql[i:m.start()] + "(CAST(CAST("
-                   + sql[m.end():j - 1].strip() + " AS TIMESTAMP) AS DOUBLE))")
+        arg = sql[m.end():j - 1].strip()
+        out.append(sql[i:m.start()] + templates[field].format(x=arg))
         i = j
 
 
