@@ -616,6 +616,8 @@ def _rewrite_functions(sql: str) -> str:
     sql = re.sub(rf"\barray_length\s*\(\s*{_arg}\s*,\s*1\s*\)", r"size(\1)", sql, flags=re.IGNORECASE)
     # pg strpos(str, sub) == Spark instr(str, sub) (both 1-based, 0 = absent)
     sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
+    # pg starts_with (pg11+) == Spark startswith
+    sql = re.sub(r"\bstarts_with\s*\(", "startswith(", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\bpg_catalog\s*\.\s*", "", sql, flags=re.IGNORECASE)
     return sql
 
@@ -1588,6 +1590,71 @@ def _primary_after(sql: str, start: int, mask: list[bool] | None = None) -> int:
     return i
 
 
+def _operand_before(s: str, end: int, mask) -> int:
+    """_primary_before extended over `::type` cast suffixes and shielded
+    string-literal placeholders (`'[1,2]'::vector <-> v`)."""
+    start = _primary_before(s, end, mask)
+    while True:
+        j = start - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        if j >= 1 and s[j] == ":" and s[j - 1] == ":":
+            k = j - 2
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if k >= 0 and s[k] == "\x00":  # shielded literal ::type
+                k2 = k - 1
+                while k2 >= 0 and s[k2].isdigit():
+                    k2 -= 1
+                if k2 >= 0 and s[k2] == "\x00":
+                    start = k2
+                    continue
+            start = _primary_before(s, j - 1, mask)
+            continue
+        return start
+
+
+def _operand_after(s: str, begin: int, mask) -> int:
+    """Forward mirror of _operand_before (shielded literals + casts +
+    numeric literals with sign/decimal point)."""
+    m0 = re.match(r"\s*\x00\d+\x00", s[begin:])
+    mnum = m0 or re.match(r"\s*[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?", s[begin:])
+    if m0:
+        end = begin + m0.end()
+    elif mnum:
+        end = begin + mnum.end()
+    else:
+        end = _primary_after(s, begin, mask)
+        if end == begin:
+            return begin
+    m1 = re.match(r"\s*::\s*[A-Za-z_]\w*(?:\(\d+(?:,\s*\d+)?\))?(?:\[\])?",
+                  s[end:])
+    return end + m1.end() if m1 else end
+
+
+def _rewrite_power_op(sql: str) -> str:
+    """pg ``a ^ b`` is POWER (numeric exponentiation) — Spark's ``^`` is
+    bitwise XOR, a silently wrong result for every pg client. Rewritten to
+    ``power(a, b)``; left-associative chains fold naturally because the
+    rewritten call is itself a primary for the next pass. (pg's XOR is
+    ``#``, which Spark's parser rejects loudly — nothing silent there.)"""
+    while True:
+        mask = _quote_mask(sql)
+        m = next(
+            (mm for mm in re.finditer(r"\^", sql) if not mask[mm.start()]),
+            None,
+        )
+        if m is None:
+            return sql
+        start = _operand_before(sql, m.start(), mask)
+        lhs = sql[start:m.start()].strip()
+        rend = _operand_after(sql, m.end(), mask)
+        rhs = sql[m.end():rend].strip()
+        if not lhs or not rhs:
+            return sql
+        sql = sql[:start] + f"power({lhs}, {rhs})" + sql[rend:]
+
+
 def _rewrite_vector_ops(sql: str) -> str:
     """pgvector distance operators → Spark higher-order-function algebra:
 
@@ -1604,41 +1671,6 @@ def _rewrite_vector_ops(sql: str) -> str:
     identical inputs (mul/add/div/sqrt are correctly rounded), so integer-
     valued inputs give bit-identical results in any engine — the driver
     entry pg_vector_ops_route pins that against DuckDB."""
-    def _operand_before(s: str, end: int, mask) -> int:
-        """_primary_before extended over `::type` cast suffixes and shielded
-        string-literal placeholders (`'[1,2]'::vector <-> v`)."""
-        start = _primary_before(s, end, mask)
-        while True:
-            j = start - 1
-            while j >= 0 and s[j].isspace():
-                j -= 1
-            if j >= 1 and s[j] == ":" and s[j - 1] == ":":
-                k = j - 2
-                while k >= 0 and s[k].isspace():
-                    k -= 1
-                if k >= 0 and s[k] == "\x00":  # shielded literal ::type
-                    k2 = k - 1
-                    while k2 >= 0 and s[k2].isdigit():
-                        k2 -= 1
-                    if k2 >= 0 and s[k2] == "\x00":
-                        start = k2
-                        continue
-                start = _primary_before(s, j - 1, mask)
-                continue
-            return start
-
-    def _operand_after(s: str, begin: int, mask) -> int:
-        m0 = re.match(r"\s*\x00\d+\x00", s[begin:])
-        if m0:
-            end = begin + m0.end()
-        else:
-            end = _primary_after(s, begin, mask)
-            if end == begin:
-                return begin
-        m1 = re.match(r"\s*::\s*[A-Za-z_]\w*(?:\(\d+(?:,\s*\d+)?\))?(?:\[\])?",
-                      s[end:])
-        return end + m1.end() if m1 else end
-
     while True:
         mask = _quote_mask(sql)
         m = next((mm for mm in re.finditer(r"<->|<=>|<#>", sql)
@@ -2037,6 +2069,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_array_ops(shielded)
     # before _rewrite_json_ops: `<#>` contains the `#>` json-path token
     shielded = _rewrite_vector_ops(shielded)
+    shielded = _rewrite_power_op(shielded)
     shielded = _rewrite_json_ops(shielded)
     shielded = _rewrite_casts(shielded, literals)
     shielded = _rewrite_regex_ops(shielded)

@@ -1021,3 +1021,12 @@ def test_pg_default_null_ordering(pg):
         "SELECT x FROM (VALUES (1), (NULL), (3)) t(x) "
         "ORDER BY x NULLS FIRST").collect()]
     assert expl == [None, 1, 3]
+
+
+def test_pg_power_operator_and_starts_with(pg):
+    """pg `^` is exponentiation — Spark's `^` is bitwise XOR (3 ^ 2 would
+    silently return 1); starts_with is pg11+ spelling of startswith."""
+    r = one(pg, "SELECT 3 ^ 2 AS p, 2 ^ 10 AS p2, 4 ^ 0.5 AS rt, "
+                "CAST(2 ^ -1 AS DOUBLE) AS inv, "
+                "starts_with('abc', 'ab') AS sw")
+    assert (r[0], r[1], r[2], r[3], r[4]) == (9.0, 1024.0, 2.0, 0.5, True)
