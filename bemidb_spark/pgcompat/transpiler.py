@@ -618,6 +618,23 @@ def _rewrite_functions(sql: str) -> str:
     sql = re.sub(r"\bstrpos\s*\(", "instr(", sql, flags=re.IGNORECASE)
     # pg starts_with (pg11+) == Spark startswith
     sql = re.sub(r"\bstarts_with\s*\(", "startswith(", sql, flags=re.IGNORECASE)
+    # pg regexp_split_to_array == Spark split (both regex, both keep empties)
+    sql = re.sub(r"\bregexp_split_to_array\s*\(", "split(", sql,
+                 flags=re.IGNORECASE)
+    # quote_ident: pg quotes only when necessary (lowercase identifiers pass
+    # through bare); quote_literal doubles embedded quotes
+    sql = re.sub(
+        r"\bquote_ident\s*\(([^()]*)\)",
+        r"""(CASE WHEN (\1) RLIKE '^[a-z_][a-z0-9_]*$' THEN (\1) """
+        r"""ELSE concat('"', replace((\1), '"', '""'), '"') END)""",
+        sql, flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"\bquote_literal\s*\(([^()]*)\)",
+        r"concat(char(39), replace(CAST((\1) AS STRING), char(39), "
+        r"concat(char(39), char(39))), char(39))",
+        sql, flags=re.IGNORECASE,
+    )
     sql = re.sub(r"\bpg_catalog\s*\.\s*", "", sql, flags=re.IGNORECASE)
     return sql
 

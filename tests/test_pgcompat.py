@@ -1030,3 +1030,14 @@ def test_pg_power_operator_and_starts_with(pg):
                 "CAST(2 ^ -1 AS DOUBLE) AS inv, "
                 "starts_with('abc', 'ab') AS sw")
     assert (r[0], r[1], r[2], r[3], r[4]) == (9.0, 1024.0, 2.0, 0.5, True)
+
+
+def test_pg_quote_and_split_functions(pg):
+    r = one(pg, "SELECT quote_ident('abc') AS a, "
+                "quote_ident('Weird Name') AS b, "
+                "quote_literal('o''x') AS c, "
+                "regexp_split_to_array('a1b2c33d', '[0-9]+') AS d")
+    assert r[0] == "abc"            # lowercase identifier: no quoting, as pg
+    assert r[1] == '"Weird Name"'
+    assert r[2] == "'o''x'"
+    assert r[3] == ["a", "b", "c", "d"]
