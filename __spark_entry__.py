@@ -55,6 +55,7 @@ _PRIORITY = [
     "pg_vector_ops_route",
     "pg_json_table_route",
     "pg_dow_fields_route",
+    "pg_power_quote_route",
     "win_dist_functions",
     "asof_forward_next_view",
     "streaming_windowed_heavy_hitters",

@@ -631,3 +631,30 @@ _DOW_SQL = """
     ORDER BY dow
 """
 _register_pg("pg_dow_fields_route", _DOW_SQL, _DOW_SQL)
+
+# ---------------------------------------------------------------------------
+# pg `^` exponentiation + quote_ident/quote_literal (r7): Spark's `^` is
+# bitwise XOR, so unrewritten pg math silently XORs (3^2 -> 1); DuckDB's
+# `^` is power like pg's, so the oracle runs it natively. quote_ident
+# quotes only when needed (lowercased names pass bare); quote_literal
+# doubles embedded quotes.
+# ---------------------------------------------------------------------------
+_register_pg(
+    "pg_power_quote_route",
+    """
+    SELECT n_nationkey,
+           CAST(n_nationkey ^ 2 AS BIGINT) AS sq,
+           CAST(2 ^ n_regionkey AS BIGINT) AS pw2,
+           quote_ident(lower(n_name)) AS qi,
+           quote_literal(n_name) AS ql
+    FROM nation ORDER BY n_nationkey
+    """,
+    """
+    SELECT n_nationkey,
+           CAST(n_nationkey ^ 2 AS BIGINT) AS sq,
+           CAST(2 ^ n_regionkey AS BIGINT) AS pw2,
+           lower(n_name) AS qi,
+           '''' || replace(n_name, '''', '''''') || '''' AS ql
+    FROM nation ORDER BY n_nationkey
+    """,
+)

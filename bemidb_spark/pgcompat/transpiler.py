@@ -624,13 +624,13 @@ def _rewrite_functions(sql: str) -> str:
     # quote_ident: pg quotes only when necessary (lowercase identifiers pass
     # through bare); quote_literal doubles embedded quotes
     sql = re.sub(
-        r"\bquote_ident\s*\(([^()]*)\)",
+        r"\bquote_ident\s*\(((?:[^()]|\([^()]*\))*)\)",
         r"""(CASE WHEN (\1) RLIKE '^[a-z_][a-z0-9_]*$' THEN (\1) """
         r"""ELSE concat('"', replace((\1), '"', '""'), '"') END)""",
         sql, flags=re.IGNORECASE,
     )
     sql = re.sub(
-        r"\bquote_literal\s*\(([^()]*)\)",
+        r"\bquote_literal\s*\(((?:[^()]|\([^()]*\))*)\)",
         r"concat(char(39), replace(CAST((\1) AS STRING), char(39), "
         r"concat(char(39), char(39))), char(39))",
         sql, flags=re.IGNORECASE,
