@@ -551,3 +551,41 @@ def test_pgvector_literal_and_column_type(spark, cat):
                       "FROM vecs ORDER BY nd, id").collect()
     assert [r.id for r in rows] == [1, 3, 2]
     assert abs(rows[0].nd + 1.0) < 1e-9
+
+
+def test_incremental_matview_delta_counts(spark, cat):
+    """The delta-count / no-op assertions moved OUT of the driver entry
+    dml_incremental_matview_route (VERDICT r7 #7: entries are pure
+    final-state SELECTs): each refresh processes exactly the rows past the
+    stored cursor, an unchanged source is a zero-row no-op that bumps no
+    catalog version, and the folded contents equal a full recompute."""
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.sources.matview import (
+        create_incremental_matview,
+        read_materialized_view,
+        refresh_incremental_matview,
+    )
+
+    base = spark.range(0, 90).selectExpr(
+        "id AS k", "id % 4 AS g", "id * 3 AS v")
+
+    def snap(hi):
+        return base.where(F.col("k") < hi)
+
+    aggs = {"n": ("count", "*"), "tot": ("sum", "v"),
+            "lo": ("min", "k"), "hi": ("max", "k")}
+    create_incremental_matview(
+        spark, cat, "inc_t", snap(50), ["g"], aggs, cursor_col="k")
+    assert refresh_incremental_matview(spark, cat, "inc_t", snap(70)) == 20
+    version = cat.version()
+    assert refresh_incremental_matview(spark, cat, "inc_t", snap(70)) == 0
+    assert cat.version() == version  # empty delta: nothing rewritten
+    assert refresh_incremental_matview(spark, cat, "inc_t", snap(90)) == 20
+    got = {r.g: (r.n, r.tot, r.lo, r.hi)
+           for r in read_materialized_view(spark, cat, "inc_t").collect()}
+    want = {r.g: (r.n, r.tot, r.lo, r.hi)
+            for r in base.groupBy("g").agg(
+                F.count("*").alias("n"), F.sum("v").alias("tot"),
+                F.min("k").alias("lo"), F.max("k").alias("hi")).collect()}
+    assert got == want
