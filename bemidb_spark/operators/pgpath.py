@@ -646,14 +646,24 @@ _register_pg(
            CAST(n_nationkey ^ 2 AS BIGINT) AS sq,
            CAST(2 ^ n_regionkey AS BIGINT) AS pw2,
            quote_ident(lower(n_name)) AS qi,
+           quote_ident(lower(n_name) || ' x') AS qi_quoted,
+           quote_ident(CASE WHEN n_nationkey % 2 = 0
+                            THEN 'select' ELSE lower(n_name) END) AS qi_kw,
            quote_literal(n_name) AS ql
     FROM nation ORDER BY n_nationkey
     """,
+    # oracle reproduces pg's quoting rule for the specific inputs: lowercase
+    # nation names are bare-safe non-keywords; a name with a space is always
+    # quoted; 'select' is a reserved keyword -> quoted despite being
+    # lowercase-safe (the r7-flagged oracle blind spot, now exercised)
     """
     SELECT n_nationkey,
            CAST(n_nationkey ^ 2 AS BIGINT) AS sq,
            CAST(2 ^ n_regionkey AS BIGINT) AS pw2,
            lower(n_name) AS qi,
+           '"' || lower(n_name) || ' x"' AS qi_quoted,
+           CASE WHEN n_nationkey % 2 = 0
+                THEN '"select"' ELSE lower(n_name) END AS qi_kw,
            '''' || replace(n_name, '''', '''''') || '''' AS ql
     FROM nation ORDER BY n_nationkey
     """,

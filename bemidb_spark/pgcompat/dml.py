@@ -293,7 +293,7 @@ def _merge_conflict_updates(
     keys: list[str],
     sets: list[str],
     where: str | None = None,
-) -> tuple[DataFrame, int | None]:
+) -> tuple[DataFrame, int | None, DataFrame]:
     """Evaluate ON CONFLICT SET expressions with pg scoping: for rows whose
     key already exists, bare columns bind to the OLD row and ``EXCLUDED.col``
     to the proposed row; unmatched rows insert as proposed. One join on the
@@ -304,7 +304,9 @@ def _merge_conflict_updates(
     conflicting rows update: failing rows keep the OLD row and — pg
     semantics — do NOT count toward the INSERT tag, so the second return
     value is the affected-row count when a WHERE was given (None
-    otherwise; the caller then uses the plain proposed-row count)."""
+    otherwise; the caller then uses the plain proposed-row count). The
+    third return value is the RETURNING row set: only rows actually
+    inserted or updated (gate-rejected rows are excluded, pg semantics)."""
     from bemidb_spark.pgcompat.transpiler import _shield_strings, _unshield
 
     fields = {f.name: f for f in target.schema.fields}
@@ -338,19 +340,27 @@ def _merge_conflict_updates(
     matched = F.col(f"__old_{keys[0]}").isNotNull()
     apply_upd = matched
     n_effective = None
+    affected = F.lit(True)
     if where is not None:
-        gate = F.expr(_scope(where))
-        apply_upd = matched & F.coalesce(gate, F.lit(False))
-        n_effective = joined.filter(~matched | F.coalesce(gate, F.lit(False))).count()
-    result = joined.select(*[
-        F.when(
-            apply_upd,
-            F.expr(set_map[c]) if c in set_map else F.col(f"__old_{c}"),
-        ).when(matched, F.col(f"__old_{c}"))
-        .otherwise(F.col(f"__new_{c}")).cast(fields[c].dataType).alias(c)
-        for c in fields
-    ])
-    return result, n_effective
+        gate = F.coalesce(F.expr(_scope(where)), F.lit(False))
+        apply_upd = matched & gate
+        affected = ~matched | gate
+        n_effective = joined.filter(affected).count()
+    sel = joined.select(
+        *[
+            F.when(
+                apply_upd,
+                F.expr(set_map[c]) if c in set_map else F.col(f"__old_{c}"),
+            ).when(matched, F.col(f"__old_{c}"))
+            .otherwise(F.col(f"__new_{c}")).cast(fields[c].dataType).alias(c)
+            for c in fields
+        ],
+        affected.alias("__aff"),
+    )
+    # pg's RETURNING emits only rows actually inserted or updated — the
+    # gate-rejected conflicting rows stay in the upsert payload (old values,
+    # so the write is a no-op for them) but NOT in RETURNING (ADVICE r7)
+    return sel.drop("__aff"), n_effective, sel.filter("__aff").drop("__aff")
 
 
 def _run_insert(
@@ -415,13 +425,13 @@ def _run_insert(
         for item in sets
     )
     if full_row:
-        effective, n_eff = typed, None
+        effective, n_eff, ret_rows = typed, None, typed
     else:
-        effective, n_eff = _merge_conflict_updates(
+        effective, n_eff, ret_rows = _merge_conflict_updates(
             spark, target, typed, conflict_keys, sets, where
         )
     n = n_eff if n_eff is not None else typed.count()
-    ret = _project_returning(spark, effective, returning)
+    ret = _project_returning(spark, ret_rows, returning)
     upsert_by_key(spark, catalog, schema, table, effective, conflict_keys)
     return "INSERT", n, ret
 

@@ -74,6 +74,36 @@ TYPE_MAP = {
 }
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+# pg keywords OUTSIDE the "unreserved" category (reserved + col_name +
+# type_func_name, pg16 kwlist.h): quote_ident quotes these even when they
+# are lowercase-safe (`quote_ident('select')` -> `"select"`). The
+# pg_get_keywords VIEW keeps the reference's all-'U' fill (parity); this
+# set exists only for quote_ident's quoting rule.
+_QI_KEYWORDS = (
+    # reserved (R)
+    "all analyse analyze and any array as asc asymmetric both case cast "
+    "check collate column constraint create current_catalog current_date "
+    "current_role current_time current_timestamp current_user default "
+    "deferrable desc distinct do else end except false fetch for foreign "
+    "from grant group having in initially intersect into lateral leading "
+    "limit localtime localtimestamp not null offset on only or order "
+    "placing primary references returning select session_user some "
+    "symmetric system_user table then to trailing true union unique user "
+    "using variadic when where window with "
+    # col_name (C)
+    "between bigint bit boolean char character coalesce dec decimal exists "
+    "extract float greatest grouping inout int integer interval least "
+    "national nchar none normalize nullif numeric out overlay position "
+    "precision real row setof smallint substring time timestamp treat trim "
+    "values varchar xmlattributes xmlconcat xmlelement xmlexists xmlforest "
+    "xmlnamespaces xmlparse xmlpi xmlroot xmlserialize xmltable "
+    # type_func_name (T)
+    "authorization binary collation concurrently cross current_schema "
+    "freeze full ilike inner is isnull join left like natural notnull "
+    "outer overlaps right similar tablesample verbose"
+).split()
+_QI_KEYWORDS_SQL = ", ".join(f"'{w}'" for w in _QI_KEYWORDS)
 _CASTABLE = rf"(?:'(?:[^']|'')*'|\({_IDENT}(?:\.{_IDENT})*\)|{_IDENT}(?:\.{_IDENT})*|\d+(?:\.\d+)?)"
 
 
@@ -622,10 +652,14 @@ def _rewrite_functions(sql: str) -> str:
     sql = re.sub(r"\bregexp_split_to_array\s*\(", "split(", sql,
                  flags=re.IGNORECASE)
     # quote_ident: pg quotes only when necessary (lowercase identifiers pass
-    # through bare); quote_literal doubles embedded quotes
+    # through bare) — but ALSO quotes any keyword that is not in pg's
+    # "unreserved" category, regardless of case shape (ruleutils.c
+    # quote_identifier: safe chars AND ScanKeywordCategory == UNRESERVED);
+    # quote_literal doubles embedded quotes
     sql = re.sub(
         r"\bquote_ident\s*\(((?:[^()]|\([^()]*\))*)\)",
-        r"""(CASE WHEN (\1) RLIKE '^[a-z_][a-z0-9_]*$' THEN (\1) """
+        rf"""(CASE WHEN (\1) RLIKE '^[a-z_][a-z0-9_]*$' """
+        rf"""AND (\1) NOT IN ({_QI_KEYWORDS_SQL}) THEN (\1) """
         r"""ELSE concat('"', replace((\1), '"', '""'), '"') END)""",
         sql, flags=re.IGNORECASE,
     )
@@ -789,10 +823,12 @@ def _rewrite_pg_macros(sql: str) -> str:
     }
     for pat, repl in simple.items():
         sql = re.sub(pat, repl, sql, flags=re.IGNORECASE)
-    # quote_ident: quote only when the identifier needs it (pg semantics).
+    # quote_ident: quote only when the identifier needs it (pg semantics,
+    # incl. non-unreserved keywords — see _QI_KEYWORDS_SQL).
     sql = re.sub(
         r"quote_ident\s*\(([^()]+)\)",
-        "(CASE WHEN \\1 RLIKE '^[a-z_][a-z0-9_]*$' THEN \\1"
+        f"(CASE WHEN \\1 RLIKE '^[a-z_][a-z0-9_]*$'"
+        f" AND \\1 NOT IN ({_QI_KEYWORDS_SQL}) THEN \\1"
         " ELSE concat('\"', replace(\\1, '\"', '\"\"'), '\"') END)",
         sql,
         flags=re.IGNORECASE,
@@ -917,6 +953,13 @@ _JSON_TABLE_COL_RE = re.compile(
 )
 
 
+_JT_ALIAS_STOPWORDS = frozenset(
+    "where on join left right inner cross full outer natural using group "
+    "order limit offset union except intersect having fetch for window "
+    "when returning qualify".split()
+)
+
+
 def _rewrite_json_table(sql: str, literals: list[str]) -> str:
     """pg17 ``JSON_TABLE(expr, 'rowpath' COLUMNS (...)) [AS] alias`` → an
     exploded variant derived table.
@@ -947,9 +990,14 @@ def _rewrite_json_table(sql: str, literals: list[str]) -> str:
             if depth == 0:
                 break
         inner = sql[open_p + 1:i - 1]
-        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)?", sql[i:], re.IGNORECASE)
-        alias = am.group(1) or "json_table"
-        tail_at = i + (am.end() if am.group(1) else 0)
+        am = re.match(r"\s*(AS\s+)?([A-Za-z_]\w*)?", sql[i:], re.IGNORECASE)
+        cand = am.group(2)
+        # pg17 allows alias-less JSON_TABLE: a bare following keyword (WHERE,
+        # JOIN, GROUP, ...) is NOT the alias unless preceded by AS (ADVICE r7)
+        if cand and not am.group(1) and cand.lower() in _JT_ALIAS_STOPWORDS:
+            cand = None
+        alias = cand or "json_table"
+        tail_at = i + (am.end() if cand else 0)
         # inner = <expr> , <'rowpath'> COLUMNS ( <col list> )
         cm = re.match(
             r"^(.*?),\s*(\x00\d+\x00|'[^']*')\s+COLUMNS\s*\((.*)\)\s*$",
@@ -1512,15 +1560,21 @@ def _rewrite_tablesample(sql: str) -> str:
 
 def _quote_mask(sql: str) -> list[bool]:
     """mask[i] = True when sql[i] sits inside (or delimits) a single-quoted
-    literal. Doubled '' escapes toggle twice and stay masked."""
+    literal OR a backtick-quoted identifier (pg double-quoted idents are
+    rewritten to backticks earlier — operator rewrites must not fire inside
+    them: `SELECT \\`a^b\\`` is a column reference, not POWER; ADVICE r7).
+    Doubled ''/`` escapes close-and-reopen and stay masked."""
     mask = [False] * len(sql)
-    in_q = False
+    in_q: str | None = None
     for i, c in enumerate(sql):
-        if c == "'":
+        if in_q is None:
+            if c in "'`":
+                mask[i] = True
+                in_q = c
+        else:
             mask[i] = True
-            in_q = not in_q
-        elif in_q:
-            mask[i] = True
+            if c == in_q:
+                in_q = None
     return mask
 
 
@@ -1561,8 +1615,8 @@ def _primary_before(sql: str, end: int, mask: list[bool] | None = None) -> int:
         while i >= 0 and (sql[i].isalnum() or sql[i] in "_."):
             i -= 1
         return i + 1
-    if i >= 0 and masked(i) and sql[i] == "'":
-        # a string-literal primary ('…')[n]-less form: include the literal
+    if i >= 0 and masked(i) and sql[i] in "'`":
+        # a string-literal or backtick-identifier primary: include the span
         while i >= 0 and masked(i):
             i -= 1
         return i + 1
@@ -1607,9 +1661,20 @@ def _primary_after(sql: str, start: int, mask: list[bool] | None = None) -> int:
     return i
 
 
+_UNARY_CONTEXT_KEYWORDS = frozenset(
+    "select where when then else and or not in like ilike between by on "
+    "having set values returning offset limit case distinct all union "
+    "except intersect as is".split()
+)
+
+
 def _operand_before(s: str, end: int, mask) -> int:
-    """_primary_before extended over `::type` cast suffixes and shielded
-    string-literal placeholders (`'[1,2]'::vector <-> v`)."""
+    """_primary_before extended over `::type` cast suffixes, shielded
+    string-literal placeholders (`'[1,2]'::vector <-> v`), and a leading
+    UNARY sign: pg binds unary +/- tighter than `^` (`-2 ^ 2` = 4), so a
+    sign preceded by an operator/comma/open-paren/statement-start belongs
+    to the operand (ADVICE r7; a binary minus — preceded by an operand
+    end — is left alone)."""
     start = _primary_before(s, end, mask)
     while True:
         j = start - 1
@@ -1628,6 +1693,21 @@ def _operand_before(s: str, end: int, mask) -> int:
                     continue
             start = _primary_before(s, j - 1, mask)
             continue
+        if j >= 0 and s[j] in "+-":
+            k = j - 1
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if k < 0 or not (s[k].isalnum() or s[k] in "_)]'`\x00"):
+                start = j  # unary sign: part of the operand
+            elif s[k].isalpha() or s[k] == "_":
+                # a KEYWORD before the sign (SELECT -2 ^ 2, WHEN -x ^ 2)
+                # starts an expression, it doesn't end an operand
+                w = k
+                while w >= 0 and (s[w].isalnum() or s[w] == "_"):
+                    w -= 1
+                if s[w + 1:k + 1].lower() in _UNARY_CONTEXT_KEYWORDS:
+                    start = j
+            # no continue: a sign can't stack casts further left
         return start
 
 

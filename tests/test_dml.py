@@ -690,3 +690,20 @@ def test_merge_theta_on_uses_unpruned_path(spark, cat):
                "WHEN MATCHED THEN UPDATE SET n = th.n + s.d")
     got = {r.k: r.n for r in read_table(spark, cat, "public", "th").collect()}
     assert got == {1: 10, 2: 25, 3: 30}
+
+
+def test_on_conflict_where_returning_omits_gated_rows(spark, cat):
+    """pg RETURNING on ON CONFLICT DO UPDATE ... WHERE emits only rows
+    actually inserted or updated — gate-rejected conflicts are silent
+    (ADVICE r7)."""
+    write_bucketed_table(spark, cat, "public", "gr", spark.createDataFrame(
+        [(1, 10), (2, 20)], "k bigint, n bigint"), ["k"], n_buckets=4)
+    pg = PgSession(spark, cat)
+    df = pg.execute(
+        "INSERT INTO gr (k, n) VALUES (1, 99), (2, 5), (7, 70) "
+        "ON CONFLICT (k) DO UPDATE SET n = EXCLUDED.n "
+        "WHERE EXCLUDED.n > n RETURNING k, n")
+    # k=1: 99>10 update; k=2: 5>20 gated OUT; k=7 insert
+    assert df._pg_tag == "INSERT 0 2"
+    got = sorted((r.k, r.n) for r in df.collect())
+    assert got == [(1, 99), (7, 70)]

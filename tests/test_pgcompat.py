@@ -1041,3 +1041,27 @@ def test_pg_quote_and_split_functions(pg):
     assert r[1] == '"Weird Name"'
     assert r[2] == "'o''x'"
     assert r[3] == ["a", "b", "c", "d"]
+
+
+def test_pg_power_unary_minus_precedence(pg):
+    """pg binds unary minus TIGHTER than `^`: -2 ^ 2 = 4 (ADVICE r7);
+    a binary minus keeps normal precedence: 1 - 2 ^ 2 = -3."""
+    r = one(pg, "SELECT -2 ^ 2 AS a, CAST(1 - 2 ^ 2 AS DOUBLE) AS b, "
+                "(-3 ^ 2) AS c, 2 * -2 ^ 2 AS d")
+    assert (r[0], r[1], r[2], r[3]) == (4.0, -3.0, 9.0, 8.0)
+
+
+def test_operator_rewrites_skip_quoted_identifiers(pg):
+    """`^` / vector ops inside pg double-quoted identifiers (rewritten to
+    backticks) are column names, not operators (ADVICE r7)."""
+    r = one(pg, 'SELECT t."a^b" AS v FROM (VALUES (7)) AS t("a^b")')
+    assert r[0] == 7
+
+
+def test_json_table_without_alias(pg):
+    """pg17 allows alias-less JSON_TABLE: a following bare keyword must not
+    be consumed as the alias (ADVICE r7)."""
+    rows = pg.execute(
+        "SELECT v FROM JSON_TABLE('[{\"v\": 1}, {\"v\": 5}]', '$[*]' "
+        "COLUMNS (v int PATH '$.v')) WHERE v > 1").collect()
+    assert [r.v for r in rows] == [5]

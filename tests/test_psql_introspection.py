@@ -161,6 +161,20 @@ def test_quote_ident(pg):
     assert tuple(rows[0]) == ("simple", '"Needs Quoting"', '"has""quote"')
 
 
+def test_quote_ident_quotes_reserved_keywords(pg):
+    """pg quotes any non-unreserved keyword regardless of case shape
+    (ruleutils.c quote_identifier); unreserved keywords stay bare."""
+    rows = pg.execute(
+        "SELECT quote_ident('select') AS a, quote_ident('table') AS b, "
+        "quote_ident('int') AS c, quote_ident('ilike') AS d, "
+        "quote_ident('abort') AS e, quote_ident('version') AS f"
+    ).collect()
+    # select=reserved, table=reserved, int=col_name, ilike=type_func_name
+    # -> quoted; abort/version are unreserved/non-keywords -> bare
+    assert tuple(rows[0]) == (
+        '"select"', '"table"', '"int"', '"ilike"', "abort", "version")
+
+
 def test_pg_get_keywords(pg):
     rows = pg.execute(
         "SELECT word FROM pg_get_keywords() WHERE word = 'select'"
