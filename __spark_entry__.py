@@ -36,64 +36,21 @@ _MODULES = [
 ]
 
 # Driver-verification rotation: the driver checks the registry front-to-back
-# within a bounded (~50-entry) window, so ordering here IS the verification
-# schedule. Round-7 window (VERDICT r6 #1/#3): the two r6 driver-red DML
-# re-lands first (now assert-free, footer-counted), then the NEW r7 entries
-# (MERGE, schema evolution, time travel), then every dml_* entry whose
-# write path changed this round, then oldest-driver-row-first (the r2-
-# checked cohort fills the rest of the window; r3+ document the ongoing
-# rotation for r8).
+# within a bounded (50-entry) window, so ordering here IS the verification
+# schedule. Round-8 window (VERDICT r7 #1/#3): the twice-red matview
+# re-land first (now shuffle-free by construction), then the entries whose
+# SEMANTICS changed this round (new pg_vector_funcs_route; pg_merge_route
+# after the bucket-pruned rewrite; pg_power_quote_route's new quoting arms;
+# the de-asserted incremental matview), then the r2-stale tpch_q14-q22,
+# then the r3-stale cohort oldest-first. 36 of the 44 r3 entries fit the
+# window; the 8 deferred streaming/funnel entries sit at positions 51-58
+# so they lead the r9 rotation.
 _PRIORITY = [
-    "dml_cursor_append_route",
     "dml_matview_refresh_route",
+    "pg_vector_funcs_route",
     "pg_merge_route",
-    "pg_alter_column_route",
-    "dml_time_travel_route",
-    "pg_on_conflict_where_route",
-    "pg_cursor_fetch_route",
-    "pg_prepare_execute_route",
-    "pg_vector_ops_route",
-    "pg_json_table_route",
-    "pg_dow_fields_route",
     "pg_power_quote_route",
-    "win_dist_functions",
-    "asof_forward_next_view",
-    "streaming_windowed_heavy_hitters",
-    "dml_upsert_route",
-    "dml_update_delete_route",
-    "dml_vacuum_compact_route",
     "dml_incremental_matview_route",
-    "dedup_incremental_batch",
-    "embedding_quantize_int8",
-    "ann_hard_negatives",
-    "text_langid",
-    "text_quality",
-    "text_tokens",
-    "text_fingerprint",
-    "text_pii_redact",
-    "text_tfidf_top_term",
-    "text_readability",
-    "win_running_sum",
-    "win_rank_dense_ntile",
-    "win_lag_lead",
-    "win_moving_avg",
-    "distinct_on_latest",
-    "rollup_daily_type",
-    "cube_type_bucket",
-    "grouping_sets_mixed",
-    "tpch_q1",
-    "tpch_q2",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
@@ -147,6 +104,52 @@ _PRIORITY = [
     "streaming_session_windows",
     "streaming_dedup_keys",
     "streaming_click_purchase_join",
+    "dml_cursor_append_route",
+    "pg_alter_column_route",
+    "dml_time_travel_route",
+    "pg_on_conflict_where_route",
+    "pg_cursor_fetch_route",
+    "pg_prepare_execute_route",
+    "pg_vector_ops_route",
+    "pg_json_table_route",
+    "pg_dow_fields_route",
+    "win_dist_functions",
+    "asof_forward_next_view",
+    "streaming_windowed_heavy_hitters",
+    "dml_upsert_route",
+    "dml_update_delete_route",
+    "dml_vacuum_compact_route",
+    "dedup_incremental_batch",
+    "embedding_quantize_int8",
+    "ann_hard_negatives",
+    "text_langid",
+    "text_quality",
+    "text_tokens",
+    "text_fingerprint",
+    "text_pii_redact",
+    "text_tfidf_top_term",
+    "text_readability",
+    "win_running_sum",
+    "win_rank_dense_ntile",
+    "win_lag_lead",
+    "win_moving_avg",
+    "distinct_on_latest",
+    "rollup_daily_type",
+    "cube_type_bucket",
+    "grouping_sets_mixed",
+    "tpch_q1",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
     "string_funcs_battery",
     "values_join",
     "dedup_exact",

@@ -584,6 +584,91 @@ _register_pg(
 )
 
 # ---------------------------------------------------------------------------
+# pgvector FUNCTION forms (r8, VERDICT r7 #6): vector_dims, inner_product,
+# l1/l2/cosine distance, and avg(vector) over GROUP BY (element-wise mean,
+# served by PgSession's analyzer-retry rewrite). Same integer-quantized
+# determinism pattern as pg_vector_ops_route: every sum is exact in doubles,
+# sqrt/division are correctly-rounded IEEE ops over identical inputs, and
+# floor/round-scaled BIGINTs are summed as integers so group aggregation is
+# order-independent. The centroid arm folds avg(q) per group to a single
+# scaled integer; DuckDB reproduces it per (group, position) via
+# generate_subscripts.
+# ---------------------------------------------------------------------------
+_register_pg(
+    "pg_vector_funcs_route",
+    """
+    WITH iv AS (
+      SELECT vec_id, vec_id % 5 AS grp,
+             transform(embedding, x -> CAST(round(x * 1000) AS DOUBLE)) AS q
+      FROM embeddings
+    )
+    SELECT i.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(vector_dims(i.q)) AS BIGINT) AS dims_sum,
+           CAST(sum(inner_product(i.q, qv.qq)) AS BIGINT) AS ip_sum,
+           CAST(sum(l1_distance(i.q, qv.qq)) AS BIGINT) AS l1_sum,
+           CAST(sum(CAST(floor(l2_distance(i.q, qv.qq) * 1000000) AS BIGINT))
+                AS BIGINT) AS l2_u,
+           CAST(sum(CAST(floor(cosine_distance(i.q, qv.qq) * 1000000000)
+                         AS BIGINT)) AS BIGINT) AS cos_u,
+           CAST(aggregate(transform(avg(i.q),
+                                    c -> CAST(round(c * 1000000) AS BIGINT)),
+                          CAST(0 AS BIGINT), (s, v) -> s + v)
+                AS BIGINT) AS cent_u
+    FROM iv i CROSS JOIN (SELECT q AS qq FROM iv WHERE vec_id = 0) qv
+    GROUP BY i.grp
+    ORDER BY i.grp
+    """,
+    """
+    WITH iv AS (
+      SELECT vec_id, vec_id % 5 AS grp,
+             list_transform(embedding,
+                            x -> CAST(round(x * 1000) AS DOUBLE)) AS q
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT i.vec_id, i.grp, unnest(i.q) AS a, unnest(qv.qq) AS b
+      FROM iv i CROSS JOIN (SELECT q AS qq FROM iv WHERE vec_id = 0) qv
+    ),
+    per AS (
+      SELECT vec_id, grp,
+             count(*) AS dims,
+             CAST(sum(a * b) AS DOUBLE) AS ip,
+             CAST(sum(abs(a - b)) AS DOUBLE) AS l1,
+             CAST(floor(sqrt(CAST(sum((a - b) * (a - b)) AS DOUBLE))
+                        * 1000000) AS BIGINT) AS l2_u,
+             CAST(floor((1 - CAST(sum(a * b) AS DOUBLE) /
+                         (sqrt(CAST(sum(a * a) AS DOUBLE)) *
+                          sqrt(CAST(sum(b * b) AS DOUBLE)))) * 1000000000)
+                  AS BIGINT) AS cos_u
+      FROM pairs GROUP BY vec_id, grp
+    ),
+    cent AS (
+      SELECT grp, pos,
+             CAST(round(CAST(sum(val) AS DOUBLE) / count(*) * 1000000)
+                  AS BIGINT) AS cu
+      FROM (SELECT grp, generate_subscripts(q, 1) AS pos, unnest(q) AS val
+            FROM iv)
+      GROUP BY grp, pos
+    ),
+    centg AS (
+      SELECT grp, CAST(sum(cu) AS BIGINT) AS cent_u FROM cent GROUP BY grp
+    )
+    SELECT p.grp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(p.dims) AS BIGINT) AS dims_sum,
+           CAST(sum(p.ip) AS BIGINT) AS ip_sum,
+           CAST(sum(p.l1) AS BIGINT) AS l1_sum,
+           CAST(sum(p.l2_u) AS BIGINT) AS l2_u,
+           CAST(sum(p.cos_u) AS BIGINT) AS cos_u,
+           max(c.cent_u) AS cent_u
+    FROM per p JOIN centg c ON p.grp = c.grp
+    GROUP BY p.grp
+    ORDER BY p.grp
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # pg17 JSON_TABLE through the route (r7): literal multi-row expansion with
 # FOR ORDINALITY + a correlated (auto-LATERAL) arm over a real JSON column.
 # transpiler._rewrite_json_table lowers both to posexplode over variant

@@ -65,6 +65,8 @@ _TAG_UDT = {
 
 def _udt_name(spark_type: str, pg_tag: str | None) -> str:
     if pg_tag:
+        if pg_tag.startswith("vector"):
+            return "vector"
         mapped = _TAG_UDT.get(pg_tag)
         if mapped:
             return mapped
@@ -390,11 +392,19 @@ def _register_emulation_views(
 
     attrs = []
     for i, (s, t, cols) in enumerate(inventory):
-        for pos, (cname, ctype, nullable, _pg) in enumerate(cols, start=1):
-            pg_name = pg_type_name(ctype)
+        for pos, (cname, ctype, nullable, pg_tag) in enumerate(cols, start=1):
+            if pg_tag and pg_tag.startswith("vector"):
+                # pgvector: atttypmod IS the dim count (vector(n) echoes in
+                # \d via format_type(atttypid, atttypmod))
+                tm = re.match(r"vector\((\d+)\)", pg_tag)
+                pg_name = "vector"
+                typmod = int(tm.group(1)) if tm else -1
+            else:
+                pg_name = pg_type_name(ctype)
+                typmod = -1
             attrs.append(
                 (16384 + i, cname, pos, pg_name, not nullable,
-                 pg_type_oid(pg_name), -1, False, False, "", "", 0)
+                 pg_type_oid(pg_name), typmod, False, False, "", "", 0)
             )
     spark.createDataFrame(
         attrs,

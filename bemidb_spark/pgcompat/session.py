@@ -70,6 +70,67 @@ def _pg_default_names(df: DataFrame) -> DataFrame:
     return df.toDF(*names) if names != df.columns else df
 
 
+_AVG_VEC_ERR_RE = re.compile(
+    r'Cannot resolve "avg\((.+?)\)" due to data type mismatch.*?'
+    r'has the type "ARRAY<DOUBLE>"',
+    re.DOTALL,
+)
+
+
+def _vec_avg_sql(e: str) -> str:
+    """Element-wise mean of a double-array (pgvector avg(vector)) as pure
+    Spark aggregate algebra: sum arrays by zip_with-fold over collect_list,
+    divide by the non-null count. NULL on an empty group, like pg. Bounded
+    by group size x dims in executor memory — the explicit posexplode
+    centroid operators (operators/similarity.py) are the huge-group scale
+    path; this serves the pgvector client spelling."""
+    sum_arr = (
+        f"aggregate(collect_list({e}), CAST(array() AS ARRAY<DOUBLE>), "
+        f"(acc, x) -> CASE WHEN size(acc) = 0 THEN x "
+        f"ELSE zip_with(acc, x, (a, b) -> a + b) END)"
+    )
+    return (
+        f"(CASE WHEN count({e}) = 0 THEN CAST(NULL AS ARRAY<DOUBLE>) "
+        f"ELSE zip_with({sum_arr}, "
+        f"array_repeat(CAST(count({e}) AS DOUBLE), size({sum_arr})), "
+        f"(s, n) -> s / n) END)"
+    )
+
+
+def _rewrite_vector_avg(sql: str, err_expr: str) -> str:
+    """Replace ``avg(<expr>)`` calls matching the analyzer-reported operand
+    with the element-wise vector mean. The reported operand is the analyzed
+    form (qualifiers stripped), so compare ignoring case/whitespace/
+    backticks and accept a trailing-path match for qualified refs."""
+
+    def norm(s: str) -> str:
+        return re.sub(r"[\s`]", "", s).lower()
+
+    want = norm(err_expr)
+    out, pos = [], 0
+    pat = re.compile(r"\bavg\s*\(", re.IGNORECASE)
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        depth, i = 0, m.end() - 1
+        while i < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+            if depth == 0:
+                break
+        inner = sql[m.end():i - 1]
+        got = norm(inner)
+        if got == want or got.endswith("." + want):
+            out.append(sql[pos:m.start()])
+            out.append(_vec_avg_sql(inner.strip()))
+            pos = i
+        else:
+            out.append(sql[pos:i])
+            pos = i
+
+
 def _normalize_pg_type(pg_type: str) -> str:
     """SQL type spellings -> the internal pg type names types.py maps."""
     pg_type = pg_type.strip().lower()
@@ -78,8 +139,11 @@ def _normalize_pg_type(pg_type: str) -> str:
     pg_type = re.sub(r"^decimal", "numeric", pg_type)
     pg_type = re.sub(r"^double\s+precision$", "float8", pg_type)
     # pgvector column type: stored as a double array (dims not enforced,
-    # like our other typmods); the vector operators consume it directly
-    pg_type = re.sub(r"^vector(\(\d+\))?$", "_float8", pg_type)
+    # like our other typmods) — the `vector(n)` spelling is KEPT as the
+    # logical tag so introspection echoes the typmod (\d shows vector(n));
+    # types.spark_field maps it to array<double>
+    if re.match(r"^vector(\(\d+\))?$", pg_type):
+        return pg_type
     # pg `elem[]` array spelling -> internal `_elem`
     pg_type = re.sub(r"^(\w+)\[\]$", r"_\1", pg_type)
     return {
@@ -1238,15 +1302,33 @@ class PgSession:
                 # analysis binds the pruned views into the plan; execution
                 # later runs against those bound relations (permissions.py)
                 with shadowed_permissions(self.spark, perms):
-                    df = _pg_default_names(self.spark.sql(transpile(folded)))
+                    df = _pg_default_names(self._sql_vector_aware(transpile(folded)))
             else:
-                df = _pg_default_names(self.spark.sql(transpile(folded)))
+                df = _pg_default_names(self._sql_vector_aware(transpile(folded)))
             if cacheable:
                 if len(self._plan_cache) >= self.PLAN_CACHE_MAX:
                     self._plan_cache.pop(next(iter(self._plan_cache)))
                 self._plan_cache[stripped] = df
             return df
         raise UnsupportedQueryError(f"unsupported query type: {stripped.split()[0]}")
+
+    def _sql_vector_aware(self, text: str) -> DataFrame:
+        """spark.sql with the pgvector avg(vector) retry: when analysis
+        reports avg over ARRAY<DOUBLE> (a vector column), rewrite that avg
+        into the element-wise mean and retry — one pass per distinct vector
+        operand, bounded."""
+        for _ in range(4):
+            try:
+                return self.spark.sql(text)
+            except Exception as exc:  # noqa: BLE001 — analyzer error probe
+                m = _AVG_VEC_ERR_RE.search(str(exc))
+                if m is None:
+                    raise
+                new = _rewrite_vector_avg(text, m.group(1))
+                if new == text:
+                    raise
+                text = new
+        return self.spark.sql(text)
 
     def invalidate_plans(self) -> None:
         """Drop cached prepared plans (DDL, table swap, or setting change)."""

@@ -833,10 +833,21 @@ def _rewrite_pg_macros(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
-    # format_type(oid, typmod) -> display name via inline CASE over the oid.
+    # format_type(oid, typmod) -> display name via inline CASE over the oid;
+    # pgvector's 16700 renders its typmod as the dim count (vector(3)).
+    def _format_type(m: re.Match) -> str:
+        oid, typmod = m.group(1), m.group(2)
+        base = format_type_case_sql(oid)
+        return (
+            f"(CASE WHEN CAST({oid} AS BIGINT) = 16700 "
+            f"AND CAST({typmod} AS INT) > 0 "
+            f"THEN concat('vector(', CAST({typmod} AS INT), ')') "
+            f"ELSE {base} END)"
+        )
+
     sql = re.sub(
-        r"format_type\s*\(([^,()]+),\s*[^()]+\)",
-        lambda m: format_type_case_sql(m.group(1)),
+        r"format_type\s*\(([^,()]+),\s*([^()]+)\)",
+        _format_type,
         sql,
         flags=re.IGNORECASE,
     )
@@ -1752,6 +1763,95 @@ def _rewrite_power_op(sql: str) -> str:
         sql = sql[:start] + f"power({lhs}, {rhs})" + sql[rend:]
 
 
+def _vector_dot(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0 AS DOUBLE), (s, v) -> s + v)")
+
+
+_VECTOR_FUNC_RE = re.compile(
+    r"\b(vector_dims|l2_distance|l1_distance|inner_product|cosine_distance|"
+    r"l2_norm|vector_norm|l2_normalize|subvector)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_vector_funcs(sql: str) -> str:
+    """pgvector's FUNCTION forms (the operator spellings' siblings — clients
+    and ORMs call these directly: pgvector README). Same JVM-side
+    zip_with/aggregate algebra as ``_rewrite_vector_ops``; no UDF:
+
+    - vector_dims(v)            → size(v)
+    - l2_distance(a, b)         → the `<->` expansion
+    - l1_distance(a, b)         → Σ|x−y| (taxicab)
+    - inner_product(a, b)       → Σxy (POSITIVE — unlike the `<#>` operator,
+                                  which pgvector negates for ASC ordering)
+    - cosine_distance(a, b)     → the `<=>` expansion
+    - l2_norm / vector_norm(v)  → sqrt(Σx²)
+    - l2_normalize(v)           → v / ‖v‖
+    - subvector(v, start, n)    → slice(v, start, n) (both 1-based)
+    """
+    pos = 0
+    while True:
+        m = _VECTOR_FUNC_RE.search(sql, pos)
+        if m is None:
+            return sql
+        open_p = m.end() - 1
+        depth, i = 0, open_p
+        while i < len(sql):
+            depth += {"(": 1, ")": -1}.get(sql[i], 0)
+            i += 1
+            if depth == 0:
+                break
+        if depth != 0:
+            return sql  # unbalanced: leave for Spark to report
+        args = _split_top_level_commas(sql[open_p + 1:i - 1])
+        fn = m.group(1).lower()
+        need = {"vector_dims": 1, "l2_norm": 1, "vector_norm": 1,
+                "l2_normalize": 1, "subvector": 3}.get(fn, 2)
+        if len(args) != need:
+            pos = m.end()
+            continue
+        a = args[0]
+        b = args[1] if len(args) > 1 else None
+        if fn == "vector_dims":
+            repl = f"size({a})"
+        elif fn in ("l2_norm", "vector_norm"):
+            repl = f"sqrt({_vector_dot(a, a)})"
+        elif fn == "l2_normalize":
+            repl = f"transform({a}, x -> x / sqrt({_vector_dot(a, a)}))"
+        elif fn == "subvector":
+            repl = f"slice({a}, {args[1]}, {args[2]})"
+        elif fn == "inner_product":
+            repl = f"({_vector_dot(a, b)})"
+        elif fn == "l1_distance":
+            repl = (f"aggregate(zip_with({a}, {b}, (x, y) -> abs(x - y)), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v)")
+        elif fn == "l2_distance":
+            repl = (f"sqrt(aggregate(zip_with({a}, {b}, "
+                    f"(x, y) -> (x - y) * (x - y)), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v))")
+        else:  # cosine_distance
+            repl = (f"(1 - {_vector_dot(a, b)} / "
+                    f"(sqrt({_vector_dot(a, a)}) * sqrt({_vector_dot(b, b)})))")
+        sql = sql[:m.start()] + repl + sql[i:]
+        # rescan from the same offset: args may hold nested vector funcs
+        pos = m.start()
+
+
+def _split_top_level_commas(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+    out.append(s[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
 def _rewrite_vector_ops(sql: str) -> str:
     """pgvector distance operators → Spark higher-order-function algebra:
 
@@ -2165,6 +2265,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_any_all(shielded)
     shielded = _rewrite_array_ops(shielded)
     # before _rewrite_json_ops: `<#>` contains the `#>` json-path token
+    shielded = _rewrite_vector_funcs(shielded)
     shielded = _rewrite_vector_ops(shielded)
     shielded = _rewrite_power_op(shielded)
     shielded = _rewrite_json_ops(shielded)

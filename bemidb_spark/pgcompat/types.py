@@ -39,9 +39,14 @@ MICROS_PER_MONTH = 30 * MICROS_PER_DAY  # reference normalizes at 30-day months
 def spark_field(name: str, pg_type: str, nullable: bool = True) -> T.StructField:
     """StructField for a pg column, with pg_type stamped in metadata."""
     pg = pg_type.lower()
-    if pg.startswith("_"):
+    if pg.startswith("vector"):
+        # pgvector column: stored as a double array; the `vector(n)` typmod
+        # (dims) rides along in the metadata tag so \d / pg_attribute can
+        # echo it (pgvector's atttypmod IS the dim count)
+        data_type: T.DataType = T.ArrayType(T.DoubleType())
+    elif pg.startswith("_"):
         elem = spark_field(name, pg[1:], nullable).dataType
-        data_type: T.DataType = T.ArrayType(elem)
+        data_type = T.ArrayType(elem)
     elif pg in ("bool", "boolean"):
         data_type = T.BooleanType()
     elif pg in ("bit", "int2", "int4"):

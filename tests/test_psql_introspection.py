@@ -289,3 +289,19 @@ def test_pgvector_client_bootstrap(pg):
     assert len(ext) == 1
     assert pg.execute("CREATE EXTENSION IF NOT EXISTS vector"
                       )._pg_tag == "CREATE EXTENSION"
+
+
+def test_psql_d_vector_typmod(pg):
+    """\\d on a table with a vector(3) column echoes the typmod through
+    format_type(atttypid, atttypmod) — pgvector stores the dim count as the
+    atttypmod (VERDICT r7 #6)."""
+    pg.execute("CREATE TABLE vecd (id bigint, emb vector(3), raw vector)")
+    oid = pg.execute(
+        "SELECT c.oid FROM pg_catalog.pg_class c WHERE c.relname = 'vecd'"
+    ).collect()[0].oid
+    q = f"""SELECT a.attname, pg_catalog.format_type(a.atttypid, a.atttypmod)
+FROM pg_catalog.pg_attribute a
+WHERE a.attrelid = '{oid}' AND a.attnum > 0 AND NOT a.attisdropped
+ORDER BY a.attnum"""
+    rows = [tuple(r) for r in pg.execute(q).collect()]
+    assert rows == [("id", "bigint"), ("emb", "vector(3)"), ("raw", "vector")]
