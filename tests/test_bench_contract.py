@@ -6,9 +6,12 @@ artifact (it happened once at sf10: a GC warning landed in front of the
 JSON; bench now routes JVM unified logging to stderr). This test runs the
 real script end-to-end at sf0.001 in a subprocess and pins:
 
-- exactly one stdout line, valid JSON;
-- every field the driver and the judge read, including the r6 additions
-  (per-phase steal% + bandwidth canary, wire soak with error count);
+- the LAST stdout line is compact valid JSON (the driver parses a bounded
+  tail window — VERDICT r7 #4) with totals + per-query + headline arms;
+- the full telemetry rides a preceding '# bench-telemetry:' line AND the
+  tools/bench_last_full.json artifact, with every field the driver and the
+  judge read, including the r6/r7 additions (per-phase steal% + bandwidth
+  canaries, GC ms, wire soak with error count, wire value check);
 - the wire soak finished with zero unexpected errors.
 
 ~2 min of runtime buys regression-proofing for the artifact every round's
@@ -33,8 +36,21 @@ def test_bench_stdout_is_one_json_line_with_contract_fields():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, f"stdout must be ONE JSON line, got {lines[:5]}"
-    d = json.loads(lines[0])
+    # contract: a compact final JSON line + one telemetry line before it
+    assert len(lines) == 2, f"stdout must be telemetry + final line, got {lines[:5]}"
+    assert lines[0].startswith("# bench-telemetry: ")
+    compact = json.loads(lines[-1])
+    assert len(lines[-1]) < 1900, "final line must fit the driver tail window"
+    assert compact["metric"] == "tpch_22q_total" and compact["unit"] == "sec"
+    assert compact["sf"] == 0.001
+    assert set(compact["queries"]) == {f"q{i}" for i in range(1, 23)}
+    for field in ("reexec_sequential_sec", "wire_sequential_sec",
+                  "pipeline_sec"):
+        assert field in compact, f"missing compact field {field}"
+    d = json.loads(lines[0][len("# bench-telemetry: "):])
+    # the committed artifact mirrors the telemetry line
+    with open(os.path.join(REPO, "tools", "bench_last_full.json")) as fh:
+        assert json.load(fh) == d
 
     assert d["metric"] == "tpch_22q_total" and d["unit"] == "sec"
     assert d["sf"] == 0.001
