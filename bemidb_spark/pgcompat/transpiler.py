@@ -1859,6 +1859,7 @@ def _rewrite_vector_ops(sql: str) -> str:
     - ``a <=> b``  cosine DISTANCE     → 1 − Σxy / (‖a‖·‖b‖)
     - ``a <#> b``  NEGATIVE inner product → −Σxy (pgvector returns the
       negation so ascending ORDER BY ranks nearest-first)
+    - ``a <+> b``  L1 (taxicab) distance → Σ|x−y| (pgvector 0.7)
 
     Element math runs JVM-side in zip_with/aggregate — no UDF, stays inside
     whole-stage codegen; at scale this is the brute-force rank arm the ANN
@@ -1870,7 +1871,7 @@ def _rewrite_vector_ops(sql: str) -> str:
     entry pg_vector_ops_route pins that against DuckDB."""
     while True:
         mask = _quote_mask(sql)
-        m = next((mm for mm in re.finditer(r"<->|<=>|<#>", sql)
+        m = next((mm for mm in re.finditer(r"<->|<=>|<#>|<\+>", sql)
                   if not mask[mm.start()]), None)
         if m is None:
             return sql
@@ -1892,6 +1893,10 @@ def _rewrite_vector_ops(sql: str) -> str:
             repl = (f"sqrt(aggregate(zip_with({lhs}, {rhs}, "
                     f"(x, y) -> (x - y) * (x - y)), "
                     f"CAST(0 AS DOUBLE), (s, v) -> s + v))")
+        elif op == "<+>":
+            repl = (f"aggregate(zip_with({lhs}, {rhs}, "
+                    f"(x, y) -> abs(x - y)), "
+                    f"CAST(0 AS DOUBLE), (s, v) -> s + v)")
         else:  # <=>
             repl = (f"(1 - {dot(lhs, rhs)} / "
                     f"(sqrt({dot(lhs, lhs)}) * sqrt({dot(rhs, rhs)})))")

@@ -1085,8 +1085,10 @@ def test_pgvector_function_forms(pg):
     assert r[7] == [20.0, 30.0]
     # inner_product is POSITIVE; the <#> operator is its negation
     r2 = one(pg, "SELECT inner_product('[1,2]'::vector, '[3,4]'::vector) "
-                 "+ ('[1,2]'::vector <#> '[3,4]'::vector) AS z")
+                 "+ ('[1,2]'::vector <#> '[3,4]'::vector) AS z, "
+                 "'[1,5]'::vector <+> '[4,1]'::vector AS l1op")
     assert r2[0] == 0.0
+    assert r2[1] == 7.0  # pgvector 0.7 L1 operator == l1_distance
 
 
 def test_pgvector_avg_group_by(pg):
