@@ -42,13 +42,15 @@ _MODULES = [
 # SEMANTICS changed this round (new pg_vector_funcs_route; pg_merge_route
 # after the bucket-pruned rewrite; pg_power_quote_route's new quoting arms;
 # the de-asserted incremental matview), then the r2-stale tpch_q14-q22,
-# then the r3-stale cohort oldest-first. 36 of the 44 r3 entries fit the
-# window; the 8 deferred streaming/funnel entries sit at positions 51-58
-# so they lead the r9 rotation.
+# then the r3-stale cohort oldest-first. 35 of the 44 r3 entries fit the
+# window (pg_merge_returning_route took one slot); the 9 deferred
+# streaming/funnel entries sit right after the window so they lead the r9
+# rotation.
 _PRIORITY = [
     "dml_matview_refresh_route",
     "pg_vector_funcs_route",
     "pg_merge_route",
+    "pg_merge_returning_route",
     "pg_power_quote_route",
     "dml_incremental_matview_route",
     "tpch_q14",

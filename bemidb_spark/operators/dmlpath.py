@@ -482,6 +482,51 @@ def _pg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM m_acct ORDER BY o_orderkey")
 
 
+# ---------------------------------------------------------------------------
+# pg17 MERGE ... RETURNING (r8): one row per inserted/updated/deleted row,
+# merge_action() naming the fired clause; DO NOTHING matches and gated
+# inserts are silent; DELETE rows carry the OLD values. The entry's result
+# IS the RETURNING set (materialized before the write), so the oracle is
+# pure SELECT algebra over the untouched base table.
+# ---------------------------------------------------------------------------
+def _pg_merge_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat, pg = _scratch_session(spark, sf_dir)
+    pg.execute("CREATE TABLE mret AS SELECT o_orderkey, o_totalprice "
+               "FROM orders WHERE o_orderkey < 1000")
+    return pg.execute("""
+        MERGE INTO mret t
+        USING (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_orderkey >= 500 AND o_orderkey < 1500) d
+        ON t.o_orderkey = d.o_orderkey
+        WHEN MATCHED AND d.o_orderkey % 10 = 1 THEN DELETE
+        WHEN MATCHED AND d.o_orderkey % 10 = 2 THEN DO NOTHING
+        WHEN MATCHED THEN UPDATE SET
+          o_totalprice = t.o_totalprice + d.o_totalprice
+        WHEN NOT MATCHED AND d.o_orderkey % 10 <> 3 THEN
+          INSERT (o_orderkey, o_totalprice)
+          VALUES (d.o_orderkey, d.o_totalprice)
+        RETURNING merge_action() AS act, o_orderkey,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    """)
+
+
+QUERIES["pg_merge_returning_route"] = _pg_merge_returning
+ORACLES["pg_merge_returning_route"] = """
+    SELECT CASE WHEN o_orderkey % 10 = 1 THEN 'DELETE' ELSE 'UPDATE' END AS act,
+           o_orderkey,
+           CAST(round(CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice
+                           ELSE o_totalprice * 2 END * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 500 AND o_orderkey < 1000 AND o_orderkey % 10 <> 2
+    UNION ALL
+    SELECT 'INSERT' AS act, o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1500 AND o_orderkey % 10 <> 3
+    ORDER BY o_orderkey
+"""
+
+
 QUERIES["pg_merge_route"] = _pg_merge
 ORACLES["pg_merge_route"] = """
     SELECT o_orderkey, o_orderstatus,

@@ -680,7 +680,7 @@ def _merge_key_sources(on_retargeted: str, keys: list[str]) -> dict[str, str] | 
 
 
 def _run_merge(
-    spark: SparkSession, catalog: Catalog, sql: str
+    spark: SparkSession, catalog: Catalog, sql: str, returning: str | None = None
 ) -> tuple[str, int, DataFrame | None]:
     """pg15 ``MERGE INTO target USING source ON cond WHEN …`` executed as ONE
     full-outer join (pg evaluates the join once, then applies the first
@@ -916,9 +916,18 @@ def _run_merge(
     aff = _cascade(
         lambda cl: F.lit(0 if cl["kind"] == "nothing" else 1), F.lit(0)
     )
+    # pg17 merge_action(): which clause kind fired for this row (NULL for
+    # DO NOTHING / no-clause rows — those never appear in RETURNING)
+    act = _cascade(
+        lambda cl: F.lit(
+            {"update": "UPDATE", "delete": "DELETE",
+             "insert": "INSERT"}.get(cl["kind"])
+        ).cast("string"),
+        F.lit(None).cast("string"),
+    )
     flags = joined.select(
         *[_value(c) for c in tcols],
-        keep.alias("__keep"), aff.alias("__aff"),
+        keep.alias("__keep"), aff.alias("__aff"), act.alias("__action"),
         is_m.alias("__is_m"), F.col("__tid"),
     )
     # one execution of the (pruned or full) join; when pruning is active
@@ -957,6 +966,21 @@ def _run_merge(
         ).filter("__tid IS NULL OR __rn = 1")
     result = out_rows.filter("__keep").select(*tcols)
 
+    # pg17 MERGE ... RETURNING: one row per INSERTed/UPDATEd/DELETEd row.
+    # The cascade's per-column values already carry RETURNING semantics
+    # (new values for INSERT/UPDATE, old row for DELETE); merge_action()
+    # resolves to the fired clause kind. Materialized BEFORE the write.
+    ret = None
+    if returning is not None:
+        affected = out_rows.filter("__aff = 1")
+        if returning.strip() == "*":
+            ret = _materialize(spark, affected.select(*tcols))
+        else:
+            clause = re.sub(r"\bmerge_action\s*\(\s*\)", "__action",
+                            returning, flags=re.IGNORECASE)
+            ret = _project_returning(
+                spark, affected.select(*tcols, "__action"), clause)
+
     if key_src is not None:
         out = _with_field_ids(result).withColumn(
             BUCKET_COL, _bucket_expr(keys, n_buckets))
@@ -981,7 +1005,7 @@ def _run_merge(
             else:
                 catalog.commit_table(
                     schema, table, loc, _columns_meta(result))
-            return "MERGE", n, None
+            return "MERGE", n, ret
         # an UPDATE/INSERT moved a row into an unread bucket (key mutation):
         # the slice-join is still correct, but a pruned write would clobber
         # that bucket — stitch the untouched buckets back and rewrite fully
@@ -993,7 +1017,7 @@ def _run_merge(
             spark, catalog, schema, table, result, keys, n_buckets=n_buckets)
     else:
         replace_table(catalog, schema, table, result)
-    return "MERGE", n, None
+    return "MERGE", n, ret
 
 
 def handle_dml(
@@ -1013,9 +1037,7 @@ def handle_dml(
         sql = sql[:rm.start()]
 
     if head == "MERGE":
-        if returning is not None:
-            raise DmlError("MERGE ... RETURNING is not supported")
-        return _run_merge(spark, catalog, sql)
+        return _run_merge(spark, catalog, sql, returning)
 
     if head == "WITH":
         # CTE-prefixed INSERT: `WITH ctes INSERT INTO t SELECT …` — pg scopes

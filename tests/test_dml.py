@@ -707,3 +707,27 @@ def test_on_conflict_where_returning_omits_gated_rows(spark, cat):
     assert df._pg_tag == "INSERT 0 2"
     got = sorted((r.k, r.n) for r in df.collect())
     assert got == [(1, 99), (7, 70)]
+
+
+def test_merge_returning_with_merge_action(spark, cat):
+    """pg17 MERGE ... RETURNING: one row per inserted/updated/deleted row,
+    merge_action() names the fired clause; DO NOTHING rows are silent;
+    DELETE rows return the OLD row values."""
+    replace_table(cat, "public", "mr", spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], "k bigint, bal bigint"))
+    pg = PgSession(spark, cat)
+    pg.execute("CREATE TABLE mrd AS SELECT * FROM (VALUES "
+               "(1, 5), (2, -1), (4, 40), (9, 0)) AS t(k, d)")
+    df = pg.execute("""
+        MERGE INTO mr t USING mrd d ON t.k = d.k
+        WHEN MATCHED AND d.d < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET bal = t.bal + d.d
+        WHEN NOT MATCHED AND d.d > 0 THEN INSERT VALUES (d.k, d.d)
+        RETURNING merge_action() AS act, k, bal
+    """)
+    assert df._pg_tag == "MERGE 3"
+    got = sorted((r.act, r.k, r.bal) for r in df.collect())
+    # k=1 updated to 15; k=2 deleted (old bal 20); k=4 inserted; k=9 silent
+    assert got == [("DELETE", 2, 20), ("INSERT", 4, 40), ("UPDATE", 1, 15)]
+    stored = {r.k: r.bal for r in read_table(spark, cat, "public", "mr").collect()}
+    assert stored == {1: 15, 3: 30, 4: 40}
