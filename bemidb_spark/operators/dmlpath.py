@@ -60,8 +60,35 @@ def _scratch_session(spark: SparkSession, sf_dir: str):
 
     register_views(spark, sf_dir)
     os.makedirs(_SCRATCH_ROOT, exist_ok=True)
+    _purge_stale_scratch()
     cat = Catalog(tempfile.mkdtemp(prefix="dml_entry_", dir=_SCRATCH_ROOT))
     return cat, PgSession(spark, cat)
+
+
+def _purge_stale_scratch(max_age_s: float = 3600.0) -> None:
+    """Scratch catalogs cannot be removed at entry exit — the returned
+    DataFrame lazily reads the scratch parquet until the driver collects it.
+    Instead, each new entry sweeps dirs from PAST runs (mtime > 1 h old;
+    any single gate/driver run finishes well inside that), so .scratch/
+    stays bounded instead of leaking one dir + parquet copy per entry per
+    run (ADVICE r8)."""
+    import shutil
+    import time
+
+    cutoff = time.time() - max_age_s
+    try:
+        names = os.listdir(_SCRATCH_ROOT)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith("dml_entry_"):
+            continue
+        path = os.path.join(_SCRATCH_ROOT, name)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 @contextlib.contextmanager

@@ -659,6 +659,32 @@ def _split_eq(s: str) -> tuple[str, str] | None:
     return None
 
 
+def _is_scalar_frag(s: str) -> bool:
+    """True when a conjunct side is a plain scalar expression — no
+    top-level boolean/comparison structure. Guards _merge_key_sources
+    against taking ``t.k = d.k OR d.flag`` as a key equality (the rhs
+    ``d.k OR d.flag`` is boolean, not the key's source value — ADVICE r8):
+    pruning soundness must be a checked precondition, not an accident of
+    Spark rejecting a non-scalar cast later."""
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            if c in "<>!=":
+                return False
+            m = re.match(r"(?:OR|AND|NOT|IS|IN|LIKE|BETWEEN)\b", s[i:],
+                         re.IGNORECASE)
+            if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                return False
+        i += 1
+    return True
+
+
 def _merge_key_sources(on_retargeted: str, keys: list[str]) -> dict[str, str] | None:
     """Bucket-pruning precondition: each bucket key must be equated (in a
     top-level AND conjunct of the ON condition) with a pure source-side
@@ -672,7 +698,8 @@ def _merge_key_sources(on_retargeted: str, keys: list[str]) -> dict[str, str] | 
             continue
         for a, b in (sides, sides[::-1]):
             m = re.fullmatch(r"__t_(\w+)", a.strip())
-            if m and m.group(1) in keys and "__t_" not in b:
+            if (m and m.group(1) in keys and "__t_" not in b
+                    and _is_scalar_frag(b.strip())):
                 found.setdefault(m.group(1), b.strip())
     if all(k in found for k in keys):
         return {k: found[k] for k in keys}
@@ -952,8 +979,10 @@ def _run_merge(
         err = DmlError("MERGE command cannot affect row a second time")
         err.sqlstate = "21000"
         raise err
-    n = pinned.groupBy(F.lit(1).alias("__g")).agg(
-        F.sum("__aff").alias("s")).collect()
+    # global (grouping-key-free) aggregate: returns exactly one row even
+    # when pinned is empty (e.g. a no-op CDC batch with an empty source,
+    # where the pruned join side has zero rows — ADVICE r8)
+    n = pinned.agg(F.sum("__aff").alias("s")).collect()
     n = int(n[0].s or 0)
     out_rows = pinned
     if maxc > 1:
@@ -982,6 +1011,10 @@ def _run_merge(
                 spark, affected.select(*tcols, "__action"), clause)
 
     if key_src is not None:
+        if not b_src:
+            # empty source → zero affected buckets were read and zero rows
+            # were affected; the target is untouched bytes (MERGE 0)
+            return "MERGE", n, ret
         out = _with_field_ids(result).withColumn(
             BUCKET_COL, _bucket_expr(keys, n_buckets))
         out_buckets = {

@@ -1818,7 +1818,10 @@ def _rewrite_vector_funcs(sql: str) -> str:
         elif fn in ("l2_norm", "vector_norm"):
             repl = f"sqrt({_vector_dot(a, a)})"
         elif fn == "l2_normalize":
-            repl = f"transform({a}, x -> x / sqrt({_vector_dot(a, a)}))"
+            # pgvector returns the zero vector unchanged (division by the
+            # zero norm would yield NaN elements — ADVICE r8)
+            repl = (f"CASE WHEN {_vector_dot(a, a)} = 0 THEN {a} "
+                    f"ELSE transform({a}, x -> x / sqrt({_vector_dot(a, a)})) END")
         elif fn == "subvector":
             repl = f"slice({a}, {args[1]}, {args[2]})"
         elif fn == "inner_product":

@@ -1089,6 +1089,9 @@ def test_pgvector_function_forms(pg):
                  "'[1,5]'::vector <+> '[4,1]'::vector AS l1op")
     assert r2[0] == 0.0
     assert r2[1] == 7.0  # pgvector 0.7 L1 operator == l1_distance
+    # pgvector returns the ZERO vector unchanged (no NaN from 0/0 — ADVICE r8)
+    r3 = one(pg, "SELECT l2_normalize('[0,0,0]'::vector) AS z")
+    assert r3[0] == [0.0, 0.0, 0.0]
 
 
 def test_pgvector_avg_group_by(pg):
