@@ -46,7 +46,63 @@ _MODULES = [
 # window (pg_merge_returning_route took one slot); the 9 deferred
 # streaming/funnel entries sit right after the window so they lead the r9
 # rotation.
+# r9 window (the driver checks the FIRST 50): the new r9 entry, then
+# the ENTIRE r3-stale cohort (9) and r4-stale cohort (8) — kept from
+# the r8 deferral promise — then the 32 oldest r5-cohort entries, so
+# after r9 no registry entry is staler than r5 and the r5 tail shrinks
+# to 3. Remaining r5 stale after this window: json_extract_bucket,
+# recursive_month_series, setops_cohorts (queue them to lead r10).
 _PRIORITY = [
+    "pg_ivf_orderby_route",
+    "range_join_close_events",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
+    "sessionize_events_30m",
+    "streaming_tumbling_daily",
+    "streaming_sliding_activity",
+    "streaming_session_windows",
+    "streaming_dedup_keys",
+    "streaming_click_purchase_join",
+    "string_funcs_battery",
+    "values_join",
+    "dedup_exact",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_paragraphs",
+    "dedup_edit_distance",
+    "ann_cosine_topk",
+    "ann_recall_at_k",
+    "dedup_lsh_quality",
+    "mixture_domain_cap_shift",
+    "dedup_simhash_quality",
+    "event_path_trigrams",
+    "mixture_source_gini",
+    "text_novelty_ratio",
+    "skew_key_report",
+    "ann_probe_sweep",
+    "dedup_embedding_quality",
+    "event_gap_histogram",
+    "contamination_span_max",
+    "embedding_dim_stats",
+    "user_recency_weighted_value",
+    "streaming_late_data_drop",
+    "mm_frame_dedup",
+    "embedding_top_component",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "mm_audio_chunks",
+    "sample_hash_bernoulli",
+    "exact_substring_dedup",
+    "cdc_apply_changes",
+    "pack_sequences_budget",
+    "quality_budget_threshold",
+    "export_shard_manifest",
+    "pipeline_training_subset",
+    "dedup_minhash_lsh",
+    "ann_ivf_topk",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "interval_bucketing",
     "dml_matview_refresh_route",
     "pg_vector_funcs_route",
     "pg_merge_route",
@@ -97,15 +153,6 @@ _PRIORITY = [
     "sample_weighted_reservoir",
     "ngram_top_bigrams",
     "sketch_event_profile",
-    "range_join_close_events",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
-    "sessionize_events_30m",
-    "streaming_tumbling_daily",
-    "streaming_sliding_activity",
-    "streaming_session_windows",
-    "streaming_dedup_keys",
-    "streaming_click_purchase_join",
     "dml_cursor_append_route",
     "pg_alter_column_route",
     "dml_time_travel_route",
@@ -152,46 +199,6 @@ _PRIORITY = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "string_funcs_battery",
-    "values_join",
-    "dedup_exact",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_paragraphs",
-    "dedup_edit_distance",
-    "ann_cosine_topk",
-    "ann_recall_at_k",
-    "dedup_lsh_quality",
-    "mixture_domain_cap_shift",
-    "dedup_simhash_quality",
-    "event_path_trigrams",
-    "mixture_source_gini",
-    "text_novelty_ratio",
-    "skew_key_report",
-    "ann_probe_sweep",
-    "dedup_embedding_quality",
-    "event_gap_histogram",
-    "contamination_span_max",
-    "embedding_dim_stats",
-    "user_recency_weighted_value",
-    "streaming_late_data_drop",
-    "mm_frame_dedup",
-    "embedding_top_component",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "mm_audio_chunks",
-    "sample_hash_bernoulli",
-    "exact_substring_dedup",
-    "cdc_apply_changes",
-    "pack_sequences_budget",
-    "quality_budget_threshold",
-    "export_shard_manifest",
-    "pipeline_training_subset",
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
-    "dedup_simhash_pairs",
-    "dedup_embedding_cosine",
-    "interval_bucketing",
     "json_extract_bucket",
     "recursive_month_series",
     "setops_cohorts",

@@ -753,3 +753,44 @@ _register_pg(
     FROM nation ORDER BY n_nationkey
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# pgvector ANN serving (r9, VERDICT r8 #4): `ORDER BY embedding <-> q LIMIT k`
+# over an ivfflat-INDEXED column routes through the materialized k-means
+# cells (similarity._kmeans_views) — the probe plan scans ~NPROBE/N_CELLS of
+# the corpus instead of all of it, exactly what the index means in pg.
+# The oracle reproduces the identical Lloyd's chain + probe + double-fold L2
+# ranking inline in DuckDB (similarity.ivf_orderby_oracle_sql), so the
+# approximate result is bit-deterministic, not merely "close".
+# Query vector: exact binary fractions (k/8), so the literal parses to the
+# same doubles in both engines.
+# ---------------------------------------------------------------------------
+_IVF_QV = [((i * 7) % 13 - 6) / 8.0 for i in range(64)]
+_IVF_QV_TEXT = "[" + ", ".join(repr(v) for v in _IVF_QV) + "]"
+_IVF_K = 20
+
+
+def _pg_ivf_orderby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    from bemidb_spark.pgcompat.session import PgSession
+
+    pg = PgSession(spark)
+    pg.execute(
+        "CREATE INDEX embeddings_ivf ON embeddings "
+        "USING ivfflat (embedding vector_l2_ops) WITH (lists = 8)"
+    )
+    return pg.execute(
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY embedding <-> '{_IVF_QV_TEXT}'::vector LIMIT {_IVF_K}"
+    )
+
+
+def _ivf_orderby_oracle() -> str:
+    from bemidb_spark.operators.similarity import ivf_orderby_oracle_sql
+
+    return ivf_orderby_oracle_sql("vec_id", _IVF_QV_TEXT, _IVF_K)
+
+
+QUERIES["pg_ivf_orderby_route"] = _pg_ivf_orderby
+ORACLES["pg_ivf_orderby_route"] = _ivf_orderby_oracle()

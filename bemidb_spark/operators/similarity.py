@@ -175,6 +175,69 @@ def _kmeans_views(spark: SparkSession, sf_dir: str | None = None) -> None:
         _KM_BUILT[key] = sf_dir
 
 
+def _l2_fold(a: str, b: str, *, spark: bool) -> str:
+    """Exact L2 distance as a sequential double fold (both engines CAST each
+    element to DOUBLE before the subtract, so float32 inputs round
+    identically)."""
+    if spark:
+        return (
+            f"sqrt(aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+    return (
+        f"sqrt(list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))"
+    )
+
+
+def ivf_orderby_df(spark_session: SparkSession, select_list: str,
+                   alias: str, qvec_json: str, k: int):
+    """Probe-pruned plan for ``SELECT … FROM embeddings ORDER BY
+    embedding <-> '<q>' LIMIT k`` over an ivfflat-indexed column (pgvector
+    semantics: the index makes the scan approximate — only the NPROBE
+    nearest cells are read). Reads the materialized ``_km_centroids`` /
+    ``_km_cells`` views built at CREATE INDEX time; ranking = exact L2
+    within the probed cells, vec_id tie-break.
+
+    100 TB shape: centroids are a tiny broadcast relation; the cells join
+    reads ~NPROBE/N_CELLS of the corpus instead of all of it — the whole
+    point of the index."""
+    qv = f"from_json('{qvec_json}', 'array<double>')"
+    probe_key = _dist(qv, "centroid", True)
+    order_key = _l2_fold("embedding", qv, spark=True)
+    sql = f"""
+    WITH __probe AS (
+      SELECT cell FROM _km_centroids
+      ORDER BY {probe_key} ASC, cell LIMIT {NPROBE}
+    )
+    SELECT {select_list} FROM _km_cells {alias} JOIN __probe USING (cell)
+    ORDER BY {order_key} ASC, vec_id LIMIT {int(k)}
+    """
+    return spark_session.sql(sql)
+
+
+def ivf_orderby_oracle_sql(select_list: str, qvec_list: str, k: int) -> str:
+    """DuckDB oracle reproducing ivf_orderby_df exactly: same Lloyd's chain
+    (inline CTEs), same probe pruning, same double-fold L2 ranking."""
+    ctes, final_c = _kmeans_ctes(False)
+    qv = f"CAST({qvec_list} AS DOUBLE[])"
+    probe_key = _dist(qv, "centroid", False)
+    order_key = _l2_fold("embedding", qv, spark=False)
+    cte_block = ",\n    ".join(ctes)
+    return f"""
+    WITH {cte_block},
+    __probe AS (
+      SELECT cell FROM {final_c}
+      ORDER BY {probe_key} ASC, cell LIMIT {NPROBE}
+    )
+    SELECT {select_list} FROM cells JOIN __probe USING (cell)
+    ORDER BY {order_key} ASC, vec_id LIMIT {int(k)}
+    """
+
+
 def _register_kmeans_query(name: str, spark_sql: str, duck_sql: str) -> None:
     """Register a query that reads the materialized ``_km_*`` views on the
     Spark side and the equivalent inline-CTE SQL on the DuckDB side."""

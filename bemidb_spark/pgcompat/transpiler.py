@@ -152,7 +152,30 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
     """x::type → CAST(x AS spark_type) (repeated for chained casts)."""
 
     def cast_repl(m: re.Match) -> str:
-        expr, pgtype = m.group(1), m.group(2).lower()
+        # `'x'::"char"` (pg's 1-byte char, quoted) arrives backticked after
+        # _rewrite_quoted_idents — strip the quoting and map like bare char
+        expr, pgtype = m.group(1), m.group(2).strip("`").lower()
+        if m.group(3):
+            # '{a,b,c}'::type[] — pg array literal into a typed array. Spark
+            # cannot cast STRING→ARRAY, so decode via from_json (pg_dump 15
+            # feeds its table-oid list as `unnest('{16384,…}'::oid[])`).
+            ph = re.fullmatch(r"\x00(\d+)\x00", expr)
+            if ph:
+                lit = literals[int(ph.group(1))][1:-1].replace("''", "'")
+                if lit.startswith("{") and lit.endswith("}"):
+                    import json as _json
+
+                    items = [v.strip() for v in lit[1:-1].split(",")
+                             if v.strip()]
+                    st = TYPE_MAP.get(pgtype, "STRING")
+                    if st in ("STRING",) or not all(
+                            re.fullmatch(r"-?\d+(\.\d+)?", v) for v in items):
+                        st = "STRING"
+                        body = _json.dumps([v.strip('"') for v in items])
+                    else:
+                        body = "[" + ",".join(items) + "]"
+                    body = body.replace("'", "\\'")
+                    return f"from_json('{body}', 'array<{st.lower()}>')"
         if pgtype.startswith("regclass"):
             # 'schema.table'::regclass on a literal → real oid lookup over
             # pg_class/pg_namespace, like the reference's scalar-subquery
@@ -163,6 +186,18 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
                 lit = literals[int(ph.group(1))][1:-1].replace("''", "'")
                 parts = lit.replace('"', "").split(".")
                 name = parts[-1].replace("'", "''")
+                if name.startswith("pg_") and len(parts) <= 2:
+                    # system catalogs have stable, public oids — emit the
+                    # constant instead of a scalar subquery (pg_dump puts
+                    # `'pg_class'::regclass` inside JOIN ON conditions,
+                    # where Spark rejects subqueries)
+                    from bemidb_spark.pgcompat.catalog_views import (
+                        _CATALOG_TABLEOIDS,
+                    )
+
+                    oid = _CATALOG_TABLEOIDS.get(name)
+                    if oid is not None:
+                        return f"CAST({oid} AS BIGINT)"
                 if len(parts) > 1:
                     schema = parts[-2].replace("'", "''")
                     return (
@@ -190,7 +225,8 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
         return f"CAST({expr} AS {spark_type})"
 
     pattern = re.compile(
-        rf"({_CASTABLE}|\x00\d+\x00)\s*::\s*({_IDENT})(?:\(\d+(?:,\s*\d+)?\))?(\[\])?"
+        rf"({_CASTABLE}|\x00\d+\x00)\s*::\s*({_IDENT}|`[^`]+`)"
+        rf"(?:\(\d+(?:,\s*\d+)?\))?(\[\])?"
     )
     prev = None
     while prev != sql:
@@ -202,7 +238,7 @@ def _rewrite_casts(sql: str, literals: list[str]) -> str:
 
 def _rewrite_paren_casts(sql: str) -> str:
     """Handle `<call-or-paren-expr>)::type` by matching parens backwards."""
-    m = re.search(rf"\)\s*::\s*({_IDENT})(?:\(\d+(?:,\s*\d+)?\))?", sql)
+    m = re.search(rf"\)\s*::\s*({_IDENT}|`[^`]+`)(?:\(\d+(?:,\s*\d+)?\))?", sql)
     if not m:
         return sql
     close = m.start()
@@ -221,7 +257,7 @@ def _rewrite_paren_casts(sql: str) -> str:
     while j > 0 and (sql[j - 1].isalnum() or sql[j - 1] in "_."):
         j -= 1
     expr = sql[j:close + 1]
-    pgtype = m.group(1).lower()
+    pgtype = m.group(1).strip("`").lower()
     spark_type = TYPE_MAP.get(pgtype)
     if pgtype.startswith(("regclass", "regproc")):
         replacement = expr
@@ -290,6 +326,34 @@ def _rewrite_any_string_array(sql: str, literals: list[str]) -> str:
         repl,
         sql,
         flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_eq_brace_array(sql: str, literals: list[str]) -> str:
+    """``expr = '{1,2}'`` (pg array-literal equality, integer elements) →
+    ``expr = from_json('[1,2]', 'array<bigint>')``. psql 15's \\d policy
+    query does ``pol.polroles = '{0}'`` against an oid[] column; Spark has
+    no string→array coercion, so the brace literal must become a typed
+    array. Digits-only contents keep the rewrite off genuine string
+    comparisons (a string column compared to a typed array then fails
+    analysis loudly instead of silently mismatching)."""
+
+    def repl(m: re.Match) -> str:
+        expr, op, ph = m.group(1), m.group(2), m.group(3)
+        lit = literals[int(ph.strip("\x00"))]
+        body = lit[1:-1]
+        if not (body.startswith("{") and body.endswith("}")):
+            return m.group(0)
+        items = [v.strip() for v in body[1:-1].split(",") if v.strip()]
+        if not items or not all(re.fullmatch(r"\d+", v) for v in items):
+            return m.group(0)
+        arr = f"from_json('[{','.join(items)}]', 'array<bigint>')"
+        return f"{expr} {op} {arr}"
+
+    return re.sub(
+        rf"({_CASTABLE})\s*(=|<>|!=)\s*(\x00\d+\x00)",
+        repl,
+        sql,
     )
 
 
@@ -792,10 +856,21 @@ def _rewrite_pg_macros(sql: str) -> str:
         sql,
         flags=re.IGNORECASE,
     )
+    # pg's `name` type is char-subscriptable from 0 (C string): pg_dump 15
+    # tests `typname[0] = '_'` to detect array types. Only the name-typed
+    # catalog columns are ever subscripted this way.
+    sql = re.sub(
+        r"\b((?:typ|rel|att|pro|nsp|con|opr)name)\s*\[\s*(\d+)\s*\]",
+        lambda m: f"substring({m.group(1)}, {int(m.group(2)) + 1}, 1)",
+        sql,
+    )
     simple = {
         r"pg_get_userbyid\s*\([^()]*\)": f"'{PG_USER}'",
         r"pg_table_is_visible\s*\([^()]*\)": "true",
         r"pg_function_is_visible\s*\([^()]*\)": "true",
+        r"pg_(?:type|operator|opclass|opfamily|conversion|collation|"
+        r"ts_config|ts_dict|ts_parser|ts_template|statistics_obj)"
+        r"_is_visible\s*\([^()]*\)": "true",
         r"pg_get_expr\s*\([^()]*\)": "CAST(NULL AS STRING)",
         r"pg_get_indexdef\s*\([^()]*\)": "''",
         r"pg_get_constraintdef\s*\([^()]*\)": "''",
@@ -812,6 +887,12 @@ def _rewrite_pg_macros(sql: str) -> str:
         r"pg_encoding_to_char\s*\([^()]*\)": "'UTF8'",
         r"pg_cancel_backend\s*\([^()]*\)": "true",
         r"pg_relation_is_publishable\s*\([^()]*\)": "CAST(NULL AS BOOLEAN)",
+        # acldefault(objtype, owner) → NULL: privileges are at their
+        # defaults for every object here (pg_dump 15 calls this for each
+        # collected object and diffs it against the stored acl). STRING, not
+        # ARRAY, so pg_dump's `CASE WHEN … THEN acldefault(…) ELSE '{}' END`
+        # type-unifies. Inner args may hold nested CASE parens.
+        r"acldefault\s*\((?:[^()]|\([^()]*\))*\)": "CAST(NULL AS STRING)",
         r"has_database_privilege\s*\([^()]*\)": "true",
         r"has_schema_privilege\s*\([^()]*\)": "true",
         r"has_table_privilege\s*\([^()]*\)": "true",
@@ -914,27 +995,51 @@ def _rewrite_array_sublink(sql: str) -> str:
     The general ordered form (ORDER BY a different key) sorts a (key, value)
     struct array and projects the values back out; an unordered sublink is a
     plain collect_list."""
-    sql = re.sub(
-        r"ARRAY\s*\(\s*SELECT\s+(\w+(?:\.\w+)?)\s+FROM\s+(.*?)\s+ORDER\s+BY\s+\1\s*\)",
-        r"(SELECT array_sort(collect_list(\1)) FROM \2)",
-        sql,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
-    sql = re.sub(
-        r"ARRAY\s*\(\s*SELECT\s+((?:[^()]|\([^()]*\))+?)\s+FROM\s+(.*?)"
-        r"\s+ORDER\s+BY\s+(\w+(?:\.\w+)?)\s*\)",
-        r"(SELECT transform(array_sort(collect_list(struct(\3 AS _o, \1 AS _v))), "
-        r"s -> s._v) FROM \2)",
-        sql,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
-    sql = re.sub(
-        r"ARRAY\s*\(\s*SELECT\s+((?:[^()]|\([^()]*\))+?)\s+FROM\s+((?:[^()]|\([^()]*\))*?)\s*\)",
-        r"(SELECT collect_list(\1) FROM \2)",
-        sql,
-        flags=re.IGNORECASE | re.DOTALL,
-    )
-    return sql
+    def _top_level_find(text: str, pat: re.Pattern) -> re.Match | None:
+        depth = 0
+        for m in pat.finditer(text):
+            depth = 0
+            for ch in text[:m.start()]:
+                depth += {"(": 1, ")": -1}.get(ch, 0)
+            if depth == 0:
+                return m
+        return None
+
+    from_pat = re.compile(r"\sFROM\s", re.IGNORECASE)
+    order_pat = re.compile(r"\sORDER\s+BY\s", re.IGNORECASE)
+    while True:
+        # rightmost candidate is always innermost — rewriting it first lets
+        # arbitrarily nested sublinks (psql \dp nests ARRAY inside ARRAY)
+        # resolve bottom-up
+        cands = list(re.finditer(r"ARRAY\s*\(\s*SELECT\s", sql, re.IGNORECASE))
+        if not cands:
+            return sql
+        m = cands[-1]
+        open_paren = sql.index("(", m.start())
+        depth, j = 1, open_paren + 1
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        body = sql[open_paren + 1:j - 1].strip()[len("SELECT"):].strip()
+        fm = _top_level_find(body, from_pat)
+        if fm is None:
+            return sql  # malformed; leave for Spark to report
+        expr, rest = body[:fm.start()].strip(), body[fm.end():].strip()
+        om = _top_level_find(rest, order_pat)
+        if om is not None:
+            key = rest[om.end():].strip().rstrip(";").strip()
+            rest = rest[:om.start()].rstrip()
+            key = re.sub(r"\s+(ASC|DESC)\s*$", "", key, flags=re.IGNORECASE)
+            if key == "1" or key.lower() == expr.lower():
+                repl = (f"(SELECT array_sort(collect_list({expr})) "
+                        f"FROM {rest})")
+            else:
+                repl = (f"(SELECT transform(array_sort(collect_list("
+                        f"struct({key} AS _o, {expr} AS _v))), s -> s._v) "
+                        f"FROM {rest})")
+        else:
+            repl = f"(SELECT collect_list({expr}) FROM {rest})"
+        sql = sql[:m.start()] + repl + sql[j:]
 
 
 def _rewrite_array_literal(sql: str) -> str:
@@ -1167,12 +1272,33 @@ def _rewrite_srf(sql: str) -> str:
         return f"{kw} (SELECT explode({args}) AS {col}) AS {alias}"
 
     sql = re.sub(
-        rf"\b(FROM|JOIN|,)\s*unnest\s*\({_SRF_ARGS}\)(\s+WITH\s+ORDINALITY)?"
+        rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?unnest\s*\({_SRF_ARGS}\)"
+        rf"(\s+WITH\s+ORDINALITY)?"
         rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
         unnest_from,
         sql,
         flags=re.IGNORECASE,
     )
+    # pg_options_to_table(text[]) → (option_name, option_value) rows; the
+    # input holds 'key=value' strings (pg reloptions/fdwoptions encoding).
+    # pg_dump 15 renders every options column through this SRF.
+    def options_from(m: re.Match) -> str:
+        kw, args = m.group(1), m.group(2)
+        alias = m.group(3) or "pg_options_to_table"
+        return (
+            f"{kw} (SELECT substring_index(__opt, '=', 1) AS option_name, "
+            f"substring(__opt, instr(__opt, '=') + 1) AS option_value "
+            f"FROM (SELECT explode({args}) AS __opt)) AS {alias}"
+        )
+
+    sql = re.sub(
+        rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?pg_options_to_table\s*"
+        rf"\({_SRF_ARGS}\)(?:\s+(?:AS\s+)?({_IDENT}))?",
+        options_from,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
     # select-list forms (anything not consumed by the FROM rewrites above):
     # pg names the output column after the function unless the client aliases.
     def series_sel(m: re.Match) -> str:
@@ -1191,7 +1317,8 @@ def _rewrite_srf(sql: str) -> str:
         base = f"explode({m.group(1)})"
         return base if has_alias else f"{base} AS unnest"
 
-    sql = re.sub(rf"\bunnest\s*\({_SRF_ARGS}\)", unnest_sel, sql, flags=re.IGNORECASE)
+    sql = re.sub(rf"\b(?:pg_catalog\s*\.\s*)?unnest\s*\({_SRF_ARGS}\)",
+                 unnest_sel, sql, flags=re.IGNORECASE)
 
     # jsonb_array_elements[_text] — each array element as a row (elements stay
     # JSON-encoded strings, matching ->/->> downstream use); json[b]_each —
@@ -1282,6 +1409,11 @@ def _rewrite_regex_ops(sql: str) -> str:
     # pg_catalog. prefix may already be stripped by _rewrite_functions
     sql = re.sub(r"OPERATOR\s*\(\s*(?:pg_catalog\.)?!~\s*\)", " NOT RLIKE ", sql, flags=re.IGNORECASE)
     sql = re.sub(r"OPERATOR\s*\(\s*(?:pg_catalog\.)?~\s*\)", " RLIKE ", sql, flags=re.IGNORECASE)
+    # any other explicit-schema operator call collapses to the bare operator
+    # (pg_dump writes OPERATOR(pg_catalog.=) everywhere)
+    sql = re.sub(
+        r"OPERATOR\s*\(\s*(?:pg_catalog\.)?([<>=!~^@#&|/%*+-]+)\s*\)",
+        r" \1 ", sql, flags=re.IGNORECASE)
     sql = re.sub(r"\s+!~\s+", " NOT RLIKE ", sql)
     sql = re.sub(r"(\S)\s+~\s+(\x00\d+\x00)", r"\1 RLIKE \2", sql)
     return sql
@@ -1461,6 +1593,16 @@ def _rewrite_at_time_zone(sql: str) -> str:
                 if depth == 0:
                     break
             start = k + 1
+            # include a leading function name (CAST(...), date_trunc(...))
+            while start > 0 and (sql[start - 1].isalnum()
+                                 or sql[start - 1] in "_."):
+                start -= 1
+            # a NAIVE operand (timestamp without tz — the TIMESTAMP '…'
+            # literal arrives here as CAST(… AS TIMESTAMP_NTZ)) takes pg's
+            # timestamp→timestamptz reading: interpret wall-clock in tz
+            if re.search(r"AS\s+TIMESTAMP_NTZ\s*\)\s*$", sql[start:end],
+                         re.IGNORECASE):
+                func = "to_utc_timestamp"
         else:
             while k >= 0 and (sql[k].isalnum() or sql[k] in "_.\x00"):
                 k -= 1
@@ -1522,6 +1664,37 @@ def _rewrite_any_all(sql: str) -> str:
     ``x = ANY (SELECT …)`` → ``x IN (SELECT …)``; ``x <> ALL (SELECT …)`` →
     ``x NOT IN (…)``; ``x = ANY(arr_col)`` → ``array_contains(arr_col, x)``.
     """
+    # `(paren-expr) = ANY(arr)` — e.g. pg_dump's scalar-subquery LHS
+    # `(SELECT c.oid …) = ANY(partclass)`: match the close paren backwards.
+    while True:
+        pm = re.search(r"\)\s*=\s*ANY\s*\(", sql, re.IGNORECASE)
+        if not pm:
+            break
+        close = pm.start()
+        depth, i = 0, close
+        while i >= 0:
+            if sql[i] == ")":
+                depth += 1
+            elif sql[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include a leading function name (`lower(x) = ANY(arr)`)
+        while i > 0 and (sql[i - 1].isalnum() or sql[i - 1] in "_."):
+            i -= 1
+        depth, j = 1, pm.end()
+        while j < len(sql) and depth:
+            depth += {"(": 1, ")": -1}.get(sql[j], 0)
+            j += 1
+        lhs = sql[i:close + 1]
+        body = sql[pm.end():j - 1].strip()
+        if re.match(r"SELECT\b|WITH\b", body, re.IGNORECASE):
+            repl = f"{lhs} IN ({body})"
+        else:
+            repl = f"array_contains({body}, {lhs})"
+        sql = sql[:i] + repl + sql[j:]
+
     out = []
     i = 0
     pat = re.compile(
@@ -2250,6 +2423,99 @@ def _rewrite_quoted_idents(sql: str) -> str:
     return re.sub(r'"((?:[^"]|"")*)"', repl, sql)
 
 
+def _rewrite_tableoid(sql: str) -> str:
+    """Resolve references to pg's hidden ``tableoid`` system column into the
+    owning catalog's constant relation oid (public, stable pg values —
+    _CATALOG_TABLEOIDS). pg_dump reads ``x.tableoid`` / bare ``tableoid`` on
+    every catalog it collects; the emulated views deliberately do NOT carry
+    the column (SELECT * must not show it, exactly like pg)."""
+    if not re.search(r"\btableoid\b", sql, re.IGNORECASE):
+        return sql
+    from bemidb_spark.pgcompat.catalog_views import _CATALOG_TABLEOIDS
+
+    # alias / bare-name → catalog table, from every FROM/JOIN site; bare
+    # (unqualified) tableoid binds to the query's OWN relation, so the
+    # fallback only considers paren-depth-0 sites (pg_dump's getTypes has
+    # `FROM pg_class` subqueries inside a top-level `FROM pg_type`)
+    amap: dict[str, str] = {}
+    top_level: set[str] = set()
+    for m in re.finditer(
+        r"\b(?:FROM|JOIN)\s+(?:pg_catalog\s*\.\s*)?(pg_\w+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|JOIN\b|LEFT\b|RIGHT\b|INNER\b|"
+        r"CROSS\b|GROUP\b|ORDER\b|UNION\b|USING\b|SET\b)(\w+))?",
+        sql,
+        re.IGNORECASE,
+    ):
+        name = m.group(1).lower()
+        if name in _CATALOG_TABLEOIDS:
+            amap[(m.group(2) or name).lower()] = name
+            depth = 0
+            for ch in sql[:m.start()]:
+                depth += {"(": 1, ")": -1}.get(ch, 0)
+            if depth == 0:
+                top_level.add(name)
+
+    def repl(m: re.Match) -> str:
+        qual = (m.group(1) or "").strip().rstrip(".").strip().lower()
+        if not qual and re.search(r"\bAS\s*$", m.string[:m.start()],
+                                  re.IGNORECASE):
+            return m.group(0)  # alias position (`x.tableoid AS tableoid`)
+        if qual:
+            cat = amap.get(qual)
+        elif len(top_level) == 1:
+            cat = next(iter(top_level))
+        elif len(set(amap.values())) == 1:
+            cat = next(iter(amap.values()))
+        else:
+            cat = None
+        if cat is None:
+            return m.group(0)
+        const = f"CAST({_CATALOG_TABLEOIDS[cat]} AS BIGINT)"
+        # bare select-list item (next token is `,` or FROM): keep pg's
+        # output column name; an explicit `AS alias` follows otherwise
+        tail = m.string[m.end():]
+        if re.match(r"\s*(,|FROM\b)", tail, re.IGNORECASE):
+            return f"{const} AS tableoid"
+        return const
+
+    return re.sub(
+        r"((?:\w+\s*\.\s*)?)\btableoid\b(?!\s*\.)",
+        repl,
+        sql,
+        flags=re.IGNORECASE,
+    )
+
+
+def _rewrite_recursive_union(sql: str) -> str:
+    """``WITH RECURSIVE w AS (a UNION b)`` → ``UNION ALL``. Spark executes
+    recursive CTEs natively but only with UNION ALL; pg also allows the
+    deduplicating UNION (pg_dump's matview-dependency walk uses it). On the
+    acyclic graphs these queries traverse the fixpoint is identical — only
+    duplicate rows can differ, and per-iteration dedup never changes which
+    rows are reachable."""
+    for m in re.finditer(r"\bWITH\s+RECURSIVE\b", sql, re.IGNORECASE):
+        # walk every top-level CTE body after the keyword
+        i = sql.find("(", m.end())
+        while i != -1:
+            depth, j = 1, i + 1
+            while j < len(sql) and depth:
+                depth += {"(": 1, ")": -1}.get(sql[j], 0)
+                j += 1
+            body = sql[i:j]
+            fixed = re.sub(r"\bUNION\b(?!\s+ALL\b)", "UNION ALL", body,
+                           flags=re.IGNORECASE)
+            if fixed != body:
+                sql = sql[:i] + fixed + sql[j:]
+                j += len(fixed) - len(body)
+            # `w(cols) AS (` — the paren just closed was the column list —
+            # or another `, name AS (` CTE follows
+            nm = re.match(r"\s*AS\s*\(", sql[j:], re.IGNORECASE) or re.match(
+                r"\s*,\s*\w+(?:\s*\([\w\s,]*\))?\s+AS\s*\(",
+                sql[j:], re.IGNORECASE)
+            i = j + nm.end() - 1 if nm else -1
+    return sql
+
+
 def transpile(sql: str) -> str:
     """Rewrite a Postgres-dialect query into Spark SQL."""
     shielded, literals = _shield_strings(sql)
@@ -2258,6 +2524,15 @@ def transpile(sql: str) -> str:
     shielded = _alias_renamed_funcs(shielded)
     # main.<fn>( — clients address the reference's macro schema directly
     shielded = re.sub(r"\bmain\s*\.\s*(?=\w+\s*\()", "", shielded, flags=re.IGNORECASE)
+    # OPERATOR(pg_catalog.<op>) → bare <op> BEFORE any operator-shape
+    # rewrites (pg_dump spells every comparison this way; `= ANY(...)`
+    # recognition needs the plain `=`). Bare ~ / !~ are regex-rewritten
+    # later by _rewrite_regex_ops.
+    shielded = re.sub(
+        r"\bOPERATOR\s*\(\s*(?:pg_catalog\s*\.\s*)?([<>=!~^@#&|/%*+-]+)\s*\)",
+        r" \1 ", shielded, flags=re.IGNORECASE)
+    shielded = _rewrite_recursive_union(shielded)
+    shielded = _rewrite_tableoid(shielded)
     shielded = _rewrite_tables(shielded)
     shielded = _rewrite_distinct_on(shielded)
     shielded = _rewrite_array_sublink(shielded)
@@ -2270,6 +2545,7 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_to_char(shielded, literals)
     shielded = _rewrite_string_to_array(shielded, literals)
     shielded = _rewrite_any_string_array(shielded, literals)
+    shielded = _rewrite_eq_brace_array(shielded, literals)
     shielded = _rewrite_any_all(shielded)
     shielded = _rewrite_array_ops(shielded)
     # before _rewrite_json_ops: `<#>` contains the `#>` json-path token
@@ -2277,7 +2553,49 @@ def transpile(sql: str) -> str:
     shielded = _rewrite_vector_ops(shielded)
     shielded = _rewrite_power_op(shielded)
     shielded = _rewrite_json_ops(shielded)
+    # pg's TIMESTAMP 'lit' is timestamp WITHOUT time zone; Spark's TIMESTAMP
+    # keyword follows spark.sql.timestampType (instant by default) and would
+    # render with a zone offset on the wire. TIMESTAMPTZ stays native.
+    shielded = re.sub(
+        r"\bTIMESTAMP\s+(\x00\d+\x00)",
+        r"CAST(\1 AS TIMESTAMP_NTZ)",
+        shielded,
+        flags=re.IGNORECASE,
+    )
     shielded = _rewrite_casts(shielded, literals)
+    # explicit CAST(x AS <pgtype>): map pg type names Spark lacks (psql's
+    # \dd writes CAST(conname AS text))
+    _CASTABLE_PGTYPES = {
+        "text": "STRING", "bpchar": "STRING", "name": "STRING",
+        "int2": "SMALLINT", "int4": "INT", "int8": "BIGINT",
+        "float4": "FLOAT", "float8": "DOUBLE", "oid": "BIGINT",
+        "bool": "BOOLEAN", "bytea": "BINARY", "timestamptz": "TIMESTAMP",
+        "regclass": "STRING", "regtype": "STRING", "regproc": "STRING",
+        "uuid": "STRING", "json": "STRING", "jsonb": "STRING",
+    }
+    def _fix_cast_types(s: str) -> str:
+        out, pos = [], 0
+        for cm in re.finditer(r"\bCAST\s*\(", s, re.IGNORECASE):
+            depth, j = 1, cm.end()
+            while j < len(s) and depth:
+                depth += {"(": 1, ")": -1}.get(s[j], 0)
+                j += 1
+            if j <= pos:
+                continue  # nested inside an already-processed span
+            span = s[cm.start():j]
+            fixed = re.sub(
+                r"(\bAS\s+)(" + "|".join(_CASTABLE_PGTYPES) + r")(\s*\)$)",
+                lambda m: m.group(1)
+                + _CASTABLE_PGTYPES[m.group(2).lower()] + m.group(3),
+                span,
+                flags=re.IGNORECASE,
+            )
+            out.append(s[pos:cm.start()] + fixed)
+            pos = j
+        out.append(s[pos:])
+        return "".join(out)
+
+    shielded = _fix_cast_types(shielded)
     shielded = _rewrite_regex_ops(shielded)
     shielded = _rewrite_similar_to(shielded, literals)
     shielded = _rewrite_tablesample(shielded)

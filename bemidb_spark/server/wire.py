@@ -397,6 +397,7 @@ class _Conn:
         password: str | None = None,
         auth_method: str = "cleartext",
         server: "WireServer | None" = None,
+        server_version: str | None = None,
     ):
         self.sock = sock
         self.spark = spark
@@ -411,7 +412,8 @@ class _Conn:
         # are session-local; see PgSession isolate docstring). All of this
         # backend's engine calls go through the fork, so COPY rebinds and
         # DDL refreshes land in the namespace its queries actually read.
-        self.session = PgSession(spark, catalog, isolate=True)
+        self.session = PgSession(spark, catalog, isolate=True,
+                                 server_version=server_version)
         self.spark = self.session.spark
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
@@ -1346,11 +1348,16 @@ class WireServer:
         port: int = 0,
         password: str | None = None,
         auth_method: str = "cleartext",
+        server_version: str | None = None,
     ) -> None:
         self.spark = spark
         self.catalog = catalog
         self.password = password
         self.auth_method = auth_method
+        # advertised pg version (ParameterStatus + SHOW server_version);
+        # None = engine default 17.0. pg_dump aborts when the server is newer
+        # than itself, so ops running pg-15 tooling pass e.g. "15.18" here.
+        self.server_version = server_version
         self._listener = socket.create_server((host, port))
         self.host, self.port = self._listener.getsockname()
         self._threads: list[threading.Thread] = []
@@ -1419,7 +1426,8 @@ class WireServer:
             if kind != "startup":
                 return  # unsupported protocol; error frame already sent
             conn = _Conn(sock, self.spark, self.catalog, self.password,
-                         self.auth_method, server=self)
+                         self.auth_method, server=self,
+                         server_version=self.server_version)
             conn.serve()
         except (ConnectionResetError, BrokenPipeError):
             pass

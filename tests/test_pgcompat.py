@@ -72,8 +72,11 @@ def one(pg, sql):
      "SELECT from_utc_timestamp(ts, 'UTC') FROM t"),
     # naive TIMESTAMP literal: pg's timestamp->timestamptz direction
     # (interpret wall-clock in tz) maps to to_utc_timestamp (ADVICE r2)
+    # pg's TIMESTAMP 'lit' is tz-less → TIMESTAMP_NTZ (r9); to_utc_timestamp
+    # treats it as local wall time exactly like pg's AT TIME ZONE
     ("SELECT TIMESTAMP '2024-01-01 12:00:00' AT TIME ZONE 'America/New_York'",
-     "SELECT to_utc_timestamp(TIMESTAMP '2024-01-01 12:00:00', 'America/New_York')"),
+     "SELECT to_utc_timestamp(CAST('2024-01-01 12:00:00' AS TIMESTAMP_NTZ), "
+     "'America/New_York')"),
     ("SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY k) FROM t",
      "SELECT count(CASE WHEN x > 0 THEN 1 END) OVER (PARTITION BY k) FROM t"),
     ("SELECT sum(v) FILTER (WHERE x > 0) OVER (ORDER BY ts) FROM t",

@@ -490,3 +490,34 @@ def test_ssjoin_prefix_is_lossless_vs_brute_force(spark, sf_dir):
     """).collect()}
     assert got == brute
     assert got, "corpus has no near-dup pairs at t=0.7 — test is vacuous"
+
+
+def test_pg_ivf_orderby_route_probes_and_recall(spark, sf_dir):
+    """The ivfflat-indexed `ORDER BY embedding <-> q LIMIT k` route must
+    (a) run the probe-pruned plan — its physical plan reads the
+    CHECKPOINTED index views, not a parquet scan of the full corpus, and
+    limits the centroid side to NPROBE — and (b) recall >= the monitored
+    ann_recall_at_k floor against the exact brute-force top-k."""
+    from bemidb_spark.operators.pgpath import (
+        QUERIES as PGQ, _IVF_QV_TEXT, _IVF_K,
+    )
+    from bemidb_spark.pgcompat.session import PgSession
+
+    df = PGQ["pg_ivf_orderby_route"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower(), "probe plan must not rescan parquet"
+    assert f"limit={similarity.NPROBE}" in plan.lower().replace(" ", "") or \
+        "globallimit 3" in plan.lower() or "limit 3" in plan.lower(), plan
+    approx = {r.vec_id for r in df.collect()}
+    assert len(approx) == _IVF_K
+
+    # exact top-k: the UNindexed path (no CREATE INDEX -> full scan-and-sort)
+    pg = PgSession(spark)
+    exact_df = pg.execute(
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY embedding <-> '{_IVF_QV_TEXT}'::vector LIMIT {_IVF_K}")
+    exact_plan = exact_df._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" in exact_plan.lower()  # unindexed IS the full scan
+    exact = {r.vec_id for r in exact_df.collect()}
+    recall = len(approx & exact) / float(_IVF_K)
+    assert recall >= 0.6, recall  # ann_recall_at_k floor (monitored 0.68)

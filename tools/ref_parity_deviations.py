@@ -84,4 +84,12 @@ DEVIATIONS: dict[str, str] = {
         "keyword clash (SURVEY B14) and that leaks into its output column "
         "name; pg (and we) return the alias as written"
     ),
+    "pg_description d ON d.objoid = n.oid ORDER BY n.nspname LIMIT 1": (
+        "pg_namespace lists pg_catalog and information_schema with their "
+        "real pg oids — pg itself does, and pg_dump 15 aborts without the "
+        "oid-11 row ('schema with OID 11 does not exist', verified live "
+        "r9); the reference emulates user schemas only, so its unfiltered "
+        "ORDER BY…LIMIT 1 sees 'postgres' where pg (and we) sort "
+        "'information_schema' first"
+    ),
 }
