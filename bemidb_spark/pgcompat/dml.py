@@ -573,6 +573,16 @@ def _delete_using(
     return "DELETE", n, ret
 
 
+# Write-path regime of the most recent _run_merge, for tests that assert
+# WHICH path executed (pruned / fallback), not just the result:
+#   "pruned"              — only source-affected buckets read+overwritten
+#   "pruned_empty_source" — empty source short-circuit, zero writes
+#   "fallback_rewrite"    — pruning keys found, but a clause mutated a key
+#                           into an unread bucket → stitched full rewrite
+#   "full"                — no usable key equality (theta ON / unbucketed)
+LAST_MERGE_REGIME: str | None = None
+LAST_MERGE_B_SRC: list[int] = []  # buckets the pruned path read/overwrote
+
 _MERGE_CLAUSE_RE = re.compile(
     r"^WHEN\s+(NOT\s+)?MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+(.+)$",
     re.IGNORECASE | re.DOTALL,
@@ -1010,10 +1020,14 @@ def _run_merge(
             ret = _project_returning(
                 spark, affected.select(*tcols, "__action"), clause)
 
+    global LAST_MERGE_REGIME, LAST_MERGE_B_SRC
+    LAST_MERGE_REGIME = "full"
+    LAST_MERGE_B_SRC = list(b_src)
     if key_src is not None:
         if not b_src:
             # empty source → zero affected buckets were read and zero rows
             # were affected; the target is untouched bytes (MERGE 0)
+            LAST_MERGE_REGIME = "pruned_empty_source"
             return "MERGE", n, ret
         out = _with_field_ids(result).withColumn(
             BUCKET_COL, _bucket_expr(keys, n_buckets))
@@ -1021,6 +1035,7 @@ def _run_merge(
             r[0] for r in out.select(BUCKET_COL).distinct().collect()
         }
         if out_buckets <= set(b_src):
+            LAST_MERGE_REGIME = "pruned"
             loc = catalog.location(schema, table)
             out.write.mode("overwrite") \
                 .option("partitionOverwriteMode", "dynamic") \
@@ -1042,6 +1057,7 @@ def _run_merge(
         # an UPDATE/INSERT moved a row into an unread bucket (key mutation):
         # the slice-join is still correct, but a pruned write would clobber
         # that bucket — stitch the untouched buckets back and rewrite fully
+        LAST_MERGE_REGIME = "fallback_rewrite"
         result = raw.filter(~F.col(BUCKET_COL).isin(b_src)) \
             .drop(BUCKET_COL).select(*tcols).unionByName(result)
 

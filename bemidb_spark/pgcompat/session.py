@@ -56,6 +56,11 @@ _SIMPLE_IDENT = re.compile(r"^[A-Za-z_][A-Za-z_0-9]*$")
 def _pg_default_name(name: str) -> str:
     if _SIMPLE_IDENT.match(name):
         return name  # real column name or explicit alias
+    if (re.fullmatch(r"[A-Za-z_][A-Za-z0-9_ ]*", name)
+            and not name.upper().startswith(("CASE ", "CAST ", "NOT "))):
+        # quoted multi-word alias (`AS "ICU Locale"` — psql's \l headers);
+        # unaliased EXPRESSION names carry operators/parens, not bare words
+        return name
     m = _CAST_SIMPLE.match(name)
     if m:
         return m.group(1)  # pg: cast of a column keeps the column's name

@@ -87,9 +87,12 @@ def dml_ops(draw):
             r = draw(st.integers(min_value=0, max_value=m - 1))
             ops.append(f"DELETE FROM t WHERE k % {m} = {r}")
         else:  # merge: conditional DELETE / UPDATE / gated INSERT
+            # source size 1..6: 1 key hits ONE bucket, 6 keys over 0-29
+            # regularly cover ALL 4 buckets — the pruning regimes the
+            # write path must take are asserted per-op in the test body
             rows = [
                 (draw(st.integers(0, 29)), draw(st.integers(0, 99)))
-                for _ in range(draw(st.integers(min_value=1, max_value=3)))
+                for _ in range(draw(st.integers(min_value=1, max_value=6)))
             ]
             seen, uniq = set(), []
             for k, t in rows:  # duplicate source keys are a pg 21000 error
@@ -98,21 +101,33 @@ def dml_ops(draw):
                     uniq.append((k, t))
             del_t = draw(st.integers(min_value=0, max_value=40))
             ins_t = draw(st.integers(min_value=0, max_value=60))
-            ops.append(("merge", uniq, del_t, ins_t))
+            # variant: "equi" → bucket-pruned; "theta" → ON defeats key
+            # detection (t.k + 0 = s.k, same semantics) → full path;
+            # "keymut" → UPDATE moves the bucket key → fallback rewrite
+            variant = draw(st.sampled_from(["equi", "equi", "theta",
+                                            "keymut"]))
+            ops.append(("merge", uniq, del_t, ins_t, variant))
     return ops
 
 
-def _merge_sql(uniq, del_t, ins_t) -> str:
+def _merge_sql(uniq, del_t, ins_t, variant, key_off) -> str:
     vals = ", ".join(f"({k}, 'm{t}', {t})" for k, t in uniq)
+    # theta: `t.k + 0 = s.k` is semantically the same join but defeats the
+    # pure-key-equality precondition — the write path MUST take the full
+    # (unpruned) route; keymut: the UPDATE moves rows into other buckets —
+    # the pruned write MUST detect that and fall back to a stitched rewrite
+    on = "t.k + 0 = s.k" if variant == "theta" else "t.k = s.k"
+    set_clause = (f"k = t.k + {key_off}, v = s.v, x = t.x + s.x"
+                  if variant == "keymut" else "v = s.v, x = t.x + s.x")
     return (
-        f"MERGE INTO t USING (VALUES {vals}) s(k, v, x) ON t.k = s.k "
+        f"MERGE INTO t USING (VALUES {vals}) s(k, v, x) ON {on} "
         f"WHEN MATCHED AND s.x < {del_t} THEN DELETE "
-        f"WHEN MATCHED THEN UPDATE SET v = s.v, x = t.x + s.x "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
         f"WHEN NOT MATCHED AND s.x >= {ins_t} THEN INSERT VALUES (s.k, s.v, s.x)"
     )
 
 
-def _duck_apply_merge(duck, uniq, del_t, ins_t) -> None:
+def _duck_apply_merge(duck, uniq, del_t, ins_t, variant, key_off) -> None:
     """DuckDB 1.0 has no MERGE: apply the identical first-matching-clause
     semantics as an explicit sequence (matched set computed BEFORE any
     mutation, like MERGE's single-join evaluation)."""
@@ -126,10 +141,35 @@ def _duck_apply_merge(duck, uniq, del_t, ins_t) -> None:
     duck.execute("CREATE TEMP TABLE _matched AS "
                  "SELECT s.k, s.v, s.x FROM _src s JOIN t ON t.k = s.k")
     duck.execute(f"DELETE FROM t WHERE k IN (SELECT k FROM _matched WHERE x < {del_t})")
-    duck.execute(f"UPDATE t SET v = m.v, x = t.x + m.x "
+    set_sql = (f"k = t.k + {key_off}, v = m.v, x = t.x + m.x"
+               if variant == "keymut" else "v = m.v, x = t.x + m.x")
+    duck.execute(f"UPDATE t SET {set_sql} "
                  f"FROM _matched m WHERE t.k = m.k AND m.x >= {del_t}")
     duck.execute(f"INSERT INTO t SELECT k, v, x FROM _src "
                  f"WHERE x >= {ins_t} AND k NOT IN (SELECT k FROM _matched)")
+
+
+def _bucket_digests(loc: str) -> dict[int, str]:
+    """content digest per bucket-partition (``_kb=N``) directory."""
+    import hashlib
+    import os
+
+    from bemidb_spark.sources.writer import BUCKET_COL
+
+    out: dict[int, list] = {}
+    for root, _dirs, files in os.walk(loc):
+        part = next((p for p in root.split(os.sep)
+                     if p.startswith(f"{BUCKET_COL}=")), None)
+        if part is None:
+            continue
+        b = int(part.split("=", 1)[1])
+        for f in sorted(files):
+            if f.endswith(".parquet"):
+                h = hashlib.sha256(
+                    open(os.path.join(root, f), "rb").read()).hexdigest()
+                out.setdefault(b, []).append((f, h))
+    return {b: hashlib.sha256(repr(sorted(v)).encode()).hexdigest()
+            for b, v in out.items()}
 
 
 @pytest.fixture()
@@ -152,11 +192,33 @@ def test_dml_sequences_match_duckdb(spark, tmp_path_factory, duck, ops):
     duck.execute("DROP TABLE IF EXISTS t")
     duck.execute("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR, x BIGINT)")
     duck.executemany("INSERT INTO t VALUES (?, ?, ?)", _INITIAL)
+    from bemidb_spark.pgcompat import dml as dml_mod
+
+    key_offs = iter(range(1000, 100000, 1000))  # unique keymut offsets
     for op in ops:
-        if isinstance(op, tuple):  # ("merge", src_rows, del_t, ins_t)
-            _, uniq, del_t, ins_t = op
-            pg.execute(_merge_sql(uniq, del_t, ins_t))
-            _duck_apply_merge(duck, uniq, del_t, ins_t)
+        if isinstance(op, tuple):  # ("merge", src_rows, del_t, ins_t, var)
+            _, uniq, del_t, ins_t, variant = op
+            key_off = next(key_offs)
+            before = _bucket_digests(cat.location("public", "t"))
+            pg.execute(_merge_sql(uniq, del_t, ins_t, variant, key_off))
+            _duck_apply_merge(duck, uniq, del_t, ins_t, variant, key_off)
+            regime = dml_mod.LAST_MERGE_REGIME
+            # assert the REGIME TAKEN, not just the result (VERDICT r8 #6)
+            if variant == "theta":
+                assert regime == "full", (regime, op)
+            elif variant == "equi":
+                assert regime in ("pruned", "pruned_empty_source"), \
+                    (regime, op)
+                # byte-identity: buckets outside the source set untouched
+                after = _bucket_digests(cat.location("public", "t"))
+                touched = set(dml_mod.LAST_MERGE_B_SRC)
+                for b, digest in before.items():
+                    if b not in touched:
+                        assert after.get(b) == digest, (b, op)
+            else:  # keymut: fallback unless every matched row was DELETEd
+                # or the moved keys landed in already-read buckets
+                assert regime in ("fallback_rewrite", "pruned",
+                                  "pruned_empty_source"), (regime, op)
         else:
             pg.execute(op)
             duck.execute(op)
@@ -222,3 +284,48 @@ def test_incremental_matview_any_batching_matches_full(
         F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"),
         F.min("val").alias("lo"), F.max("val").alias("hi")).collect()}
     assert got == want, f"bounds={bounds}"
+
+
+def test_merge_regimes_deterministic(spark, tmp_path_factory, duck):
+    """One merge per variant, pinned: equi → pruned (+ untouched-bucket
+    byte identity), theta-ON → full path, key-mutating SET → fallback
+    rewrite. Deterministic companion to the fuzzer (which samples
+    variants): every regime is exercised on every suite run."""
+    from bemidb_spark.pgcompat import dml as dml_mod
+
+    cat = Catalog(str(tmp_path_factory.mktemp("mergereg")))
+    write_bucketed_table(
+        spark, cat, "public", "t",
+        spark.createDataFrame(_INITIAL, "k bigint, v string, x bigint"),
+        ["k"], n_buckets=4,
+    )
+    pg = PgSession(spark, cat)
+
+    before = _bucket_digests(cat.location("public", "t"))
+    pg.execute(_merge_sql([(3, 50)], 0, 0, "equi", 1000))
+    assert dml_mod.LAST_MERGE_REGIME == "pruned"
+    touched = set(dml_mod.LAST_MERGE_B_SRC)
+    after = _bucket_digests(cat.location("public", "t"))
+    assert any(b not in touched for b in before), "need an untouched bucket"
+    for b, digest in before.items():
+        if b not in touched:
+            assert after.get(b) == digest
+
+    pg.execute(_merge_sql([(4, 50)], 0, 0, "theta", 2000))
+    assert dml_mod.LAST_MERGE_REGIME == "full"
+
+    # key 5 moves to 5 + 3000 — guaranteed bucket change is not needed;
+    # the fallback triggers whenever the moved key hashes OUTSIDE b_src,
+    # so pick an offset whose target bucket differs (checked below)
+    from pyspark.sql import functions as F
+
+    src_b, moved_b = [
+        spark.range(1).select(
+            F.pmod(F.xxhash64(F.lit(k).cast("bigint")), F.lit(4))
+        ).collect()[0][0]
+        for k in (5, 5 + 3000)
+    ]
+    assert src_b != moved_b, "pick a different offset for this assertion"
+    pg.execute(_merge_sql([(5, 50)], 0, 0, "keymut", 3000))
+    assert dml_mod.LAST_MERGE_REGIME == "fallback_rewrite"
+    pg.dispose()

@@ -101,6 +101,9 @@ def test_psql_family_sweep(server):
                 r"\dv", r"\dm", r"\ds"):
         r = _psql(server, "-c", cmd)
         assert r.returncode == 0, f"{cmd}: {r.stderr}"
+        if cmd == r"\l":
+            # quoted multi-word aliases survive as headers (not ?column?)
+            assert "ICU Locale" in r.stdout and "?column?" not in r.stdout
 
 
 def test_psql_query_over_parquet(server):
