@@ -196,6 +196,9 @@ _EMPTY_TABLES: dict[str, str] = {
     ),
     # pg_seclabels is pg's aggregating VIEW over the seclabel catalogs
     # (pg_dump reads it directly)
+    "pg_db_role_setting": (
+        "setdatabase bigint, setrole bigint, setconfig array<string>"
+    ),
     "pg_seclabels": (
         "objoid bigint, classoid bigint, objsubid int, objtype string, "
         "objnamespace bigint, objname string, provider string, label string"
@@ -533,7 +536,7 @@ _CATALOG_TABLEOIDS = {
     "pg_ts_config": 3602, "pg_ts_config_map": 3603, "pg_ts_dict": 3600,
     "pg_ts_parser": 3601, "pg_ts_template": 3764, "pg_conversion": 2607,
     "pg_trigger": 2620, "pg_opfamily": 2753, "pg_amop": 2602,
-    "pg_amproc": 2603, "pg_subscription": 6100,
+    "pg_amproc": 2603, "pg_subscription": 6100, "pg_db_role_setting": 2964,
 }
 
 

@@ -1060,6 +1060,14 @@ def _rewrite_array_literal(sql: str) -> str:
 
 
 _SRF_ARGS = r"((?:[^()\x00]|\x00\d+\x00|\((?:[^()]|\([^()]*\))*\))*)"
+# a bare (no AS) alias after a FROM-position SRF must not swallow the next
+# clause keyword: `SELECT x, unnest(c) FROM t` puts a comma before unnest,
+# which the FROM-form regexes treat as a lateral-style source — the word
+# FROM itself must then not parse as the alias
+_SRF_NOKW = (r"(?!FROM\b|JOIN\b|WHERE\b|ON\b|GROUP\b|ORDER\b|LIMIT\b|"
+             r"UNION\b|INTERSECT\b|EXCEPT\b|HAVING\b|CROSS\b|LEFT\b|"
+             r"RIGHT\b|INNER\b|FULL\b|USING\b|AS\b|WITH\b|OFFSET\b|"
+             r"FETCH\b)")
 
 
 _JSON_TABLE_COL_RE = re.compile(
@@ -1245,7 +1253,16 @@ def _rewrite_srf(sql: str) -> str:
     default output column name. WITH ORDINALITY maps to posexplode with a
     1-based ordinal (pg counts from 1, Spark pos from 0)."""
 
+    def _is_select_list_comma(m: re.Match) -> bool:
+        # `SELECT x, unnest(c) FROM t` — a comma-preceded SRF whose next
+        # clause token is FROM sits in the SELECT LIST, not a lateral FROM
+        # item; leave it for the select-list rewrite
+        return m.group(1) == "," and re.match(
+            r"\s*FROM\b", m.string[m.end():], re.IGNORECASE) is not None
+
     def series_from(m: re.Match) -> str:
+        if _is_select_list_comma(m):
+            return m.group(0)
         kw, args, alias, col = m.group(1), m.group(2), m.group(3), m.group(4)
         alias = alias or "generate_series"
         col = col or (m.group(3) or "generate_series")
@@ -1253,13 +1270,15 @@ def _rewrite_srf(sql: str) -> str:
 
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?generate_series\s*\({_SRF_ARGS}\)"
-        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
+        rf"(?:\s+(?:AS\s+)?{_SRF_NOKW}({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
         series_from,
         sql,
         flags=re.IGNORECASE,
     )
 
     def unnest_from(m: re.Match) -> str:
+        if _is_select_list_comma(m):
+            return m.group(0)
         kw, args, ordinal = m.group(1), m.group(2), m.group(3)
         alias = m.group(4) or "unnest"
         col = m.group(5) or (m.group(4) or "unnest")
@@ -1274,7 +1293,7 @@ def _rewrite_srf(sql: str) -> str:
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?unnest\s*\({_SRF_ARGS}\)"
         rf"(\s+WITH\s+ORDINALITY)?"
-        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
+        rf"(?:\s+(?:AS\s+)?{_SRF_NOKW}({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
         unnest_from,
         sql,
         flags=re.IGNORECASE,
@@ -1283,6 +1302,8 @@ def _rewrite_srf(sql: str) -> str:
     # input holds 'key=value' strings (pg reloptions/fdwoptions encoding).
     # pg_dump 15 renders every options column through this SRF.
     def options_from(m: re.Match) -> str:
+        if _is_select_list_comma(m):
+            return m.group(0)
         kw, args = m.group(1), m.group(2)
         alias = m.group(3) or "pg_options_to_table"
         return (
@@ -1293,7 +1314,7 @@ def _rewrite_srf(sql: str) -> str:
 
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:pg_catalog\s*\.\s*)?pg_options_to_table\s*"
-        rf"\({_SRF_ARGS}\)(?:\s+(?:AS\s+)?({_IDENT}))?",
+        rf"\({_SRF_ARGS}\)(?:\s+(?:AS\s+)?{_SRF_NOKW}({_IDENT}))?",
         options_from,
         sql,
         flags=re.IGNORECASE,
@@ -1343,7 +1364,7 @@ def _rewrite_srf(sql: str) -> str:
 
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?(jsonb?_array_elements(?:_text)?)\s*\({_SRF_ARGS}\)"
-        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
+        rf"(?:\s+(?:AS\s+)?{_SRF_NOKW}({_IDENT})\s*(?:\(\s*({_IDENT})\s*\))?)?",
         json_elems_from,
         sql,
         flags=re.IGNORECASE,
@@ -1384,7 +1405,7 @@ def _rewrite_srf(sql: str) -> str:
 
     sql = re.sub(
         rf"\b(FROM|JOIN|,)\s*(?:LATERAL\s+)?(jsonb?_each(?:_text)?)\s*\({_SRF_ARGS}\)"
-        rf"(?:\s+(?:AS\s+)?({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
+        rf"(?:\s+(?:AS\s+)?{_SRF_NOKW}({_IDENT})\s*(?:\(\s*({_IDENT})(?:\s*,\s*({_IDENT}))?\s*\))?)?",
         json_each_from,
         sql,
         flags=re.IGNORECASE,

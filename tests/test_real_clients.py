@@ -132,6 +132,43 @@ def test_pg_dump_schema_only(server):
     assert "ts timestamp without time zone" in r.stdout
 
 
+def test_psql_copy_roundtrip(server):
+    # \copy drives COPY FROM STDIN / COPY TO STDOUT through the real
+    # client: create a table, load rows from the client side, read them
+    # back out in CSV
+    p = subprocess.run(
+        [PSQL, "-h", server.host, "-p", str(server.port), "-U", "bemi",
+         "-d", "bemidb", "-X", "-v", "ON_ERROR_STOP=1",
+         "-c", "CREATE TABLE IF NOT EXISTS copy_rt2 (a bigint, b text)",
+         "-c", "\\copy copy_rt2 FROM pstdin",
+         "-At", "-c", "SELECT a, b FROM copy_rt2 ORDER BY a"],
+        input="1\thello\n2\t\\N\n",
+        capture_output=True, text=True, timeout=300,
+        env={"PGCONNECT_TIMEOUT": "60", "PATH": "/usr/bin:/bin"},
+    )
+    assert p.returncode == 0, p.stderr
+    assert p.stdout.strip().splitlines()[-2:] == ["1|hello", "2|"]
+    r = _psql(server, "-c", "\\copy (SELECT a, b FROM copy_rt2 ORDER BY a) TO pstdout CSV")
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.splitlines()[:2] == ["1,hello", "2,"]
+
+
+def test_pg_dump_custom_format_pg_restore_lists(server, tmp_path):
+    # -Fc exercises the same catalog queries but produces an archive that
+    # the real pg_restore must be able to read back and list
+    out = tmp_path / "dump.pgc"
+    r = _pg_dump(server, "--schema-only", "-t", "accounts", "-Fc",
+                 "-f", str(out))
+    assert r.returncode == 0, r.stderr
+    lst = subprocess.run(
+        ["/usr/bin/pg_restore", "-l", str(out)],
+        capture_output=True, text=True, timeout=120,
+        env={"PATH": "/usr/bin:/bin"},
+    )
+    assert lst.returncode == 0, lst.stderr
+    assert "TABLE public accounts" in lst.stdout
+
+
 def test_catalogless_server_psql_dt(spark, sf_dir):
     # out-of-box path: WireServer(spark) with NO Catalog — psql's first
     # introspection query contains the literal 'materialized view' in a
