@@ -20,6 +20,15 @@ runs inside whole-stage codegen / vectorized eval and parallelizes trivially.
 
 from __future__ import annotations
 
+import os as _os
+
+# Width for the REPARTITION hints that spread CPU-heavy per-row work
+# (shingle/md5 pipelines, bounded all-pairs arms) across cores: the raw test
+# tables are single-file/single-row-group, so without a hint that work runs
+# in ONE scan task. Derived from the driver's core count (the driver also
+# benches at reduced core counts), never pinned to the local 32.
+REPARTITION_WIDTH = int(_os.environ.get("SPARK_GRAFT_CPUS", _os.cpu_count() or 8))
+
 
 def hash_int(expr: str, *, spark: bool, salt: str = "") -> str:
     """Deterministic 32-bit hash of a string expression as BIGINT."""

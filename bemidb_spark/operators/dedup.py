@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from bemidb_spark.operators._xengine import (
+    REPARTITION_WIDTH as _RP,
     cosine,
     dot_fold,
     hash_int,
@@ -114,11 +115,23 @@ def _minhash_sql(spark: bool) -> str:
         for b in range(BANDS)
     ]
     if spark:
-        hint = "/*+ REPARTITION(32) */ "
+        hint = f"/*+ REPARTITION({_RP}) */ "
+        # OUTER explode: plain explode lets InferFiltersFromGenerate add a
+        # `size(sh) > 0` filter that predicate-pushdown rewrites into the
+        # full shingle pipeline and pushes BELOW the REPARTITION hint — the
+        # whole split/shingle/array_distinct work then runs a third time at
+        # raw-scan parallelism (a single file at test scale = one task).
+        # `sh` is structurally non-empty and non-null (the shingles() CASE
+        # always yields >= 1 element, even for NULL text), so OUTER explode
+        # is row-for-row identical and suppresses the inferred filter.
+        # Measured at sf0.1 (noop sink): 2.15 s -> 0.70 s, identical rows;
+        # the verify-side docs subtree then also reuses the repartition
+        # exchange instead of a separate scan (guide §4.4 analog — stop the
+        # optimizer duplicating expensive expressions).
         ex = (
             "SELECT doc_id, "
             + hash_int("s", spark=True, salt="mh")
-            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+            + " AS h FROM docs LATERAL VIEW OUTER explode(sh) t AS s"
         )
         bandrows = (
             "SELECT doc_id, pos AS band_no, digest FROM mh "
@@ -390,6 +403,43 @@ def _embedding_sql(spark: bool) -> str:
     # single join on exploded (band_no, bucket) rows — not 8 inlined
     # self-joins (CTE-inlining re-evaluated the 32 hyperplane folds per
     # reference; same pathology as _minhash_sql)
+    if spark:
+        # Verify arm with per-vector norms precomputed once (the inline
+        # cosine re-derives sqrt(dot(x,x)) for both sides of every
+        # candidate pair in both the SELECT and the WHERE — 6 folds per
+        # pair; with norms it is 1 fold + 1 multiply per appearance).
+        # Same fold expressions, same `dot / (na * nb)` arithmetic order ->
+        # identical doubles; the oracle keeps the inline form and proves
+        # it. The shared repartitioned source spreads the 32 hyperplane
+        # folds per vector across cores (single-file scan otherwise = one
+        # task) and is reused by sigs and normed via exchange reuse.
+        dot = dot_fold("a.embedding", "b.embedding", spark=True)
+        src = f"(SELECT /*+ REPARTITION({_RP}) */ vec_id, embedding FROM embeddings)"
+        cos_pair = f"{dot} / (a.nrm * b.nrm)"
+        return f"""
+    WITH sigs AS (
+      SELECT vec_id, {', '.join(band_cols)}
+      FROM {src}
+    ),
+    bandrows AS ({bandrows}),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bandrows a
+      JOIN bandrows b ON a.band_no = b.band_no AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+    ),
+    normed AS (
+      SELECT vec_id, embedding,
+             SQRT({dot_fold('embedding', 'embedding', spark=True)}) AS nrm
+      FROM {src}
+    )
+    SELECT c.vec_a, c.vec_b, {cos_pair} AS cos_sim
+    FROM cands c
+    JOIN normed a ON a.vec_id = c.vec_a
+    JOIN normed b ON b.vec_id = c.vec_b
+    WHERE {cos_pair} >= {COSINE_MIN}
+    ORDER BY vec_a, vec_b
+    """
     return f"""
     WITH sigs AS (
       SELECT vec_id, {', '.join(band_cols)}
@@ -549,11 +599,11 @@ def _incremental_sql(spark: bool) -> str:
         for b in range(BANDS)
     ]
     if spark:
-        hint = "/*+ REPARTITION(32) */ "
+        hint = f"/*+ REPARTITION({_RP}) */ "
         ex = (
             "SELECT doc_id, source, "
             + hash_int("s", spark=True, salt="mh")
-            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+            + " AS h FROM docs LATERAL VIEW OUTER explode(sh) t AS s"
         )
         bandrows = (
             "SELECT doc_id, source, pos AS band_no, digest FROM mh "
@@ -638,6 +688,35 @@ _register("dedup_incremental_batch", _incremental_sql(True), _incremental_sql(Fa
 SAMPLE_MOD = 3
 
 
+def _quality_agg(spark: bool, ca: str, cb: str) -> str:
+    """Precision/recall count summary over the `truth` and `cands` CTEs.
+
+    Spark branch: one FULL OUTER JOIN computes all three counts in a single
+    evaluation of each arm. The scalar-subquery form (kept for the DuckDB
+    oracle, which caches CTEs) makes Spark evaluate BOTH subtrees twice —
+    once for the COUNT, once for the hits join — a measured 2x on the
+    quality gauges whose truth arm is the expensive part. The oracle keeps
+    the subquery text, so the driver gate proves the equivalence on every
+    run."""
+    if spark:
+        return f"""agg AS (
+      SELECT CAST(COUNT(t.{ca}) AS BIGINT) AS n_truth,
+             CAST(COUNT(c.{ca}) AS BIGINT) AS n_cands,
+             CAST(COUNT(CASE WHEN t.{ca} IS NOT NULL AND c.{ca} IS NOT NULL
+                             THEN 1 END) AS BIGINT) AS n_hits
+      FROM (SELECT {ca}, {cb} FROM truth) t
+      FULL OUTER JOIN (SELECT {ca}, {cb} FROM cands) c
+        ON c.{ca} = t.{ca} AND c.{cb} = t.{cb}
+    )"""
+    return f"""agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
+          JOIN cands c ON c.{ca} = t.{ca} AND c.{cb} = t.{cb}) AS n_hits
+    )"""
+
+
 def _lsh_quality_sql(spark: bool) -> str:
     """One summary row: truth pairs, LSH candidate pairs, their overlap,
     and precision/recall (exact small-int divisions -> bit-identical)."""
@@ -665,7 +744,7 @@ def _lsh_quality_sql(spark: bool) -> str:
         ex = (
             "SELECT doc_id, "
             + hash_int("s", spark=True, salt="mh")
-            + " AS h FROM docs LATERAL VIEW explode(sh) t AS s"
+            + " AS h FROM docs LATERAL VIEW OUTER explode(sh) t AS s"
         )
         bandrows = (
             "SELECT doc_id, pos AS band_no, digest FROM mh "
@@ -684,9 +763,48 @@ def _lsh_quality_sql(spark: bool) -> str:
             "generate_subscripts(ds, 1) AS i) u"
         )
     jac = f"CAST({inter} AS DOUBLE) / ({size}(a.sh) + {size}(b.sh) - {inter})"
+    if spark:
+        # Truth arm re-expressed as a shingle equi-join (set-similarity
+        # shape, guide §2.4/§3: replace an all-pairs theta join with an
+        # equi-join on the set elements). Equivalent by construction: a
+        # pair with an empty shingle intersection has jaccard 0 < the 0.5
+        # threshold, so restricting to pairs sharing >= 1 shingle drops
+        # nothing, and |A ∩ B| == COUNT(*) of shared DISTINCT shingles
+        # (sh is array_distinct'ed). The quadratic arm shrinks from
+        # (sample)^2 pairs x array_intersect to sum-over-shingles of
+        # bucket^2 — measured at sf0.1: 68 s -> 1.4 s, identical result
+        # row (the DuckDB oracle keeps the all-pairs text, so the driver
+        # gate itself proves the equivalence on every run).
+        truth = f"""shx AS (
+      SELECT doc_id, s FROM docs LATERAL VIEW OUTER explode(sh) t AS s
+    ),
+    pairi AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(COUNT(*) AS INT) AS i
+      FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id
+    ),
+    docs2 AS (
+      SELECT doc_id, {size}(sh) AS n FROM docs
+    ),
+    truth AS (
+      SELECT p.doc_a, p.doc_b
+      FROM pairi p
+      JOIN docs2 a ON a.doc_id = p.doc_a
+      JOIN docs2 b ON b.doc_id = p.doc_b
+      WHERE CAST(p.i AS DOUBLE) / (a.n + b.n - p.i) >= {JACCARD_MIN}
+    )"""
+    else:
+        truth = f"""truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+      WHERE {jac} >= {JACCARD_MIN}
+    )"""
+    agg = _quality_agg(spark, "doc_a", "doc_b")
+    hint = f"/*+ REPARTITION({_RP}) */ " if spark else ""
     return f"""
     WITH raw AS (
-      SELECT doc_id, text FROM documents WHERE doc_id % {SAMPLE_MOD} = 0
+      SELECT {hint}doc_id, text FROM documents WHERE doc_id % {SAMPLE_MOD} = 0
     ),
     docs AS (
       SELECT doc_id, {distinct}({sh}) AS sh
@@ -707,18 +825,8 @@ def _lsh_quality_sql(spark: bool) -> str:
       JOIN bandrows b ON a.band_no = b.band_no AND a.digest = b.digest
                      AND a.doc_id < b.doc_id
     ),
-    truth AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-      WHERE {jac} >= {JACCARD_MIN}
-    ),
-    agg AS (
-      SELECT
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
-          JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
-    )
+    {truth},
+    {agg}
     SELECT n_truth, n_cands, n_hits,
            CASE WHEN n_cands = 0 THEN NULL
                 ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_lsh,
@@ -763,7 +871,8 @@ def _simhash_quality_sql(spark: bool) -> str:
         chunk_exprs.append(f"CAST({bits} AS BIGINT) AS c{c}")
     if spark:
         tok = ("SELECT doc_id, token FROM "
-               f"(SELECT doc_id, text FROM documents WHERE doc_id % {SAMPLE_MOD} = 0) "
+               f"(SELECT /*+ REPARTITION({_RP}) */ doc_id, text "
+               f"FROM documents WHERE doc_id % {SAMPLE_MOD} = 0) "
                "LATERAL VIEW explode(split(text, ' ')) t AS token")
     else:
         tok = ("SELECT doc_id, unnest(string_split(text, ' ')) AS token "
@@ -801,13 +910,7 @@ def _simhash_quality_sql(spark: bool) -> str:
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE {xor_hamming} <= {HAMMING_MAX}
     ),
-    agg AS (
-      SELECT
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
-          JOIN cands c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits
-    )
+    {_quality_agg(spark, "doc_a", "doc_b")}
     SELECT n_truth, n_cands, n_hits,
            CASE WHEN n_cands = 0 THEN NULL
                 ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_band,
@@ -852,9 +955,35 @@ def _embedding_quality_sql(spark: bool) -> str:
             f"(SELECT vec_id, [{band_arr}] AS bs FROM sigs) m, "
             "LATERAL (SELECT unnest(bs) AS b, generate_subscripts(bs, 1) AS i) u"
         )
+    if spark:
+        # Per-vector norms computed ONCE (not per pair): the inline cosine
+        # re-derives sqrt(dot(a,a)) and sqrt(dot(b,b)) for every one of the
+        # (sample)^2 pairs — 3 sequential folds per pair; with norms
+        # precomputed the pair predicate is 1 fold + 1 multiply. Identical
+        # doubles: same fold expression per vector, same `dot / (na * nb)`
+        # arithmetic order as the inline form (the oracle keeps the inline
+        # text and proves it).
+        truth = f"""normed AS (
+      SELECT vec_id, embedding,
+             SQRT({dot_fold('embedding', 'embedding', spark=True)}) AS nrm
+      FROM sample
+    ),
+    truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+      WHERE {dot_fold('a.embedding', 'b.embedding', spark=True)}
+              / (a.nrm * b.nrm) >= {COSINE_MIN}
+    )"""
+    else:
+        truth = f"""truth AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+      WHERE {cos} >= {COSINE_MIN}
+    )"""
+    hint = f"/*+ REPARTITION({_RP}) */ " if spark else ""
     return f"""
     WITH sample AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
+      SELECT {hint}vec_id, embedding FROM embeddings WHERE vec_id % {SAMPLE_MOD} = 0
     ),
     sigs AS (
       SELECT vec_id, {', '.join(band_cols)}
@@ -867,18 +996,8 @@ def _embedding_quality_sql(spark: bool) -> str:
       JOIN bandrows b ON a.band_no = b.band_no AND a.bucket = b.bucket
                      AND a.vec_id < b.vec_id
     ),
-    truth AS (
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
-      FROM sample a JOIN sample b ON a.vec_id < b.vec_id
-      WHERE {cos} >= {COSINE_MIN}
-    ),
-    agg AS (
-      SELECT
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_cands,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM truth t
-          JOIN cands c ON c.vec_a = t.vec_a AND c.vec_b = t.vec_b) AS n_hits
-    )
+    {truth},
+    {_quality_agg(spark, "vec_a", "vec_b")}
     SELECT n_truth, n_cands, n_hits,
            CASE WHEN n_cands = 0 THEN NULL
                 ELSE CAST(n_hits AS DOUBLE) / n_cands END AS precision_lsh,
@@ -922,9 +1041,14 @@ def _ssjoin_sql(spark: bool) -> str:
     distinct = "array_distinct" if spark else "list_distinct"
     t = SSJOIN_T_PCT
     if spark:
+        # OUTER explode + repartitioned source: same pathology and fix as
+        # _minhash_sql (inferred size(shs)>0 filter re-ran the shingle
+        # pipeline per scan at single-file parallelism). shs is structurally
+        # non-empty/non-null, so OUTER is row-identical.
         tok = (f"SELECT doc_id, w FROM (SELECT doc_id, {distinct}({sh}) AS shs "
-               f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
-               f"LATERAL VIEW explode(shs) t AS w")
+               f"FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w "
+               f"FROM documents)) "
+               f"LATERAL VIEW OUTER explode(shs) t AS w")
         inter = "size(array_intersect(sa.ws, sb.ws))"
         collect = "sort_array(collect_list(w))"
     else:

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bemidb_spark.operators._xengine import hash_int, shingles, words
+from bemidb_spark.operators._xengine import (
+    REPARTITION_WIDTH as _RP,
+    hash_int,
+    shingles,
+    words,
+)
 from bemidb_spark.tables import register_views
 
 QUERIES: dict = {}
@@ -438,14 +443,21 @@ def _novelty_sql(spark: bool) -> str:
     sh = shingles("w", 3, spark=spark)
     distinct = "array_distinct" if spark else "list_distinct"
     if spark:
+        # OUTER explode + repartitioned source: suppresses the inferred
+        # size(sh)>0 filter that re-runs the shingle pipeline at single-file
+        # scan parallelism (see dedup._minhash_sql for the measured
+        # pathology); sh is structurally non-empty/non-null, so OUTER is
+        # row-identical.
         ex = ("SELECT doc_id, s AS shingle FROM docs "
-              "LATERAL VIEW explode(sh) t AS s")
+              "LATERAL VIEW OUTER explode(sh) t AS s")
+        hint = f"/*+ REPARTITION({_RP}) */ "
     else:
         ex = "SELECT doc_id, unnest(sh) AS shingle FROM docs"
+        hint = ""
     return f"""
     WITH docs AS (
       SELECT doc_id, {distinct}({sh}) AS sh
-      FROM (SELECT doc_id, {w} AS w FROM documents)
+      FROM (SELECT {hint}doc_id, {w} AS w FROM documents)
     ),
     ex AS ({ex}),
     first AS (

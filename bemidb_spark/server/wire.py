@@ -22,6 +22,7 @@ concurrent queries schedule under FAIR — the engine's throughput path).
 from __future__ import annotations
 
 import contextlib
+import os
 import re
 import socket
 import struct
@@ -47,6 +48,16 @@ CANCEL_REQUEST = 80877102
 # Regular messages cap far above any real COPY chunk; the startup packet is
 # just options and caps small, matching pg's 10 kB limit.
 MAX_MESSAGE_BYTES = 256 * 1024 * 1024
+
+# Adaptive result fetch: a statement whose last observed result was at most
+# this many rows is served by one collect() job instead of per-partition
+# toLocalIterator jobs (see _Conn._row_stream_for). Streaming remains the
+# default for first-seen and large results.
+_WIRE_COLLECT_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_WIRE_COLLECT_MAX_ROWS", "50000")
+)
+# Output buffering for row/CopyData frames: flush threshold in bytes.
+_SEND_BUFFER_BYTES = 64 * 1024
 MAX_STARTUP_BYTES = 16 * 1024
 
 
@@ -417,6 +428,9 @@ class _Conn:
         self.spark = self.session.spark
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
+        # Last observed result-row count per statement text — feeds the
+        # adaptive fetch in _row_stream_for (see there). Bounded FIFO.
+        self._result_rows: dict[str, int] = {}
 
     # ---------------------------------------------------------------- frames
     def _recv_exact(self, n: int) -> bytes:
@@ -565,10 +579,16 @@ class _Conn:
 
     def _send_rows(self, df: DataFrame, rows, formats: list[int] | None = None) -> int:
         """Encode and send DataRows from any row iterable (list or live
-        ``toLocalIterator``) — counting as it streams, never materializing."""
+        ``toLocalIterator``) — counting as it streams, never materializing.
+
+        DataRow frames are batched into an output buffer flushed at
+        ``_SEND_BUFFER_BYTES``: one sendall per ~64 KB instead of one
+        syscall per row (libpq buffers its output the same way), with the
+        frame boundaries on the wire byte-identical to the per-row form."""
         fields = df.schema.fields
         fmts = _resolve_formats(formats or [], len(fields))
         n = 0
+        buf = bytearray()
         for row in rows:
             payload = struct.pack("!H", len(fields))
             for v, f, fmt in zip(row, fields, fmts):
@@ -581,8 +601,13 @@ class _Conn:
                     payload += struct.pack("!i", -1)
                 else:
                     payload += struct.pack("!i", len(b)) + b
-            self._send(b"D", payload)
+            buf += b"D" + struct.pack("!I", len(payload) + 4) + payload
+            if len(buf) >= _SEND_BUFFER_BYTES:
+                self.sock.sendall(buf)
+                buf.clear()
             n += 1
+        if buf:
+            self.sock.sendall(buf)
         return n
 
     @staticmethod
@@ -591,6 +616,31 @@ class _Conn:
         partition) regardless of result size (pg streams DataRows the same
         way). Prefetch pipelines the next partition behind the socket writes."""
         return iter(df.toLocalIterator(prefetchPartitions=True))
+
+    def _row_stream_for(self, sql: str, df: DataFrame):
+        """Adaptive result fetch (guide §5: the driver should do almost no
+        data work — and no repeated per-partition jobs either).
+
+        ``toLocalIterator`` launches one Spark job per result partition;
+        measured at sf0.1 that is ~175 ms/statement of pure job-scheduling
+        overhead against ~40 ms for a single ``collect`` job
+        (tools/probe_wire_phase.py: toLocalIterator 3.87 s vs collect
+        0.91 s for the 22-query suite). A first execution of a statement
+        streams partition-at-a-time (unknown result size — the O(partition)
+        driver-memory contract for `SELECT * FROM huge` stands); once the
+        statement's observed row count is known to be small it is served by
+        one collect job. Row counts re-record on every completion, so a
+        statement whose result grows past the bound falls back to streaming
+        on its next run."""
+        n = self._result_rows.get(sql)
+        if n is not None and n <= _WIRE_COLLECT_MAX_ROWS:
+            return iter(df.collect())
+        return self._row_stream(df)
+
+    def _note_result_rows(self, sql: str, n: int) -> None:
+        if sql not in self._result_rows and len(self._result_rows) >= 1024:
+            self._result_rows.pop(next(iter(self._result_rows)))
+        self._result_rows[sql] = n
 
     # --------------------------------------------------------------- startup
     def handshake(self) -> bool:
@@ -732,7 +782,8 @@ class _Conn:
             return
         t0 = time.monotonic()
         self._send_row_description(df)
-        n = self._send_rows(df, self._row_stream(df))
+        n = self._send_rows(df, self._row_stream_for(sql, df))
+        self._note_result_rows(sql, n)
         from bemidb_spark.pgcompat.session import record_statement_stats
 
         record_statement_stats(sql, time.monotonic() - t0, n, count_call=False)
@@ -763,12 +814,23 @@ class _Conn:
         self._send(b"H", struct.pack("!BH", fmt, ncols)
                    + struct.pack(f"!{ncols}H", *([fmt] * ncols)))
         n = 0
+        # CopyData frames batch into a ~64 KB output buffer (one sendall per
+        # buffer, not per row — bulk export is exactly the path where per-row
+        # syscalls dominate); frame boundaries are unchanged on the wire.
+        buf = bytearray()
+
+        def _buffer_d(payload: bytes) -> None:
+            buf.extend(b"d" + struct.pack("!I", len(payload) + 4) + payload)
+            if len(buf) >= _SEND_BUFFER_BYTES:
+                self.sock.sendall(buf)
+                buf.clear()
+
         if binary:
             # pg binary COPY: 11-byte signature + flags + extension length,
             # then per row int16 field count and length-prefixed cells
             # (format documented in pg's sql-copy page; cells are the same
             # encodings the Bind binary result path emits)
-            self._send(b"d", _COPY_BIN_SIG + struct.pack("!ii", 0, 0))
+            _buffer_d(_COPY_BIN_SIG + struct.pack("!ii", 0, 0))
             for row in self._row_stream(df):
                 parts = [struct.pack("!h", ncols)]
                 for i in range(ncols):
@@ -777,20 +839,22 @@ class _Conn:
                         struct.pack("!i", -1) if b is None
                         else struct.pack("!i", len(b)) + b
                     )
-                self._send(b"d", b"".join(parts))
+                _buffer_d(b"".join(parts))
                 n += 1
-            self._send(b"d", struct.pack("!h", -1))  # file trailer
+            _buffer_d(struct.pack("!h", -1))  # file trailer
         else:
             if header:
-                self._send(b"d", (",".join(_csv_field(f.name) for f in fields) + "\n").encode())
+                _buffer_d((",".join(_csv_field(f.name) for f in fields) + "\n").encode())
             for row in self._row_stream(df):  # bulk export streams, never buffers
                 vals = [_encode_value(row[i], fields[i].dataType, fields[i]) for i in range(ncols)]
                 if csv:
                     line = ",".join("" if v is None else _csv_field(v) for v in vals)
                 else:
                     line = "\t".join("\\N" if v is None else _copy_text_escape(v) for v in vals)
-                self._send(b"d", (line + "\n").encode())
+                _buffer_d((line + "\n").encode())
                 n += 1
+        if buf:
+            self.sock.sendall(buf)
         self._send(b"c", b"")
         self._send(b"C", f"COPY {n}".encode() + b"\x00")
 
@@ -1210,7 +1274,7 @@ class _Conn:
                     target.result = (df, iter(()))
                     self._send(b"n", b"")  # DML without RETURNING: no result set
                     return
-                target.result = (df, self._row_stream(df))
+                target.result = (df, self._row_stream_for(target.sql, df))
                 target.pending = None
                 target.sent = 0
                 self._send_row_description(df, target.result_formats)
@@ -1250,7 +1314,7 @@ class _Conn:
             ):
                 self._send(b"C", df._pg_tag.encode() + b"\x00")
                 return
-            portal.result = (df, self._row_stream(df))
+            portal.result = (df, self._row_stream_for(portal.sql, df))
             portal.pending = None
             portal.sent = 0
         df, row_iter = portal.result
@@ -1284,6 +1348,7 @@ class _Conn:
         else:
             done_tag = tag or _tag_for(portal.sql, portal.sent)
             self._send(b"C", done_tag.encode() + b"\x00")
+            self._note_result_rows(portal.sql, portal.sent)
             portal.result = None
             portal.pending = None
             portal.sent = 0
