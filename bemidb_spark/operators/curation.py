@@ -38,7 +38,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bemidb_spark.operators._xengine import shingles, words
+from bemidb_spark.operators._xengine import (
+    REPARTITION_WIDTH as _RP,
+    shingles,
+    words,
+)
 from bemidb_spark.operators.dedup import _minhash_sql
 from bemidb_spark.tables import register_views
 
@@ -70,11 +74,15 @@ def _decontaminate_sql(spark: bool) -> str:
     sh = shingles("w", DECON_NGRAM, spark=spark)
     distinct = "array_distinct" if spark else "list_distinct"
     if spark:
+        # OUTER explode + repartitioned source: suppress the inferred
+        # size(sh)>0 filter (re-runs the shingle pipeline at single-file
+        # scan parallelism — see dedup._minhash_sql) and spread the
+        # per-row shingle work; sh is structurally non-empty/non-null.
         expl = (
             f"SELECT doc_id, source, s FROM "
             f"(SELECT doc_id, source, {distinct}({sh}) AS sh "
-            f" FROM (SELECT doc_id, source, {w} AS w FROM documents)) "
-            f"LATERAL VIEW explode(sh) t AS s"
+            f" FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, source, {w} AS w FROM documents)) "
+            f"LATERAL VIEW OUTER explode(sh) t AS s"
         )
     else:
         expl = (
@@ -131,11 +139,13 @@ def _contamination_span_sql(spark: bool) -> str:
     w = words("text", spark=spark)
     sh = shingles("w", DECON_NGRAM, spark=spark)
     if spark:
+        # OUTER posexplode + repartitioned source (same inferred-filter
+        # pathology as dedup._minhash_sql; sh structurally non-empty).
         pos = (
             f"SELECT doc_id, source, p, s FROM "
             f"(SELECT doc_id, source, {sh} AS sh "
-            f" FROM (SELECT doc_id, source, {w} AS w FROM documents)) "
-            f"LATERAL VIEW posexplode(sh) t AS p, s"
+            f" FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, source, {w} AS w FROM documents)) "
+            f"LATERAL VIEW OUTER posexplode(sh) t AS p, s"
         )
     else:
         pos = (
@@ -195,20 +205,24 @@ def _repetition_sql(spark: bool) -> str:
     distinct = "array_distinct" if spark else "list_distinct"
     size = "size" if spark else "len"
     if spark:
+        # OUTER explode + repartitioned source (same inferred-filter
+        # pathology as dedup._minhash_sql; bgs structurally non-empty).
         expl = (
             f"SELECT doc_id, b FROM (SELECT doc_id, {bg} AS bgs "
-            f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
-            f"LATERAL VIEW explode(bgs) t AS b"
+            f"FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW OUTER explode(bgs) t AS b"
         )
+        base_src = f"(SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w FROM documents)"
     else:
         expl = (
             f"SELECT doc_id, unnest({bg}) AS b "
             f"FROM (SELECT doc_id, {w} AS w FROM documents)"
         )
+        base_src = f"(SELECT doc_id, {w} AS w FROM documents)"
     return f"""
     WITH base AS (
       SELECT doc_id, {size}(w) AS n_words, {size}({distinct}(w)) AS n_distinct
-      FROM (SELECT doc_id, {w} AS w FROM documents)
+      FROM {base_src}
     ),
     bg AS ({expl}),
     bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
@@ -235,10 +249,12 @@ def _familiarity_sql(spark: bool) -> str:
     w = words("text", spark=spark)
     bg = shingles("w", 2, spark=spark)
     if spark:
+        # OUTER explode + repartitioned source (same inferred-filter
+        # pathology as dedup._minhash_sql; bgs structurally non-empty).
         expl = (
             f"SELECT doc_id, b FROM (SELECT doc_id, {bg} AS bgs "
-            f"FROM (SELECT doc_id, {w} AS w FROM documents)) "
-            f"LATERAL VIEW explode(bgs) t AS b"
+            f"FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW OUTER explode(bgs) t AS b"
         )
     else:
         expl = (
@@ -585,11 +601,13 @@ def _exact_substring_sql(spark: bool) -> str:
     w = words("text", spark=spark)
     sh = shingles("w", ES_NGRAM, spark=spark)
     if spark:
+        # OUTER explode + repartitioned source (same inferred-filter
+        # pathology as dedup._minhash_sql; sh structurally non-empty).
         expl = (
             f"SELECT doc_id, md5(s) AS g FROM "
             f"(SELECT doc_id, {sh} AS sh "
-            f" FROM (SELECT doc_id, {w} AS w FROM documents)) "
-            f"LATERAL VIEW explode(sh) t AS s"
+            f" FROM (SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w FROM documents)) "
+            f"LATERAL VIEW OUTER explode(sh) t AS s"
         )
     else:
         expl = (

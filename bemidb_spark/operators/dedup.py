@@ -264,7 +264,8 @@ def _simhash_pairs_sql(spark: bool) -> str:
         )
         chunk_exprs.append(f"CAST({bits} AS BIGINT) AS c{c}")
     if spark:
-        tok = ("SELECT doc_id, token FROM documents "
+        tok = (f"SELECT doc_id, token FROM "
+               f"(SELECT /*+ REPARTITION({_RP}) */ doc_id, text FROM documents) "
                "LATERAL VIEW explode(split(text, ' ')) t AS token")
     else:
         tok = "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
@@ -327,10 +328,11 @@ def _ngram_sql(spark: bool) -> str:
     prefix = (
         "array_join(slice(w, 1, 4), ' ')" if spark else "array_to_string(w[1:4], ' ')"
     )
+    hint = f"/*+ REPARTITION({_RP}) */ " if spark else ""
     return f"""
     WITH docs AS (
       SELECT doc_id, {prefix} AS block_key, {distinct}({sh}) AS sh
-      FROM (SELECT doc_id, {w} AS w FROM documents)
+      FROM (SELECT {hint}doc_id, {w} AS w FROM documents)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST({inter} AS DOUBLE)

@@ -47,7 +47,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bemidb_spark.operators._xengine import dot_fold, hash_int, words
+from bemidb_spark.operators._xengine import (
+    REPARTITION_WIDTH as _RP,
+    dot_fold, hash_int, words,
+)
 from bemidb_spark.tables import register_views
 
 QUERIES: dict = {}
@@ -885,9 +888,10 @@ def _power_iter_sql(spark: bool) -> str:
     # iteration 1: v0 = 1⃗ -> dot is the plain component sum
     dot1 = " + ".join(f"CAST({idx('e.embedding', d)} AS DOUBLE)"
                       for d in range(EMB_DIM))
+    hint = f"/*+ REPARTITION({_RP}) */ " if spark else ""
     return f"""
     WITH d1 AS (
-      SELECT e.embedding, ({dot1}) AS dot FROM embeddings e
+      SELECT {hint}e.embedding, ({dot1}) AS dot FROM embeddings e
     ),
     w1 AS (
       SELECT {w_sums('e.dot')} FROM d1 e
@@ -896,7 +900,7 @@ def _power_iter_sql(spark: bool) -> str:
       SELECT {v1_cols}, {v1_arr} FROM w1 w
     ),
     d2 AS (
-      SELECT e.embedding, ({dot_v('v.v')}) AS dot
+      SELECT {hint}e.embedding, ({dot_v('v.v')}) AS dot
       FROM embeddings e CROSS JOIN v1 v
     ),
     w2 AS (

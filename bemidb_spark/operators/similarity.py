@@ -532,17 +532,33 @@ def _semdedup_sql(spark: bool) -> str:
     cos = cosine("a.embedding", "b.embedding", spark=spark)
     if spark:
         cells_rel = "_km_cells"  # materialized index (see _kmeans_views)
-        head = "WITH "
+        # Per-vector norms precomputed once: the inline cosine re-derives
+        # sqrt(dot(x,x)) for both sides of every within-cell pair (3 folds
+        # per pair -> 1 fold + 1 multiply). Same fold expressions, same
+        # `dot / (na * nb)` arithmetic order -> identical doubles; the
+        # oracle keeps the inline form and proves it.
+        dot = dot_fold("a.embedding", "b.embedding", spark=True)
+        nrm = dot_fold("embedding", "embedding", spark=True)
+        head = (
+            "WITH normed AS (\n"
+            f"      SELECT vec_id, cell, embedding, SQRT({nrm}) AS nrm "
+            f"FROM {cells_rel}\n"
+            "    ),\n    "
+        )
+        pair_src = "normed"
+        cos_pair = f"{dot} / (a.nrm * b.nrm)"
     else:
         ctes, _ = _kmeans_ctes(spark)
         cells_rel = "cells"
         head = "WITH " + ",\n    ".join(ctes) + ",\n    "
+        pair_src = cells_rel
+        cos_pair = cos
     return f"""
     {head}dup_pairs AS (
       SELECT b.vec_id AS dup_id, MIN(a.vec_id) AS kept_id
-      FROM {cells_rel} a
-      JOIN {cells_rel} b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE {cos} >= {SEM_COS_MIN}
+      FROM {pair_src} a
+      JOIN {pair_src} b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_pair} >= {SEM_COS_MIN}
       GROUP BY b.vec_id
     )
     SELECT c.vec_id, CAST(c.cell AS INT) AS cell,

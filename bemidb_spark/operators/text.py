@@ -173,9 +173,10 @@ def _fingerprint_sql(spark: bool) -> str:
             f"(acc, hv) -> (acc * 31 + hv) % 1000000007)"
         )
         min_sh = f"list_min(list_transform({sh}, s -> {hs}))"
+    hint = f"/*+ REPARTITION({_RP}) */ " if spark else ""
     return f"""
     SELECT doc_id, {rolling} AS rolling_fp, {min_sh} AS min_shingle_hash
-    FROM (SELECT doc_id, {w} AS w FROM documents)
+    FROM (SELECT {hint}doc_id, {w} AS w FROM documents)
     ORDER BY doc_id
     """
 
@@ -580,15 +581,19 @@ def _bigram_lm_sql(spark: bool) -> str:
     sh = shingles("w", 2, spark=spark)
     unat = lambda x: f"CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 1000000) AS BIGINT)"  # noqa: E731
     if spark:
-        toks = (f"SELECT doc_id, w FROM (SELECT doc_id, {w} AS ws FROM documents) "
+        toks = (f"SELECT doc_id, w FROM "
+                f"(SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS ws FROM documents) "
                 f"LATERAL VIEW explode(ws) t AS w")
     else:
         toks = f"SELECT doc_id, unnest({w}) AS w FROM documents"
     # shingles() operates on a column named w holding the word array
     if spark:
+        # OUTER explode (shs structurally non-empty under size(w) >= 2) +
+        # repartitioned source — see dedup._minhash_sql for the pathology.
         bgs = (f"SELECT doc_id, s FROM (SELECT doc_id, {sh} AS shs FROM "
-               f"(SELECT doc_id, {w} AS w FROM documents) WHERE size(w) >= 2) "
-               f"LATERAL VIEW explode(shs) t AS s")
+               f"(SELECT /*+ REPARTITION({_RP}) */ doc_id, {w} AS w FROM documents) "
+               f"WHERE size(w) >= 2) "
+               f"LATERAL VIEW OUTER explode(shs) t AS s")
     else:
         bgs = (f"SELECT doc_id, unnest({sh}) AS s FROM "
                f"(SELECT doc_id, {w} AS w FROM documents) WHERE len(w) >= 2")

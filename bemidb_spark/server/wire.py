@@ -956,6 +956,12 @@ class _Conn:
                 out.write.mode("append").partitionBy(BUCKET_COL).parquet(loc)
             else:
                 typed.write.mode("append").parquet(loc)
+            # Re-commit (same location) so the catalog VERSION bumps — the
+            # same discipline writer.py's in-place appends follow. Other
+            # sessions' plan caches key on the version, and the pg_catalog
+            # registration memo skips re-binding when it is unchanged.
+            self.session.catalog.commit_table(
+                schema, table, loc, self.session.catalog.columns(schema, table))
         # The bound temp view's plan holds a materialized file index; re-bind
         # the catalog views (as DDL paths do) so appended files are visible.
         from bemidb_spark.pgcompat.catalog_views import register_pg_catalog

@@ -99,6 +99,25 @@ VARIANTS: dict[str, dict[str, str]] = {
         "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
         "spark.sql.shuffle.partitions": "4",
     },
+    # Round 5 of the sweep (r9 optimization round): shave per-query driver
+    # re-optimization (pre_job ~45 ms/query) by dropping rules that cannot
+    # fire on this workload at sub-GB scale (no partitioned tables -> DPP
+    # never applies; no bloom filter ever injected at these sizes — grep of
+    # the committed plans shows zero bloom_filter_agg).
+    "b1m_norules2": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "false",
+        "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled": "false",
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "false",
+    },
+    # Spark 4's single-pass analyzer (HybridAnalyzer runs it when enabled):
+    # targets the analysis share of cold/prepared planning.
+    "b1m_singlepass": {
+        **_NC,
+        "spark.sql.autoBroadcastJoinThreshold": str(1 * 1024 * 1024),
+        "spark.sql.analyzer.singlePassResolver.enabled": "true",
+    },
 }
 
 BASE_SMALL = {
