@@ -109,3 +109,45 @@ def test_merge_pruned_slice_partition_prunes(spark, tmp_path):
     # plan-text assertion above is the binding contract)
     data_filters = plan.split("PushedFilters", 1)[1] if "PushedFilters" in plan else ""
     assert BUCKET_COL not in data_filters.split("ReadSchema", 1)[0]
+
+
+# Entries whose generators were switched to OUTER explode in r9: the plain
+# form let InferFiltersFromGenerate add a size(arr)>0 filter that predicate
+# pushdown rewrote into the FULL shingle/bigram pipeline and pushed below
+# the repartition — re-running the expensive per-row work a second/third
+# time at raw-scan (single-file = single-task) parallelism. Measured:
+# dedup_minhash_lsh 2.15 s -> 0.70 s at sf0.1. This pins the fix: no Filter
+# node in the executed plan may contain the shingle-pipeline expression.
+_NO_INFERRED_SHINGLE_FILTER = [
+    "dedup_minhash_lsh",
+    "dedup_lsh_quality",
+    "dedup_incremental_batch",
+    "dedup_ssjoin_prefix",
+    "text_novelty_ratio",
+    "text_bigram_logprob",
+    "decontaminate_eval_overlap",
+    "contamination_span_max",
+    "repetition_filter",
+    "bigram_familiarity",
+    "exact_substring_dedup",
+]
+
+
+@pytest.mark.parametrize("name", sorted(_NO_INFERRED_SHINGLE_FILTER))
+def test_no_inferred_filter_reruns_shingle_pipeline(spark, sf_dir, name):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, sf_dir)
+    # explainString carries full Filter conditions; scan every Filter
+    # condition line for the shingle-pipeline marker
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for line in formatted.splitlines():
+        if line.startswith("Condition"):
+            assert "transform(sequence" not in line, (
+                f"{name}: an inferred filter re-evaluates the shingle "
+                f"pipeline — a Generate lost its OUTER (see dedup._minhash_sql)"
+            )

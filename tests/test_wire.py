@@ -1147,3 +1147,32 @@ def test_extended_protocol_fuzz(server):
         assert out["rows"] == [["42"]]
     finally:
         good.close()
+
+
+def test_adaptive_row_stream_switches_to_collect(spark):
+    """The wire result fetch streams partition-at-a-time on first execution
+    (unknown size) and switches to one collect job once the statement's
+    observed row count is known-small; a count past the bound keeps
+    streaming. Rows are identical either way (r9 optimization: per-partition
+    toLocalIterator jobs were ~175 ms/statement of scheduling overhead)."""
+    import bemidb_spark.server.wire as wire_mod
+    from bemidb_spark.server.wire import _Conn
+
+    conn = _Conn.__new__(_Conn)
+    conn._result_rows = {}
+    df = spark.range(10).selectExpr("id AS n")
+    sql = "SELECT n FROM t_adaptive"
+
+    first = _Conn._row_stream_for(conn, sql, df)
+    assert not isinstance(first, type(iter([])))  # streaming path
+    rows_first = [r.n for r in first]
+    _Conn._note_result_rows(conn, sql, len(rows_first))
+
+    second = _Conn._row_stream_for(conn, sql, df)
+    assert isinstance(second, type(iter([])))  # collect path: list iterator
+    assert [r.n for r in second] == rows_first
+
+    _Conn._note_result_rows(conn, sql, wire_mod._WIRE_COLLECT_MAX_ROWS + 1)
+    third = _Conn._row_stream_for(conn, sql, df)
+    assert not isinstance(third, type(iter([])))  # back to streaming
+    assert [r.n for r in third] == rows_first
