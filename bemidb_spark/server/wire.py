@@ -429,8 +429,12 @@ class _Conn:
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
         # Last observed result-row count per statement text — feeds the
-        # adaptive fetch in _row_stream_for (see there). Bounded FIFO.
-        self._result_rows: dict[str, int] = {}
+        # adaptive fetch in _row_stream_for (see there). Bounded FIFO,
+        # shared server-wide so fresh connections inherit the hints (a
+        # standalone _Conn keeps a private dict).
+        self._result_rows: dict[str, int] = (
+            server._result_rows if server is not None else {}
+        )
 
     # ---------------------------------------------------------------- frames
     def _recv_exact(self, n: int) -> bytes:
@@ -964,10 +968,8 @@ class _Conn:
                 schema, table, loc, self.session.catalog.columns(schema, table))
         # The bound temp view's plan holds a materialized file index; re-bind
         # the catalog views (as DDL paths do) so appended files are visible.
-        from bemidb_spark.pgcompat.catalog_views import register_pg_catalog
-
         self.spark.catalog.refreshByPath(loc)
-        register_pg_catalog(self.spark, self.session.catalog)
+        self.session._register_catalog_views()
         self.session.invalidate_plans()
         self._send(b"C", f"COPY {len(records)}".encode() + b"\x00")
 
@@ -1439,6 +1441,17 @@ class WireServer:
         self._backends: dict[int, tuple[_Conn, int]] = {}
         self._backends_lock = threading.Lock()
         self._next_pid = 0
+        # Server-wide last-observed result-row counts (see
+        # _Conn._row_stream_for): the count is a fetch-STRATEGY hint, not a
+        # result cache, so sharing it across connections is safe — a stale
+        # entry at worst picks collect for a result that since grew past the
+        # bound (one oversized-but-correct fetch, then the re-recorded count
+        # restores streaming). Without sharing, every FRESH connection pays
+        # the per-partition toLocalIterator job overhead (~175 ms/stmt) for
+        # statements the server has served hundreds of times. Plain dict:
+        # get/set are GIL-atomic; the FIFO eviction race can at worst evict
+        # one extra hint.
+        self._result_rows: dict[str, int] = {}
 
     # ------------------------------------------------------ cancel registry
     def register_backend(self, conn: "_Conn") -> tuple[int, int]:

@@ -1140,3 +1140,33 @@ def test_register_pg_catalog_memo_and_version_bump(spark, tmp_path):
     assert "matviewname" in spark.table("pg_matviews").columns  # marker gone
     # static views survived the static-skip path
     assert spark.sql("SELECT count(*) FROM pg_am").collect()[0][0] == 1
+
+
+def test_isolated_session_registers_pg_catalog_lazily(spark, sf_dir):
+    """An isolated fork (the wire per-connection path) defers the ~0.7 s
+    pg_catalog view replay off the connection handshake: data queries run
+    without it, and the first statement that references the emulation
+    surface registers on demand (r9 wave 4). Eager behavior is unchanged
+    for shared sessions."""
+    from bemidb_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    pg = PgSession(spark, None, isolate=True)
+    # not registered at init: the fork has no pg emulation views yet
+    assert not pg._pg_catalog_ready
+    assert not pg.spark.catalog.tableExists("pg_keywords_view")
+    # a plain data query runs without ever registering
+    assert pg.execute("SELECT count(*) AS n FROM region").collect()[0].n == 5
+    assert not pg._pg_catalog_ready
+    # first catalog-surface statement triggers registration and resolves
+    rows = pg.execute(
+        "SELECT relname FROM pg_class WHERE relname = 'region'").collect()
+    assert [r.relname for r in rows] == ["region"]
+    assert pg._pg_catalog_ready
+
+    # the analysis-retry safety net also triggers when the proactive regex
+    # cannot see the reference (simulate: flag off, views dropped)
+    pg2 = PgSession(spark, None, isolate=True)
+    assert not pg2._pg_catalog_ready
+    got = pg2.execute("SELECT count(*) AS n FROM pg_class").collect()
+    assert got[0].n > 0 and pg2._pg_catalog_ready

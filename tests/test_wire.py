@@ -1176,3 +1176,32 @@ def test_adaptive_row_stream_switches_to_collect(spark):
     third = _Conn._row_stream_for(conn, sql, df)
     assert not isinstance(third, type(iter([])))  # back to streaming
     assert [r.n for r in third] == rows_first
+
+
+def test_result_rows_memo_shared_across_connections(server):
+    """The observed-row-count memo lives on the WireServer, so a FRESH
+    connection inherits the fetch-strategy hints collected by earlier
+    connections (r9: per-connection memos made every fresh connection in the
+    multi-client soak pay the per-partition streaming overhead for
+    statements the server had already served). The memo holds only row
+    COUNTS — results are always computed; sharing cannot serve stale data."""
+    sql = "SELECT r_regionkey FROM region ORDER BY r_regionkey"
+
+    c1 = MiniPgClient(server.host, server.port)
+    try:
+        r1 = c1.query(sql)
+        assert not r1["errors"]
+    finally:
+        c1.close()
+    # the first connection's completion wrote through to the server memo
+    assert server._result_rows.get(sql) == len(r1["rows"])
+
+    # a second, fresh connection reads the same dict object and serves the
+    # identical rows (collect fast-path eligible from its first execution)
+    c2 = MiniPgClient(server.host, server.port)
+    try:
+        r2 = c2.query(sql)
+        assert not r2["errors"]
+        assert r2["rows"] == r1["rows"]
+    finally:
+        c2.close()
