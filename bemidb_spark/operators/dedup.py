@@ -124,6 +124,9 @@ def _minhash_sql(spark: bool) -> str:
         # `sh` is structurally non-empty and non-null (the shingles() CASE
         # always yields >= 1 element, even for NULL text), so OUTER explode
         # is row-for-row identical and suppresses the inferred filter.
+        # That NULL-text argument requires non-ANSI size(NULL) = -1
+        # semantics, which build_session pins explicitly
+        # (spark.sql.ansi.enabled=false + legacy.sizeOfNull=true).
         # Measured at sf0.1 (noop sink): 2.15 s -> 0.70 s, identical rows;
         # the verify-side docs subtree then also reuses the repartition
         # exchange instead of a separate scan (guide §4.4 analog — stop the
@@ -766,35 +769,51 @@ def _lsh_quality_sql(spark: bool) -> str:
         )
     jac = f"CAST({inter} AS DOUBLE) / ({size}(a.sh) + {size}(b.sh) - {inter})"
     if spark:
-        # Truth arm re-expressed as a shingle equi-join (set-similarity
-        # shape, guide §2.4/§3: replace an all-pairs theta join with an
-        # equi-join on the set elements). Equivalent by construction: a
-        # pair with an empty shingle intersection has jaccard 0 < the 0.5
-        # threshold, so restricting to pairs sharing >= 1 shingle drops
-        # nothing, and |A ∩ B| == COUNT(*) of shared DISTINCT shingles
-        # (sh is array_distinct'ed). The quadratic arm shrinks from
-        # (sample)^2 pairs x array_intersect to sum-over-shingles of
-        # bucket^2 — measured at sf0.1: 68 s -> 1.4 s, identical result
-        # row (the DuckDB oracle keeps the all-pairs text, so the driver
-        # gate itself proves the equivalence on every run).
+        # Truth arm re-expressed as a PREFIX-FILTERED set-similarity join
+        # (guide §2.4/§3; Chaudhuri ICDE'06 / Xiao WWW'08 — the same shape
+        # dedup_ssjoin_prefix ships). r9 used a plain shingle equi-join
+        # (pairs sharing ANY shingle), whose cost is sum-over-shingles of
+        # bucket^2 — fine on the sampled corpus, but one pathologically hot
+        # shingle (a stop-phrase) recreates a skewed quadratic self-join at
+        # scale (VERDICT r9 #5-carried/#7). Prefix filtering bounds exactly
+        # that: each doc joins only on its n - ceil(t*n) + 1 RAREST
+        # shingles (ascending corpus frequency, string tie-break), so a hot
+        # shingle participates only for docs where it falls inside the
+        # prefix. LOSSLESS for the t = JACCARD_MIN threshold by the
+        # standard prefix theorem: if two docs' prefixes are disjoint then
+        # |A∩B| <= ceil(t|A|)-1 < t|A| <= t|A∪B|, i.e. J < t — so every
+        # truth pair survives candidate generation, and the exact
+        # array_intersect verify (the oracle's own spelling) decides
+        # membership bit-identically. The DuckDB oracle keeps the all-pairs
+        # text, so the driver gate proves equivalence on every run.
+        t_pct = int(JACCARD_MIN * 100)  # exact-integer prefix length
+        p_len = f"n - (({t_pct} * n + 99) DIV 100) + 1"
         truth = f"""shx AS (
       SELECT doc_id, s FROM docs LATERAL VIEW OUTER explode(sh) t AS s
     ),
-    pairi AS (
-      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
-             CAST(COUNT(*) AS INT) AS i
-      FROM shx x JOIN shx y ON x.s = y.s AND x.doc_id < y.doc_id
-      GROUP BY x.doc_id, y.doc_id
+    sfreq AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS df FROM shx GROUP BY s
     ),
-    docs2 AS (
-      SELECT doc_id, {size}(sh) AS n FROM docs
+    sord AS (
+      SELECT x.doc_id, x.s,
+             ROW_NUMBER() OVER (PARTITION BY x.doc_id
+                                ORDER BY f.df, x.s) AS rk,
+             COUNT(*) OVER (PARTITION BY x.doc_id) AS n
+      FROM shx x JOIN sfreq f ON f.s = x.s
+    ),
+    spre AS (
+      SELECT doc_id, s FROM sord WHERE rk <= {p_len}
+    ),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM spre a JOIN spre b ON b.s = a.s AND b.doc_id > a.doc_id
     ),
     truth AS (
-      SELECT p.doc_a, p.doc_b
-      FROM pairi p
-      JOIN docs2 a ON a.doc_id = p.doc_a
-      JOIN docs2 b ON b.doc_id = p.doc_b
-      WHERE CAST(p.i AS DOUBLE) / (a.n + b.n - p.i) >= {JACCARD_MIN}
+      SELECT c.doc_a, c.doc_b
+      FROM tcand c
+      JOIN docs a ON a.doc_id = c.doc_a
+      JOIN docs b ON b.doc_id = c.doc_b
+      WHERE {jac} >= {JACCARD_MIN}
     )"""
     else:
         truth = f"""truth AS (

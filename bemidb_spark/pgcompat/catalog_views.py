@@ -498,6 +498,18 @@ _SESSION_KEYS: dict[int, tuple] = {}
 _STATIC_DONE: set[int] = set()
 
 
+def forget_session(spark: SparkSession) -> None:
+    """Drop a session's registration-memo entries (connection teardown).
+
+    Without this every isolated per-connection fork leaves one _SESSION_KEYS
+    entry (holding the full (schema, table, columns) inventory tuple) plus a
+    _STATIC_DONE id for the server's lifetime — an unbounded slow leak
+    proportional to connection count x catalog size (ADVICE r9)."""
+    sid = id(spark)
+    _SESSION_KEYS.pop(sid, None)
+    _STATIC_DONE.discard(sid)
+
+
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:
     """(Re)build every emulation view from current catalog + session state."""
     sid = id(spark)

@@ -289,6 +289,7 @@ class PgSession:
         # into the fork's namespace here.
         self.spark = spark.newSession() if isolate else spark
         self.catalog = catalog
+        self._isolated = isolate
         if isolate:
             self._bridge_parent_views(spark)
             # newSession() forks a FRESH SQLConf from SparkConf defaults, so
@@ -828,6 +829,14 @@ class PgSession:
         finally:
             self._release_txn_lock()
             self._cursors.clear()
+            # drop this fork's registration-memo entries — otherwise each
+            # closed connection leaks one inventory-sized tuple for the
+            # server's lifetime (ADVICE r9). Isolated forks only: a shared
+            # session outlives this PgSession and keeps its memo.
+            if self._isolated:
+                from bemidb_spark.pgcompat.catalog_views import forget_session
+
+                forget_session(self.spark)
 
     def _handle_savepoint(self, sql: str, upper: str) -> DataFrame | None:
         """SAVEPOINT / ROLLBACK TO [SAVEPOINT] / RELEASE — nested pins inside
@@ -1311,8 +1320,11 @@ class PgSession:
                         _kmeans_views,
                     )
 
-                    # always REbuild: CREATE INDEX is the build point in pg,
-                    # and the underlying corpus may have been re-registered
+                    # CREATE INDEX is the build point in pg; dropping the
+                    # per-session marker forces _kmeans_views to re-check
+                    # the corpus fingerprint — an unchanged corpus replays
+                    # the persisted index (pg persists ivfflat across
+                    # connections too), any data/view change rebuilds.
                     _KM_BUILT.pop(id(self.spark), None)
                     _kmeans_views(self.spark, "::pg_ivf_index::")
             dm = re.match(r"\s*DROP\s+INDEX\s+(?:IF\s+EXISTS\s+)?([\w.]+)",
@@ -1470,6 +1482,36 @@ class PgSession:
         except Exception:  # noqa: BLE001 — e.g. select list needs columns
             return None  # the cells view lacks (label, …): exact path
 
+    def _registration_could_resolve(self, err_text: str) -> bool:
+        """True when the missing relation named in an analyzer error is one
+        the lazy pg_catalog registration (emulation views or catalog-table
+        binding) would actually provide. The retry gate must not pay the
+        ~0.7 s view replay for a genuine typo: the r9 gate's
+        `or catalog is not None` arm made the name check a no-op whenever a
+        catalog was bound, so ANY first unresolved relation (including the
+        bench soak's deliberate error probe) triggered it (ADVICE r9)."""
+        if re.search(r"`pg_\w+`|information_schema", err_text):
+            return True
+        if self.catalog is None:
+            return False
+        names = {n.lower() for n in re.findall(r"`([\w.]+)`", err_text)}
+        if not names:
+            return False
+        provided: set[str] = set()
+        try:
+            inventory = list(self.catalog.tables()) + list(self.catalog.views())
+        except Exception:  # noqa: BLE001 — unreadable catalog: don't retry
+            return False
+        for k in inventory:
+            kl = k.lower()
+            provided.add(kl)
+            if "." in kl:
+                schema, table = kl.split(".", 1)
+                # clients reference schema.table, bare table, or the bound
+                # schema_table view spelling
+                provided.update({schema, table, kl.replace(".", "_")})
+        return not names.isdisjoint(provided)
+
     def _sql_vector_aware(self, text: str) -> DataFrame:
         """spark.sql with the pgvector avg(vector) retry: when analysis
         reports avg over ARRAY<DOUBLE> (a vector column), rewrite that avg
@@ -1484,8 +1526,7 @@ class PgSession:
                     not self._pg_catalog_ready
                     and ("TABLE_OR_VIEW_NOT_FOUND" in s
                          or "UnresolvedRelation" in s)
-                    and (re.search(r"`pg_\w+`|information_schema", s)
-                         or self.catalog is not None)
+                    and self._registration_could_resolve(s)
                 ):
                     # Lazy pg_catalog (isolated forks defer the ~0.7 s view
                     # replay off the connection handshake): a MISSING

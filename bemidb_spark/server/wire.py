@@ -390,9 +390,12 @@ class _Prepared:
     sql: str
     params: list[str | None] = field(default_factory=list)
     # (df, live row iterator) — rows stream partition-at-a-time from the
-    # executors (toLocalIterator); the portal never buffers the result set
-    # on the driver, so `SELECT * FROM huge` over the wire is O(partition)
-    # driver memory, matching how Postgres itself streams DataRows.
+    # executors (toLocalIterator), or, for statements whose observed result
+    # is known-small, a single CAPPED collect (LIMIT max_rows+1 with a
+    # streaming fallback on overflow — see _row_stream_for). Either way the
+    # portal never buffers an unbounded result set on the driver: `SELECT *
+    # FROM huge` over the wire stays O(partition) driver memory, matching
+    # how Postgres itself streams DataRows.
     result: tuple[DataFrame, object] | None = None
     pending: object | None = None  # look-ahead row held across suspensions
     sent: int = 0  # rows already streamed (portal suspension cursor)
@@ -423,8 +426,13 @@ class _Conn:
         # are session-local; see PgSession isolate docstring). All of this
         # backend's engine calls go through the fork, so COPY rebinds and
         # DDL refreshes land in the namespace its queries actually read.
-        self.session = PgSession(spark, catalog, isolate=True,
-                                 server_version=server_version)
+        # The fork build (~0.2 s of GIL-serialized py4j: newSession + conf
+        # copy + view bridging) comes from the server's pre-forked pool when
+        # one is ready — same object, built ahead of time off the handshake
+        # critical path (real pg pre-forks backends the same way).
+        pooled = server.take_session() if server is not None else None
+        self.session = pooled or PgSession(spark, catalog, isolate=True,
+                                           server_version=server_version)
         self.spark = self.session.spark
         self.prepared: dict[str, _Prepared] = {}
         self.portals: dict[str, _Prepared] = {}
@@ -435,6 +443,15 @@ class _Conn:
         self._result_rows: dict[str, int] = (
             server._result_rows if server is not None else {}
         )
+        # statement text -> (source df, df.limit(max+1)) for the capped
+        # collect fast-path: building the limited Dataset per execution
+        # would re-run analysis+optimization of the whole query (~200 ms at
+        # sf0.1 — measured as a 1.1 -> 4.3 s wire regression); memoizing it
+        # keeps the resident-plan reuse the fast path exists for. The `is`
+        # identity check on the source df invalidates the memo whenever the
+        # session serves a fresh Dataset (DML/DDL plan invalidation,
+        # reexecute mode), so the limited plan can never outlive its source.
+        self._limited_plans: dict[str, tuple] = {}
 
     # ---------------------------------------------------------------- frames
     def _recv_exact(self, n: int) -> bytes:
@@ -635,15 +652,51 @@ class _Conn:
         statement's observed row count is known to be small it is served by
         one collect job. Row counts re-record on every completion, so a
         statement whose result grows past the bound falls back to streaming
-        on its next run."""
+        on its next run.
+
+        The collect is CAPPED: the hint can be stale (the table grew via a
+        bulk COPY/INSERT since the count was recorded, or another session's
+        same-text statement saw different data), and an uncapped
+        ``df.collect()`` on a grown result would materialize it all on the
+        driver — at scale a driver OOM that takes the whole server down, not
+        a slow fetch. ``LIMIT max_rows+1`` bounds what the driver can ever
+        hold; on overflow the fetch falls back to the streaming iterator
+        (full result, O(partition) driver memory) and the re-recorded count
+        keeps it streaming from then on. A limit >= the true row count
+        returns every row in the plan's partition order — the same sequence
+        ``collect()`` yields — so the served bytes are identical."""
         n = self._result_rows.get(sql)
         if n is not None and n <= _WIRE_COLLECT_MAX_ROWS:
-            return iter(df.collect())
+            cached = self._limited_plans.get(sql)
+            if cached is not None and cached[0] is df:
+                limited = cached[1]
+            else:
+                limited = df.limit(_WIRE_COLLECT_MAX_ROWS + 1)
+                if sql not in self._limited_plans and len(self._limited_plans) >= 256:
+                    try:
+                        self._limited_plans.pop(
+                            next(iter(self._limited_plans)), None)
+                    except (StopIteration, RuntimeError):
+                        pass
+                self._limited_plans[sql] = (df, limited)
+            probe = limited.collect()
+            if len(probe) <= _WIRE_COLLECT_MAX_ROWS:
+                return iter(probe)
+            # Stale hint: the result outgrew the bound. Drop the capped
+            # probe and stream the full result instead — the driver never
+            # holds more than max_rows+1 rows of it at once.
+            del probe
         return self._row_stream(df)
 
     def _note_result_rows(self, sql: str, n: int) -> None:
         if sql not in self._result_rows and len(self._result_rows) >= 1024:
-            self._result_rows.pop(next(iter(self._result_rows)))
+            # pop(key, None): two connection threads can race to the same
+            # first key; the default makes the loser a no-op instead of a
+            # KeyError mid-query (the dict mutates between next() and pop()).
+            try:
+                self._result_rows.pop(next(iter(self._result_rows)), None)
+            except (StopIteration, RuntimeError):
+                pass  # dict emptied/resized under us — nothing to evict
         self._result_rows[sql] = n
 
     # --------------------------------------------------------------- startup
@@ -1444,14 +1497,77 @@ class WireServer:
         # Server-wide last-observed result-row counts (see
         # _Conn._row_stream_for): the count is a fetch-STRATEGY hint, not a
         # result cache, so sharing it across connections is safe — a stale
-        # entry at worst picks collect for a result that since grew past the
-        # bound (one oversized-but-correct fetch, then the re-recorded count
-        # restores streaming). Without sharing, every FRESH connection pays
+        # entry at worst picks the CAPPED collect (LIMIT max_rows+1) for a
+        # result that since grew past the bound; the probe overflows, the
+        # fetch falls back to streaming, and the re-recorded count keeps it
+        # there. Without sharing, every FRESH connection pays
         # the per-partition toLocalIterator job overhead (~175 ms/stmt) for
         # statements the server has served hundreds of times. Plain dict:
         # get/set are GIL-atomic; the FIFO eviction race can at worst evict
         # one extra hint.
         self._result_rows: dict[str, int] = {}
+        # Pre-forked session pool (r10): building a per-connection PgSession
+        # fork costs ~0.2 s of GIL-serialized py4j (newSession + profile-conf
+        # copy + global-view bridging) on the handshake critical path — the
+        # dominant term of multi-client connect bursts after r9. A small
+        # background-filled pool of ready forks absorbs it. Entries are
+        # tagged with the fork-state epoch (bemidb_spark.session.fork_epoch:
+        # bumped when the published view set or session profile changes), so
+        # a stale pre-build is discarded, never served. The pool holds only
+        # UNUSED sessions — nothing about any statement or result is reused.
+        self._session_pool: list[tuple[int, PgSession]] = []
+        self._pool_lock = threading.Lock()
+        self._pool_target = int(
+            os.environ.get("SPARK_GRAFT_WIRE_SESSION_POOL", "8"))
+        self._pool_filling = False
+
+    # ------------------------------------------------------- session pool
+    def take_session(self) -> "PgSession | None":
+        """A ready pre-forked session, or None (caller builds inline)."""
+        from bemidb_spark.session import fork_epoch
+
+        epoch = fork_epoch()
+        out = None
+        with self._pool_lock:
+            while self._session_pool:
+                e, s = self._session_pool.pop()
+                if e == epoch:
+                    out = s
+                    break
+                # stale epoch: state the fork snapshotted changed since the
+                # pre-build — drop it (and everything older below it)
+        self._ensure_pool_fill()
+        return out
+
+    def _ensure_pool_fill(self) -> None:
+        if self._pool_target <= 0 or self._stopping:
+            return
+        with self._pool_lock:
+            if self._pool_filling or len(self._session_pool) >= self._pool_target:
+                return
+            self._pool_filling = True
+        threading.Thread(target=self._fill_pool, daemon=True).start()
+
+    def _fill_pool(self) -> None:
+        from bemidb_spark.session import fork_epoch
+
+        try:
+            while not self._stopping:
+                with self._pool_lock:
+                    if len(self._session_pool) >= self._pool_target:
+                        return
+                epoch = fork_epoch()
+                s = PgSession(self.spark, self.catalog, isolate=True,
+                              server_version=self.server_version)
+                if fork_epoch() != epoch:
+                    continue  # state changed mid-build: discard, rebuild
+                with self._pool_lock:
+                    self._session_pool.append((epoch, s))
+        except Exception:  # noqa: BLE001 — pool is best-effort only
+            pass
+        finally:
+            with self._pool_lock:
+                self._pool_filling = False
 
     # ------------------------------------------------------ cancel registry
     def register_backend(self, conn: "_Conn") -> tuple[int, int]:
@@ -1484,6 +1600,7 @@ class WireServer:
     def start(self) -> None:
         self._accept_thread = threading.Thread(target=self._accept_loop, daemon=True)
         self._accept_thread.start()
+        self._ensure_pool_fill()  # pre-fork ahead of the first connections
 
     def _accept_loop(self) -> None:
         while not self._stopping:
@@ -1529,4 +1646,6 @@ class WireServer:
 
     def stop(self) -> None:
         self._stopping = True
+        with self._pool_lock:
+            self._session_pool.clear()
         self._listener.close()

@@ -62,6 +62,13 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.ansi.enabled", "false")
+        # size(NULL) = -1 (the non-ANSI legacy): the dedup/text OUTER-explode
+        # rewrites rely on `shingles()` yielding >= 1 element even for NULL
+        # text, which holds only under these semantics — under ANSI (or
+        # legacy.sizeOfNull=false) shingles(NULL) is NULL and OUTER explode
+        # would emit a NULL-shingle row the inner form dropped (ADVICE r9).
+        # Pinned explicitly so a config drift can't silently flip it.
+        .config("spark.sql.legacy.sizeOfNull", "true")
         # 32-thread local JVM: an 8g heap GC-thrashes once a few hundred
         # plans/codegen classes accumulate (cold-statement passes drifted
         # 20→60 s at SF0.1); 24g holds the working set steady (~9-14 s).
@@ -91,6 +98,15 @@ def build_session(
         # (direct appends, streaming staging) unless missing ids fall back
         # to by-name resolution. ignoreMissing is that fallback.
         .config("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
+        # LIMIT/take execution: the default incremental protocol starts at 1
+        # partition and scales up 4x per extra job; the wire fast-path's
+        # capped collect (LIMIT max_rows+1 over a known-small result) would
+        # pay 2-3 job schedulings per statement instead of one. Scanning up
+        # to a core-count of partitions in the FIRST take job serves every
+        # local result in one job, while keeping the driver's transient
+        # bound at O(cpus x limit) rows for oversized probes. Env-derived
+        # like every width knob — never pinned to the local 32.
+        .config("spark.sql.limit.initialNumPartitions", str(cpus))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
         .config("spark.ui.enabled", "false")
@@ -164,6 +180,22 @@ PROFILE_CONF_KEYS = (
 )
 
 
+# Fork-state epoch: bumped whenever state a pre-forked wire session snapshots
+# at build time changes (the session profile here; published global temp views
+# in tables.register_views). WireServer's session pool tags each pre-built
+# fork with the epoch it was built under and discards stale entries at
+# checkout, so pooling can never serve a session built against old state.
+_FORK_EPOCH = [0]
+
+
+def fork_epoch() -> int:
+    return _FORK_EPOCH[0]
+
+
+def bump_fork_epoch() -> None:
+    _FORK_EPOCH[0] += 1
+
+
 def apply_input_size_policy(spark: SparkSession, paths: list[str]) -> bool:
     """Size-aware execution policy: adapt session knobs to the bound dataset.
 
@@ -225,8 +257,19 @@ def apply_input_size_policy(spark: SparkSession, paths: list[str]) -> bool:
     # Structural drift-guard: the profile must touch exactly the confs that
     # PgSession copies into per-connection forks (PROFILE_CONF_KEYS).
     assert set(profile) == set(PROFILE_CONF_KEYS)
+    changed = False
     for k, v in profile.items():
+        try:
+            if spark.conf.get(k) != v:
+                changed = True
+        except Exception:  # noqa: BLE001 — conf unset counts as a change
+            changed = True
         spark.conf.set(k, v)
+    if changed:
+        # pre-forked wire sessions snapshot the profile at build time —
+        # invalidate them when the profile actually flips (rare: only when a
+        # session rebinds across the small/scale input boundary)
+        bump_fork_epoch()
     return small
 
 

@@ -89,4 +89,14 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[st
         # session-local SET semantics) bridge these into their own view
         # namespace at startup.
         df.createOrReplaceGlobalTempView(name)
+    if _LAST_REGISTER[0] != (id(spark), sf_dir):
+        # the published global-view set changed: pre-forked wire sessions
+        # bridged the OLD set at build time — invalidate the pool
+        _LAST_REGISTER[0] = (id(spark), sf_dir)
+        from bemidb_spark.session import bump_fork_epoch
+
+        bump_fork_epoch()
     return dfs
+
+
+_LAST_REGISTER: list = [None]
