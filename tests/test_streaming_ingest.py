@@ -596,3 +596,24 @@ def test_streaming_kmv_estimate_accuracy(spark):
     assert set(est) == set(true)
     for et, n in true.items():
         assert abs(est[et] - n) <= 0.4 * n, (et, est[et], n)
+
+
+def test_stream_shuffle_width_policy(spark, monkeypatch):
+    """State-store width for bounded streaming runs (windows._stream_shuffle_width):
+    env override wins; the small-input profile (AQE off) gets the probed
+    constant; at scale the session's own shuffle parallelism holds."""
+    from bemidb_spark.streaming.windows import _stream_shuffle_width
+
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "13")
+        assert _stream_shuffle_width(spark) == "13"
+        monkeypatch.delenv("SPARK_GRAFT_STREAM_SHUFFLE")
+        spark.conf.set(key, "false")  # small-input profile marker
+        assert _stream_shuffle_width(spark) == "2"
+        spark.conf.set(key, "true")   # scale profile: inherit the session
+        assert _stream_shuffle_width(spark) == spark.conf.get(
+            "spark.sql.shuffle.partitions")
+    finally:
+        spark.conf.set(key, prev)

@@ -71,7 +71,7 @@ def main() -> None:
     timed("entry_cold_then_warm", entry, max(REPS, 3))
     timed("trivial_stream", trivial)
     timed("batch_equivalent", batch)
-    for shuf in ("1", "8", "32"):
+    for shuf in ("1", "2", "4", "8", "32"):
         os.environ["SPARK_GRAFT_STREAM_SHUFFLE"] = shuf
         timed(f"entry_shuffle_{shuf}", entry)
     os.environ.pop("SPARK_GRAFT_STREAM_SHUFFLE", None)
