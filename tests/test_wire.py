@@ -1171,7 +1171,9 @@ def test_adaptive_row_stream_switches_to_collect(spark):
 
     second = _Conn._row_stream_for(conn, sql, df)
     assert isinstance(second, type(iter([])))  # collect path: list iterator
-    assert [r.n for r in second] == rows_first
+    # collect fast-path rows may be plain tuples (Arrow transport) — the
+    # server only ever consumes them positionally, so the test does too
+    assert [r[0] for r in second] == rows_first
 
     _Conn._note_result_rows(conn, sql, wire_mod._WIRE_COLLECT_MAX_ROWS + 1)
     third = _Conn._row_stream_for(conn, sql, df)
@@ -1221,7 +1223,7 @@ def test_stale_small_hint_never_materializes_grown_result(spark, monkeypatch):
     _Conn._note_result_rows(conn, "small", 4)
     fast = _Conn._row_stream_for(conn, "small", small)
     assert isinstance(fast, type(iter([])))
-    assert [r.n for r in fast] == [0, 1, 2, 3]
+    assert [r[0] for r in fast] == [0, 1, 2, 3]
 
 
 def test_result_rows_memo_shared_across_connections(server):
@@ -1251,3 +1253,70 @@ def test_result_rows_memo_shared_across_connections(server):
         assert r2["rows"] == r1["rows"]
     finally:
         c2.close()
+
+
+def test_arrow_fetch_bytes_identical_to_collect(spark):
+    """The Arrow transport for the known-small collect fast-path (r10) must
+    produce BYTE-IDENTICAL DataRow frames to the pickled-Row collect() path,
+    in both text and binary result formats — float repr, timestamp zone
+    handling and nested arrays are exactly where coercion could diverge.
+    Schemas outside the proven-identical set (struct here) must decline the
+    Arrow path and fall back to collect."""
+    import bemidb_spark.server.wire as wire_mod
+    from bemidb_spark.server.wire import (
+        _Conn,
+        _arrow_fetch_rows,
+        _arrow_safe_schema,
+    )
+
+    class _Cap:
+        def __init__(self):
+            self.buf = bytearray()
+
+        def sendall(self, b):
+            self.buf += b
+
+    def frames(df, rows, fmt):
+        conn = _Conn.__new__(_Conn)
+        conn.sock = _Cap()
+        conn._send_rows(df, rows, formats=[fmt] * len(df.schema.fields))
+        return bytes(conn.sock.buf)
+
+    df = spark.sql("""
+        SELECT CAST(id AS TINYINT) i8, CAST(id AS SMALLINT) i16,
+               CAST(id AS INT) i32, id i64,
+               CAST(id * 0.1 AS FLOAT) f32, id * 0.123456789 f64,
+               CAST(id * 1.01 AS DECIMAL(12,4)) dec,
+               CONCAT('s,"{}\\\\', id) s, id % 2 = 0 b,
+               CAST(CONCAT('b', id) AS BINARY) bin,
+               DATE_ADD(DATE'2024-01-31', CAST(id AS INT)) d,
+               TIMESTAMP'2024-06-30 23:59:59.999999' + make_interval(0,0,0,0,0,0,id) ts,
+               TIMESTAMP_NTZ'2024-06-30 23:59:59.999999' ntz,
+               ARRAY(id, NULL, id + 1) arr,
+               ARRAY(TIMESTAMP'2024-01-02 03:04:05') tsarr,
+               INTERVAL '1 02:03:04.5' DAY TO SECOND iv,
+               NULL nul
+        FROM range(7)
+    """)
+    limited = df.limit(100)
+    via_arrow = _arrow_fetch_rows(limited)
+    assert via_arrow is not None, "battery schema must take the Arrow path"
+    via_collect = limited.collect()
+    assert len(via_arrow) == 7
+    for fmt in (0, 1):
+        assert frames(df, via_arrow, fmt) == frames(df, via_collect, fmt)
+
+    # struct declines (collect() yields Row objects whose str() differs)
+    df_struct = spark.sql("SELECT named_struct('a', 1, 'b', 'x') st")
+    assert not _arrow_safe_schema(df_struct.schema)
+    assert _arrow_fetch_rows(df_struct.limit(10)) is None
+
+    # the adaptive fetch integrates the Arrow rows: known-small statement is
+    # served as a list iterator with the same values
+    conn = _Conn.__new__(_Conn)
+    conn._result_rows = {}
+    conn._limited_plans = {}
+    _Conn._note_result_rows(conn, "battery", 7)
+    served = _Conn._row_stream_for(conn, "battery", df)
+    assert isinstance(served, type(iter([])))
+    assert [tuple(r) for r in served] == [tuple(r) for r in via_collect]
