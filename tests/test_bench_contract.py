@@ -30,9 +30,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def test_bench_stdout_is_one_json_line_with_contract_fields():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001")
+    # 1800 s: the bench itself runs ~3-6 min at sf0.001 on a quiet host, but
+    # the sandbox shares hardware — a co-tenant steal window stretched one
+    # full-suite run past the old 900 s bound (r10 inherited-state triage:
+    # same tree re-ran green at 707 s in isolation, prepare phase alone hit
+    # 74 s under 10% steal). The timeout bounds a genuine hang, not host
+    # noise, so give it the headroom noise needs.
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+        capture_output=True, text=True, timeout=1800, env=env, cwd=REPO,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
