@@ -914,4 +914,71 @@ def _power_iter_sql(spark: bool) -> str:
     """
 
 
-_register("embedding_top_component", _power_iter_sql(True), _power_iter_sql(False))
+def _power_iter_spark_sql() -> str:
+    """Array-fold form of ``_power_iter_sql(True)`` — same math, ~64x smaller
+    expression tree (r10, guide §1.2 "per-task work" applied to the DRIVER:
+    the unrolled form repeated 64-term dot/norm chains per output column, a
+    253 KB formatted plan whose Catalyst analysis + codegen dominated the
+    entry — 1.5-1.9 s construct+analyze and 2.5-4.3 s first execution at
+    sf0.01, data work being milliseconds; tools/probe_r10_decomp.json).
+
+    Bit-identity argument (the DuckDB oracle keeps the unrolled text, so
+    every gate run re-proves it):
+    - each per-row BIGINT summand ``FLOOR(x_d * dot * 2^25)`` is unchanged —
+      ``dot`` as a fold ``((0.0+t0)+t1)+...`` equals the unrolled left chain
+      ``(t0+t1)+...`` for every IEEE double (0.0+t == t except -0.0 -> +0.0,
+      and a ±0.0 dot yields the same FLOOR->BIGINT 0 either way);
+    - the BIGINT sums are order-independent integer math (same values, any
+      grouping), and every output double (loadings, eigenvalue) is the same
+      straight-line arithmetic over those integers — norm/eig folds start at
+      +0.0 and add squares (never -0.0), so they equal the unrolled chains
+      bit-for-bit.
+    ``slice(..., 1, 64)`` pins the 64-dim prefix the unrolled form read, so
+    an over-long vector cannot change ``dot`` through zip_with padding.
+    """
+    hint = f"/*+ REPARTITION({_RP}) */ "
+    emb64 = f"slice(e.embedding, 1, {EMB_DIM})"
+    dot1 = (f"aggregate({emb64}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE))")
+    dot2 = (f"aggregate(zip_with({emb64}, v.varr, "
+            "(x, vv) -> CAST(x AS DOUBLE) * vv), CAST(0.0 AS DOUBLE), "
+            "(acc, y) -> acc + y)")
+    terms = (f"transform(slice(e.embedding, 1, {EMB_DIM}), "
+             f"x -> CAST(FLOOR(CAST(x AS DOUBLE) * e.dot * {PI_SCALE}) "
+             "AS BIGINT))")
+    sums = ", ".join(
+        f"CAST(SUM(t.terms[{d}]) AS DOUBLE) / {PI_SCALE} AS w{d}"
+        for d in range(EMB_DIM))
+    warr = "array(" + ", ".join(f"w{d}" for d in range(EMB_DIM)) + ")"
+    norm = "sqrt(aggregate(warr, CAST(0.0 AS DOUBLE), (acc, w) -> acc + w * w))"
+    return f"""
+    WITH d1 AS (
+      SELECT {hint}e.embedding, ({dot1}) AS dot FROM embeddings e
+    ),
+    t1 AS (SELECT {terms} AS terms FROM d1 e),
+    w1 AS (SELECT {sums} FROM t1 t),
+    v1 AS (
+      SELECT transform(warr, w -> w / nrm) AS varr
+      FROM (SELECT warr, {norm} AS nrm
+            FROM (SELECT {warr} AS warr FROM w1))
+    ),
+    d2 AS (
+      SELECT {hint}e.embedding, ({dot2}) AS dot
+      FROM embeddings e CROSS JOIN v1 v
+    ),
+    t2 AS (SELECT {terms} AS terms FROM d2 e),
+    w2 AS (SELECT {sums} FROM t2 t),
+    v2e AS (
+      SELECT transform(warr, w -> w / nrm) AS varr, nrm AS eig
+      FROM (SELECT warr, {norm} AS nrm
+            FROM (SELECT {warr} AS warr FROM w2))
+    )
+    SELECT d AS dim, element_at(a.varr, d + 1) AS loading_it1,
+           element_at(b.varr, d + 1) AS loading_it2, b.eig AS eigenvalue
+    FROM v1 a CROSS JOIN v2e b
+    LATERAL VIEW explode(sequence(0, {EMB_DIM - 1})) t AS d
+    ORDER BY dim
+    """
+
+
+_register("embedding_top_component", _power_iter_spark_sql(), _power_iter_sql(False))

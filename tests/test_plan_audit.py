@@ -75,6 +75,27 @@ def test_scan_count_bounded(spark, sf_dir, name):
     )
 
 
+def test_power_iteration_plan_stays_folded(spark, sf_dir):
+    """embedding_top_component's Spark side is the array-fold form (r10):
+    the 64-dim unrolled original produced a 253 KB formatted plan whose
+    Catalyst analysis + codegen dominated the entry (~4 s at sf0.01 for
+    milliseconds of data work — tools/probe_r10_decomp.json). Pin the plan
+    size so an edit can't silently reintroduce per-column 64-term chains;
+    results are oracle-pinned (the DuckDB side keeps the unrolled text)."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["embedding_top_component"](spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert len(formatted) < 80_000, (
+        f"embedding_top_component plan is {len(formatted)} chars — the "
+        "unrolled expression tree is back (fold form plans at ~23 KB)"
+    )
+
+
 def test_merge_pruned_slice_partition_prunes(spark, tmp_path):
     """The bucket-pruned MERGE's target read must carry the _kb partition
     filter so only affected bucket DIRECTORIES are scanned (read-side twin
