@@ -496,6 +496,16 @@ _SESSION_KEYS: dict[int, tuple] = {}
 # tables) are already registered: on a catalog-version bump only the
 # inventory-derived views need rebuilding — the static set is identical.
 _STATIC_DONE: set[int] = set()
+# id(session) -> (id(catalog), version) last BOUND into the session's view
+# namespace. Binding (bind_catalog_tables: table locations -> temp views)
+# must track catalog identity/version — two catalogs with identical
+# inventories still point at different data. The emulation VIEWS above it do
+# not: they derive purely from (inventory, matview/view definitions), so
+# their memo (_SESSION_KEYS/_PLAN_CACHE) is keyed on that content alone
+# (r10: every fresh scratch catalog and every same-shape DML version bump
+# was a spurious ~0.3-0.4 s re-capture of the dynamic views under the old
+# identity+version key).
+_SESSION_BOUND: dict[int, tuple] = {}
 
 
 def forget_session(spark: SparkSession) -> None:
@@ -508,18 +518,39 @@ def forget_session(spark: SparkSession) -> None:
     sid = id(spark)
     _SESSION_KEYS.pop(sid, None)
     _STATIC_DONE.discard(sid)
+    _SESSION_BOUND.pop(sid, None)
+
+
+def _catalog_view_state(catalog: Catalog | None) -> tuple:
+    """Everything beyond the table inventory that the dynamic emulation
+    views read: matview/view definitions (pg_matviews, pg_views,
+    information_schema_views render them). repr of the whole entry is
+    deliberately conservative — any entry change rebuilds, which is always
+    safe and matches the old version-keyed behavior's rebuild frequency."""
+    if catalog is None:
+        return ((), ())
+    try:
+        return (
+            tuple(sorted((k, repr(e)) for k, e in catalog.matviews().items())),
+            tuple(sorted((k, repr(e)) for k, e in catalog.views().items())),
+        )
+    except Exception:  # noqa: BLE001 — unreadable catalog: never memo-hit
+        return (("unreadable", id(catalog)),)
 
 
 def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> None:
     """(Re)build every emulation view from current catalog + session state."""
     sid = id(spark)
+    bind_key = (id(catalog), catalog.version() if catalog is not None else -1)
+    if _SESSION_BOUND.get(sid) != bind_key:
+        bind_catalog_tables(spark, catalog)
+        _SESSION_BOUND[sid] = bind_key
+    # inventory computed post-bind: bind drops stale views for tables that
+    # left the catalog, which a pre-bind inventory would still list
+    inventory = _table_inventory(spark, catalog)
     key = (
-        id(catalog),
-        catalog.version() if catalog is not None else -1,
-        tuple(
-            (s, t, tuple(map(tuple, cols)))
-            for s, t, cols in _table_inventory(spark, catalog)
-        ),
+        tuple((s, t, tuple(map(tuple, cols))) for s, t, cols in inventory),
+        _catalog_view_state(catalog),
     )
     if _SESSION_KEYS.get(sid) == key:
         try:
@@ -530,15 +561,6 @@ def register_pg_catalog(spark: SparkSession, catalog: Catalog | None = None) -> 
         _SESSION_KEYS.pop(sid, None)
         _STATIC_DONE.discard(sid)
     _SESSION_KEYS.pop(sid, None)
-    bind_catalog_tables(spark, catalog)
-    # recompute post-bind: bind drops stale views for tables that left the
-    # catalog, which the pre-bind inventory would still list
-    inventory = _table_inventory(spark, catalog)
-    key = (
-        id(catalog),
-        catalog.version() if catalog is not None else -1,
-        tuple((s, t, tuple(map(tuple, cols))) for s, t, cols in inventory),
-    )
     snapshot = _PLAN_CACHE[0]
     if snapshot is not None and snapshot[0] == key:
         try:

@@ -126,6 +126,45 @@ def _bucket_keys(catalog: Catalog, schema: str, table: str) -> list[str] | None:
     return props.get("bucket_keys") or None
 
 
+def _bucket_stats(
+    catalog: Catalog,
+    schema: str,
+    table: str,
+    keys: list[str] | None,
+    current: DataFrame,
+    cond,
+) -> tuple[int, list[int], set[int]] | None:
+    """(matched-row count, affected buckets, fully-emptied buckets) from ONE
+    per-bucket aggregation over the target — or None when the table is not
+    key-bucketed on ``keys``. UPDATE/DELETE previously paid up to three
+    separate actions for the same facts (matched.count(), the writer's
+    affected-bucket distinct, DELETE's surviving-bucket distinct), each a
+    full pass over the target (r10, guide §1.2: remove passes before tuning
+    them). NULL ``cond`` counts as unmatched, exactly like ``filter``."""
+    from bemidb_spark.sources.writer import _bucket_expr, _bucketed_layout
+
+    if not keys:
+        return None
+    n_buckets = _bucketed_layout(catalog, schema, table, keys)
+    if n_buckets is None:
+        return None
+    rows = (
+        current.select(
+            _bucket_expr(keys, n_buckets).alias("_kb"),
+            F.when(cond, 1).otherwise(0).alias("_hit"),
+        )
+        .groupBy("_kb")
+        .agg(F.count(F.lit(1)).alias("_tot"), F.sum("_hit").alias("_hits"))
+        .collect()
+    )
+    n = int(sum(r["_hits"] for r in rows))
+    buckets = sorted(int(r["_kb"]) for r in rows if r["_hits"] > 0)
+    emptied = {
+        int(r["_kb"]) for r in rows if r["_hits"] > 0 and r["_hits"] == r["_tot"]
+    }
+    return n, buckets, emptied
+
+
 def _read_target(
     spark: SparkSession, catalog: Catalog, schema: str, table: str
 ) -> DataFrame:
@@ -481,6 +520,30 @@ def _joined_scope(
         spark.catalog.dropTempView(view)
 
 
+def _count_and_buckets(
+    catalog: Catalog,
+    schema: str,
+    table: str,
+    keys: list[str] | None,
+    rows: DataFrame,
+) -> tuple[int, list[int] | None]:
+    """(row count, affected buckets) from ONE aggregation job when the
+    target is key-bucketed, else (count, None). The join-form UPDATE/DELETE
+    routes re-execute their join for every separate action, so fusing the
+    count with the writer's affected-bucket derivation drops one full join
+    execution per statement (r10, guide §1.2)."""
+    from bemidb_spark.sources.writer import _bucket_expr, _bucketed_layout
+
+    n_buckets = _bucketed_layout(catalog, schema, table, keys) if keys else None
+    if n_buckets is None:
+        return rows.count(), None
+    per = (
+        rows.select(_bucket_expr(keys, n_buckets).alias("_kb"))
+        .groupBy("_kb").agg(F.count(F.lit(1)).alias("_c")).collect()
+    )
+    return int(sum(r["_c"] for r in per)), sorted(int(r["_kb"]) for r in per)
+
+
 def _update_from(
     spark: SparkSession, catalog: Catalog, m: re.Match, returning: str | None
 ) -> tuple[str, int, DataFrame | None]:
@@ -530,7 +593,6 @@ def _update_from(
     grouped = joined.groupBy(*tcols).agg(
         *[F.first(f"__set_{i}").alias(f"__set_{i}") for i in set_map.values()]
     )
-    n = grouped.count()
     updated = grouped.select(
         *[
             (F.col(f"__set_{set_map[c]}") if c in set_map else F.col(c))
@@ -538,12 +600,14 @@ def _update_from(
             for c in tcols
         ]
     )
+    keys = _bucket_keys(catalog, schema, table)
+    n, buckets = _count_and_buckets(catalog, schema, table, keys, updated)
     ret = _project_returning(spark, updated, returning)
     if n == 0:
         return "UPDATE", 0, ret
-    keys = _bucket_keys(catalog, schema, table)
     if keys and not any(k in set_map for k in keys):
-        upsert_by_key(spark, catalog, schema, table, updated, keys)
+        upsert_by_key(spark, catalog, schema, table, updated, keys,
+                      buckets=buckets)
     else:
         kept = _null_safe_anti(current, grouped.select(*tcols))
         replace_table(catalog, schema, table, kept.unionByName(updated))
@@ -561,13 +625,14 @@ def _delete_using(
         spark, catalog, current, schema, table, tname,
         f"DISTINCT {tname}.*", m.group(3), m.group(4),
     )
-    n = matched.count()
+    keys = _bucket_keys(catalog, schema, table)
+    n, buckets = _count_and_buckets(catalog, schema, table, keys, matched)
     ret = _project_returning(spark, matched, returning)
     if n == 0:
         return "DELETE", 0, ret
-    keys = _bucket_keys(catalog, schema, table)
     if keys:
-        delete_by_key(spark, catalog, schema, table, matched.select(*keys), keys)
+        delete_by_key(spark, catalog, schema, table, matched.select(*keys),
+                      keys, buckets=buckets)
     else:
         replace_table(catalog, schema, table, _null_safe_anti(current, matched))
     return "DELETE", n, ret
@@ -1135,6 +1200,20 @@ def handle_dml(
         cond = F.expr(transpile(m.group(2)))
         keys = _bucket_keys(catalog, schema, table)
         matched = current.filter(cond)
+        stats = _bucket_stats(catalog, schema, table, keys, current, cond)
+        if stats is not None:
+            # bucketed target: ONE per-bucket aggregation yields the deleted
+            # row count, the affected buckets, and the fully-emptied subset
+            # that delete_by_key would otherwise derive with three separate
+            # jobs (count + distinct-buckets + surviving-buckets; r10
+            # guide §1.2 "remove passes")
+            n, buckets, emptied = stats
+            ret = _project_returning(spark, matched, returning)
+            if n == 0:
+                return "DELETE", 0, ret
+            delete_by_key(spark, catalog, schema, table, matched.select(*keys),
+                          keys, buckets=buckets, emptied_buckets=emptied)
+            return "DELETE", n, ret
         n = matched.count()
         ret = _project_returning(spark, matched, returning)
         if n == 0:
@@ -1171,7 +1250,6 @@ def handle_dml(
         set_map[col] = transpile(sm.group(2).strip())
     cond = F.expr(transpile(m.group(3))) if m.group(3) else F.lit(True)
     matched = current.filter(cond)
-    n = matched.count()
     updated = matched.select(
         *[
             F.expr(set_map[c]).cast(fields[c].dataType).alias(c)
@@ -1180,10 +1258,24 @@ def handle_dml(
             for c in fields
         ]
     )
+    keys = _bucket_keys(catalog, schema, table)
+    if keys and not any(k in set_map for k in keys):
+        stats = _bucket_stats(catalog, schema, table, keys, current, cond)
+        if stats is not None:
+            # one aggregation job yields both the matched-row count and the
+            # affected buckets (keys are not SET, so matched rows keep their
+            # bucket) instead of a count job + upsert_by_key's distinct job
+            n, buckets, _emptied = stats
+            ret = _project_returning(spark, updated, returning)
+            if n == 0:
+                return "UPDATE", 0, ret
+            upsert_by_key(spark, catalog, schema, table, updated, keys,
+                          buckets=buckets)
+            return "UPDATE", n, ret
+    n = matched.count()
     ret = _project_returning(spark, updated, returning)
     if n == 0:
         return "UPDATE", 0, ret
-    keys = _bucket_keys(catalog, schema, table)
     if keys and not any(k in set_map for k in keys):
         upsert_by_key(spark, catalog, schema, table, updated, keys)
     else:

@@ -356,6 +356,7 @@ def upsert_by_key(
     table: str,
     updates: DataFrame,
     key_cols: list[str],
+    buckets: list[int] | None = None,
 ) -> str:
     """MERGE: matched rows replaced by updates, unmatched inserted.
 
@@ -364,6 +365,10 @@ def upsert_by_key(
     are untouched bytes — mirroring the reference's key-overlapping-file
     rewrite (iceberg_table_writer.go:304-378). Falls back to a full
     rewrite-and-swap for unbucketed tables.
+
+    ``buckets``: the affected-bucket list when the caller already computed
+    it (e.g. fused with its row count in one aggregation job — the DML
+    routes do); None derives it here with one extra pass over ``updates``.
     """
     n_buckets = _bucketed_layout(catalog, schema, table, key_cols)
     if n_buckets is None:
@@ -372,7 +377,8 @@ def upsert_by_key(
         merged = kept.unionByName(updates)
         return replace_table(catalog, schema, table, merged)
     loc = catalog.location(schema, table)
-    buckets = _affected_buckets(updates, key_cols, n_buckets)
+    if buckets is None:
+        buckets = _affected_buckets(updates, key_cols, n_buckets)
     current = spark.read.parquet(loc).filter(F.col(BUCKET_COL).isin(buckets))
     kept = current.drop(BUCKET_COL).join(
         updates.select(*key_cols), on=key_cols, how="left_anti"
@@ -397,15 +403,24 @@ def delete_by_key(
     table: str,
     keys: DataFrame,
     key_cols: list[str],
+    buckets: list[int] | None = None,
+    emptied_buckets: set[int] | None = None,
 ) -> str:
-    """MERGE ... WHEN MATCHED THEN DELETE (partition-pruned when bucketed)."""
+    """MERGE ... WHEN MATCHED THEN DELETE (partition-pruned when bucketed).
+
+    ``buckets`` / ``emptied_buckets``: affected buckets and the subset whose
+    rows ALL die, when the caller already knows them (the DML routes fuse
+    both with the deleted-row count in one per-bucket aggregation); None
+    derives them here with two extra passes (one over ``keys``, one over
+    the surviving rows)."""
     n_buckets = _bucketed_layout(catalog, schema, table, key_cols)
     if n_buckets is None:
         current = read_table(spark, catalog, schema, table)
         remaining = current.join(keys.select(*key_cols), on=key_cols, how="left_anti")
         return replace_table(catalog, schema, table, remaining)
     loc = catalog.location(schema, table)
-    buckets = _affected_buckets(keys, key_cols, n_buckets)
+    if buckets is None:
+        buckets = _affected_buckets(keys, key_cols, n_buckets)
     all_rows = spark.read.parquet(loc)
     row_schema = all_rows.drop(BUCKET_COL).schema
     current = all_rows.filter(F.col(BUCKET_COL).isin(buckets))
@@ -414,7 +429,12 @@ def delete_by_key(
             keys.select(*key_cols), on=key_cols, how="left_anti"
         )
     ).withColumn(BUCKET_COL, _bucket_expr(key_cols, n_buckets))
-    remaining_buckets = {r[0] for r in remaining.select(BUCKET_COL).distinct().collect()}
+    if emptied_buckets is None:
+        remaining_buckets = {
+            r[0] for r in remaining.select(BUCKET_COL).distinct().collect()
+        }
+    else:
+        remaining_buckets = set(buckets) - emptied_buckets
     remaining.write.mode("overwrite") \
         .option("partitionOverwriteMode", "dynamic") \
         .partitionBy(BUCKET_COL).parquet(loc)

@@ -807,3 +807,55 @@ def test_merge_disjunctive_on_executes_unpruned(spark, cat):
     assert df._pg_tag == "MERGE 2"
     got = {r.k: r.n for r in read_table(spark, cat, "public", "mor").collect()}
     assert got == {1: 11, 2: 21, 3: 30}
+
+
+def test_bucket_stats_matches_brute_force(spark, cat):
+    """The fused per-bucket aggregation (dml._bucket_stats: matched count +
+    affected buckets + fully-emptied buckets in ONE job, r10) must agree
+    with the three separate derivations it replaced, including the
+    bucket-fully-emptied and nothing-matched edges."""
+    from pyspark.sql import functions as F
+
+    from bemidb_spark.pgcompat.dml import _bucket_stats
+    from bemidb_spark.sources.writer import (
+        _affected_buckets,
+        _bucket_expr,
+        read_table,
+    )
+
+    rows = [(i, "even" if i % 2 == 0 else "odd") for i in range(40)]
+    write_bucketed_table(
+        spark, cat, "public", "bs", spark.createDataFrame(
+            rows, "k bigint, tag string"), ["k"], n_buckets=4)
+    current = read_table(spark, cat, "public", "bs")
+
+    for cond_sql in ("k % 2 = 0",      # partial hits in every bucket
+                     "tag = 'odd'",    # ditto, via the non-key column
+                     "k >= 0",         # everything dies: all buckets emptied
+                     "k < 0"):         # nothing matches
+        cond = F.expr(cond_sql)
+        stats = _bucket_stats(cat, "public", "bs", ["k"], current, cond)
+        assert stats is not None
+        n, buckets, emptied = stats
+        matched = current.filter(cond)
+        assert n == matched.count(), cond_sql
+        assert buckets == _affected_buckets(matched, ["k"], 4), cond_sql
+        per_bucket_all = {
+            r["_kb"]: r["c"]
+            for r in current.select(_bucket_expr(["k"], 4).alias("_kb"))
+            .groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        per_bucket_hit = {
+            r["_kb"]: r["c"]
+            for r in matched.select(_bucket_expr(["k"], 4).alias("_kb"))
+            .groupBy("_kb").agg(F.count(F.lit(1)).alias("c")).collect()
+        }
+        want_emptied = {
+            b for b, c in per_bucket_hit.items() if c == per_bucket_all[b]
+        }
+        assert emptied == want_emptied, cond_sql
+    # unbucketed table -> None (callers fall back to the separate actions)
+    replace_table(cat, "public", "flat", spark.createDataFrame(
+        [(1,)], "k bigint"))
+    flat = read_table(spark, cat, "public", "flat")
+    assert _bucket_stats(cat, "public", "flat", ["k"], flat, F.expr("k = 1")) is None
