@@ -62,7 +62,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> str:
+def _run_to_memory(
+    df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    no_data_batches: bool = True,
+) -> str:
     """Run a bounded streaming aggregation into a memory sink; return table name.
 
     The number of state-store partitions binds to spark.sql.shuffle.partitions
@@ -89,6 +94,19 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> s
     # partitioning; every stateful update here is per-key and
     # arrival-order independent).
     spark.conf.set("spark.sql.shuffle.partitions", _stream_shuffle_width(spark))
+    # no_data_batches=False skips the trailing empty micro-batch Spark runs
+    # after the data is drained. That batch exists to advance the watermark
+    # and emit/evict watermark-gated state — callers may disable it ONLY
+    # when their sink output cannot depend on it (e.g. a stream-stream INNER
+    # join: matches emit in the data batch; the no-data batch merely evicts
+    # expired join state, which a bounded run discards at stop() anyway).
+    # Measured: the join entry's no-data batch re-ran the full join plan for
+    # 1.0-1.3 s of its 2.9 s run (r10 probe). Entries whose output the
+    # watermark GATES (append-mode aggregations: late_data_drop) must keep
+    # the default — their final windows emit in exactly that batch.
+    prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    if not no_data_batches:
+        spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         q = (
             df.writeStream.format("memory")
@@ -112,6 +130,8 @@ def _run_to_memory(df: DataFrame, name: str, output_mode: str = "complete") -> s
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb)
     return table
 
 
@@ -308,7 +328,10 @@ def _stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                "AND buy_ts <= click_ts + INTERVAL 10 MINUTES"),
         "inner",
     )
-    table = _run_to_memory(joined, "stream_join", output_mode="append")
+    # inner-join results emit in their data batch; the no-data batch would
+    # only evict expired join state (see _run_to_memory) — skip it
+    table = _run_to_memory(joined, "stream_join", output_mode="append",
+                           no_data_batches=False)
     return spark.sql(f"""
         SELECT user_id, click_id, buy_id,
                CAST(click_ts AS TIMESTAMP_NTZ) AS click_ts,
@@ -380,19 +403,24 @@ def _stage_late_batches(spark: SparkSession, sf_dir: str) -> str:
             f"ts < TIMESTAMP '{LATE_CUTOFF}')")
     split = f"ts < TIMESTAMP '{BATCH_SPLIT}'"
     mid = f"ts < TIMESTAMP '{MID_SPLIT}'"
-    batches = [
-        ev.filter(F.expr(f"NOT {late} AND {split}")),
-        ev.filter(F.expr(f"NOT ({split}) AND {mid}")),
-        ev.filter(F.expr(f"{late} OR NOT ({mid})")),
-    ]
-    for i, b in enumerate(batches):
-        tmp = os.path.join(root, f"_tmp{i}")
-        b.coalesce(1).write.parquet(tmp)
-        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    # one partitioned write instead of three coalesce(1) jobs (r10: the
+    # staging was ~1.2 s of the entry, 3 scans of the source for disjoint
+    # slices one pass can route); repartition(_b) makes each partition
+    # directory exactly one file, which the mtime-ordering below requires
+    batch_no = (f"CASE WHEN {late} OR NOT ({mid}) THEN 2 "
+                f"WHEN {split} THEN 0 ELSE 1 END")
+    tmp = os.path.join(root, "_tmp")
+    (ev.withColumn("_b", F.expr(batch_no)).repartition(1)
+     .write.partitionBy("_b").parquet(tmp))
+    for i in range(3):
+        part_dir = os.path.join(tmp, f"_b={i}")
+        if not os.path.isdir(part_dir):  # empty slice: partitionBy writes
+            ev.limit(0).coalesce(1).write.parquet(part_dir)  # no directory
+        part = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
         dst = os.path.join(root, f"batch{i}.parquet")
-        shutil.move(os.path.join(tmp, part), dst)
-        shutil.rmtree(tmp)
+        shutil.move(os.path.join(part_dir, part), dst)
         os.utime(dst, (1_700_000_000 + i * 1000,) * 2)
+    shutil.rmtree(tmp)
     return root
 
 

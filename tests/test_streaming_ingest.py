@@ -617,3 +617,34 @@ def test_stream_shuffle_width_policy(spark, monkeypatch):
             "spark.sql.shuffle.partitions")
     finally:
         spark.conf.set(key, prev)
+
+
+def test_no_data_batch_skip_is_output_neutral_and_restores_conf(spark):
+    """r10: the stream-stream INNER join entry skips the trailing no-data
+    micro-batch (it only evicts expired join state on a bounded run — the
+    probe measured it re-running the full join plan for ~1.3 s). Pin that
+    (a) the skip produces exactly the rows the default run produces, and
+    (b) _run_to_memory restores the session conf either way."""
+    from bemidb_spark.streaming import windows as W
+
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key)
+    sf_dir = "/root/testdata/sf0.001"
+
+    def join_rows(skip: bool):
+        orig = W._run_to_memory
+
+        def forced(df, name, output_mode="complete", no_data_batches=True):
+            return orig(df, name, output_mode=output_mode,
+                        no_data_batches=not skip)
+
+        W._run_to_memory = forced
+        try:
+            df = W.QUERIES["streaming_click_purchase_join"](spark, sf_dir)
+            rows = sorted(map(tuple, df.collect()))
+        finally:
+            W._run_to_memory = orig
+        assert spark.conf.get(key) == prev  # restored after the run
+        return rows
+
+    assert join_rows(skip=True) == join_rows(skip=False)
