@@ -521,3 +521,42 @@ def test_pg_ivf_orderby_route_probes_and_recall(spark, sf_dir):
     exact = {r.vec_id for r in exact_df.collect()}
     recall = len(approx & exact) / float(_IVF_K)
     assert recall >= 0.6, recall  # ann_recall_at_k floor (monitored 0.68)
+
+
+def test_min_by_assignment_matches_window_form_with_ties(spark):
+    """r10: the Spark side of similarity._assign_select is a min_by
+    aggregate (map-side combinable, no sort); the window form stays in the
+    DuckDB oracle. Pin the argmin equivalence on a crafted corpus that
+    includes EXACT distance ties — the struct(dist, cell) ordering must
+    break them by cell exactly like ROW_NUMBER's ORDER BY dist, cell."""
+    from bemidb_spark.operators import similarity as S
+
+    # v0 equidistant from both centroids (tie -> cell 0); v1/v2 clear picks
+    rows = [(0, [0.0] * S.DIM), (1, [1.0] + [0.0] * (S.DIM - 1)),
+            (2, [-1.0] + [0.0] * (S.DIM - 1))]
+    orig = spark.table("embeddings") if spark.catalog.tableExists("embeddings") else None
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>") \
+        .createOrReplaceTempView("embeddings")
+    try:
+        cents = [(0, [0.5] + [0.0] * (S.DIM - 1)),
+                 (1, [-0.5] + [0.0] * (S.DIM - 1))]
+        spark.createDataFrame(cents, "cell bigint, centroid array<double>") \
+            .createOrReplaceTempView("_tie_cents")
+        got = sorted(map(tuple, spark.sql(
+            S._assign_select("_tie_cents", True)
+        ).selectExpr("vec_id", "cell").collect()))
+        # reference: the window form the oracle runs, executed in Spark
+        dist = S._dist("v.embedding", "ct.centroid", True)
+        want = sorted(map(tuple, spark.sql(f"""
+            SELECT vec_id, cell FROM (
+              SELECT v.vec_id, ct.cell,
+                     ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                        ORDER BY {dist} ASC, ct.cell) AS ark
+              FROM embeddings v CROSS JOIN _tie_cents ct
+            ) WHERE ark = 1""").collect()))
+        assert got == want
+        assert dict(got)[0] == 0  # the tie really broke by cell
+    finally:
+        spark.catalog.dropTempView("_tie_cents")
+        if orig is not None:
+            orig.createOrReplaceTempView("embeddings")
