@@ -52,17 +52,72 @@ _MODULES = [
 # after r9 no registry entry is staler than r5 and the r5 tail shrinks
 # to 3. Remaining r5 stale after this window: json_extract_bucket,
 # recursive_month_series, setops_cohorts (queue them to lead r10).
+# r10 window: the 3 remaining r5-stale entries first (kept promise), then
+# every entry whose Spark-side execution changed in this optimization
+# round so the driver re-proves them itself — the DML routes (fused
+# decision jobs, 292b6bc), the k-means index consumers (min_by
+# assignment 3aa07ce + cross-session index d3f543d),
+# embedding_top_component (folded power iteration, 46af343), the full
+# streaming family (no-data-batch skip / staged late writes 046f206,
+# adaptive state width e2acf10), and the shingle-skew-guarded dedup
+# pair (d3f543d) — then 14 r6-stale pg routes (the oldest cohort, which
+# also exercise the r10 catalog-memo split). 23 r6-stale entries remain
+# outside the window; all 193 are green on the full local gate.
 _PRIORITY = [
+    "json_extract_bucket",
+    "recursive_month_series",
+    "setops_cohorts",
+    "dml_update_delete_route",
+    "dml_upsert_route",
+    "dml_cursor_append_route",
+    "dml_vacuum_compact_route",
+    "dml_time_travel_route",
+    "dml_matview_refresh_route",
+    "dml_incremental_matview_route",
+    "pg_merge_route",
+    "pg_merge_returning_route",
+    "pg_on_conflict_where_route",
+    "pg_alter_column_route",
     "pg_ivf_orderby_route",
-    "range_join_close_events",
-    "funnel_view_click_purchase",
-    "retention_cohorts_weekly",
-    "sessionize_events_30m",
+    "ann_ivf_topk",
+    "ann_recall_at_k",
+    "ann_probe_sweep",
+    "semdedup_clusters",
+    "embedding_top_component",
+    "streaming_click_purchase_join",
+    "streaming_late_data_drop",
     "streaming_tumbling_daily",
     "streaming_sliding_activity",
     "streaming_session_windows",
     "streaming_dedup_keys",
-    "streaming_click_purchase_join",
+    "streaming_windowed_heavy_hitters",
+    "streaming_heavy_hitters",
+    "streaming_kmv_distinct",
+    "streaming_minhash_dedup",
+    "streaming_decontaminate",
+    "streaming_embedding_dedup",
+    "streaming_stateful_user_profiles",
+    "cdc_apply_changes",
+    "dedup_lsh_quality",
+    "dedup_ssjoin_prefix",
+    "pg_ilike_route",
+    "pg_width_bucket_route",
+    "pg_lateral_route",
+    "pg_bool_agg_route",
+    "pg_array_slice_route",
+    "pg_regex_ops_route",
+    "pg_epoch_extract_route",
+    "pg_to_char_route",
+    "pg_fetch_first_route",
+    "pg_substring_pos_route",
+    "pg_tsearch_route",
+    "pg_distinct_on_route",
+    "pg_similar_to_route",
+    "pg_array_ops_route",
+    "range_join_close_events",
+    "funnel_view_click_purchase",
+    "retention_cohorts_weekly",
+    "sessionize_events_30m",
     "string_funcs_battery",
     "values_join",
     "dedup_exact",
@@ -71,44 +126,33 @@ _PRIORITY = [
     "dedup_paragraphs",
     "dedup_edit_distance",
     "ann_cosine_topk",
-    "ann_recall_at_k",
-    "dedup_lsh_quality",
     "mixture_domain_cap_shift",
     "dedup_simhash_quality",
     "event_path_trigrams",
     "mixture_source_gini",
     "text_novelty_ratio",
     "skew_key_report",
-    "ann_probe_sweep",
     "dedup_embedding_quality",
     "event_gap_histogram",
     "contamination_span_max",
     "embedding_dim_stats",
     "user_recency_weighted_value",
-    "streaming_late_data_drop",
     "mm_frame_dedup",
-    "embedding_top_component",
     "mm_decode_features",
     "mm_frame_sample",
     "mm_audio_chunks",
     "sample_hash_bernoulli",
     "exact_substring_dedup",
-    "cdc_apply_changes",
     "pack_sequences_budget",
     "quality_budget_threshold",
     "export_shard_manifest",
     "pipeline_training_subset",
     "dedup_minhash_lsh",
-    "ann_ivf_topk",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
     "interval_bucketing",
-    "dml_matview_refresh_route",
     "pg_vector_funcs_route",
-    "pg_merge_route",
-    "pg_merge_returning_route",
     "pg_power_quote_route",
-    "dml_incremental_matview_route",
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
@@ -119,7 +163,6 @@ _PRIORITY = [
     "tpch_q21",
     "tpch_q22",
     "embedding_norm_filter",
-    "semdedup_clusters",
     "text_bm25_topk",
     "array_agg_types",
     "string_agg_ordered",
@@ -153,10 +196,6 @@ _PRIORITY = [
     "sample_weighted_reservoir",
     "ngram_top_bigrams",
     "sketch_event_profile",
-    "dml_cursor_append_route",
-    "pg_alter_column_route",
-    "dml_time_travel_route",
-    "pg_on_conflict_where_route",
     "pg_cursor_fetch_route",
     "pg_prepare_execute_route",
     "pg_vector_ops_route",
@@ -164,10 +203,6 @@ _PRIORITY = [
     "pg_dow_fields_route",
     "win_dist_functions",
     "asof_forward_next_view",
-    "streaming_windowed_heavy_hitters",
-    "dml_upsert_route",
-    "dml_update_delete_route",
-    "dml_vacuum_compact_route",
     "dedup_incremental_batch",
     "embedding_quantize_int8",
     "ann_hard_negatives",
@@ -199,37 +234,14 @@ _PRIORITY = [
     "tpch_q11",
     "tpch_q12",
     "tpch_q13",
-    "json_extract_bucket",
-    "recursive_month_series",
-    "setops_cohorts",
-    "streaming_heavy_hitters",
-    "streaming_kmv_distinct",
     "sketch_set_overlap",
     "timeseries_interpolate",
     "pagerank_event_graph",
     "anomaly_daily_zscore",
     "text_bigram_logprob",
-    "pg_ilike_route",
-    "dedup_ssjoin_prefix",
     "skewed_join_salted",
-    "pg_width_bucket_route",
-    "pg_lateral_route",
     "histogram_equidepth",
-    "pg_bool_agg_route",
     "text_nb_quality_classifier",
-    "pg_array_slice_route",
-    "pg_regex_ops_route",
-    "pg_epoch_extract_route",
-    "pg_to_char_route",
-    "pg_fetch_first_route",
-    "pg_substring_pos_route",
-    "pg_tsearch_route",
-    "streaming_minhash_dedup",
-    "streaming_decontaminate",
-    "streaming_embedding_dedup",
-    "pg_distinct_on_route",
-    "pg_similar_to_route",
-    "pg_array_ops_route",
     "pg_series_join_route",
     "pg_estring_roundtrip",
     "pg_recursive_cte_route",
@@ -239,7 +251,6 @@ _PRIORITY = [
     "pg_interval_cast_route",
     "pg_format_route",
     "pg_window_route",
-    "streaming_stateful_user_profiles",
     "dedup_cluster_survivors",
     "mixture_temperature_weights",
     "seq_len_buckets",

@@ -104,10 +104,13 @@ def _assign_select(from_centroids: str, spark: bool) -> str:
 
     Spark side: ``min_by`` over ``struct(dist, cell)`` — the same argmin the
     window computes (struct ordering is lexicographic, so ties on the exact
-    dist double break by cell, exactly ROW_NUMBER's ORDER BY dist, cell),
-    but as an aggregate it partial-combines the N_CELLS candidate rows
-    map-side and needs no sort: the Lloyd's chain dropped one
-    exchange+sort per iteration (r10; build exec 3.8 -> measured below).
+    dist double break by cell, exactly ROW_NUMBER's ORDER BY dist, cell).
+    Plan delta (plans/r10/kmeans_assign_{before,after}.txt): the window form
+    was Sort(vec_id, dist, cell) + WindowGroupLimit partial/final + the
+    Window machinery after the exchange; min_by is a SortAggregate pair
+    (struct buffer, so not hash-aggregable) over a 1-key Sort(vec_id) with
+    no Window evaluation — cheaper compares per row and no rank projection,
+    same single exchange (r10; ivf build 5.1 -> 4.5 s).
     DuckDB keeps the window form, so every gate run re-proves the
     assignments identical (every ann_*/semdedup oracle re-derives the
     chain inline)."""
